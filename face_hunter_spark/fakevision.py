@@ -1,0 +1,111 @@
+"""Deterministic stand-in for the vision stack (MTCNN detect + ArcFace
+embed) — the real models are not available offline, and the parity gate
+is about *pipeline semantics*, not CNN accuracy (BASELINE.md notes).
+
+Design: the content of a media span is fully determined by its
+``media_ref`` string ('frame://{doc_id}/{frame_no}').  "Decoding" a
+frame yields 0-2 faces; each face is either a gallery entity (base
+vector + small per-frame jitter, cosine distance << threshold) or an
+unknown person (independent random vector, distance >> threshold).
+Consecutive frames share an entity set in runs of 3-8 frames so that
+scene extraction (frame_threshold default 3) has real work to do.
+
+Both the distributed Spark pipeline and the sequential pure-Python
+oracle call these functions, so the parity comparison exercises the
+*distributed* plumbing (explode, Arrow batching, joins, grouping,
+scene assembly, triple emission), exactly like the reference's eval
+harness feeds identical frames to its sequential code
+(src/models/evaluation.py:16-90).
+
+Everything is keyed by stable md5 hashes — independent of partitioning,
+batch boundaries, and execution order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+EMBED_DIM = 512
+UNKNOWN_FRACTION = 10  # 1-in-10 faces is an out-of-gallery person
+JITTER_SIGMA = 0.04    # within-entity thumbnail/frame noise
+
+
+def _h(s: str) -> int:
+    """Stable 64-bit hash of a string (md5 prefix)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def _rng(s: str) -> np.random.Generator:
+    return np.random.default_rng(_h(s))
+
+
+def entity_names(n_entities: int) -> list[str]:
+    """Synthetic celebrity labels ('Entity 000'...), mirroring the
+    reference gallery's 54 distinct entities (labels_cele.pickle)."""
+    return [f"Entity {i:03d}" for i in range(n_entities)]
+
+
+def base_vector(label: str) -> np.ndarray:
+    """Per-entity prototype embedding.  Random 512-d gaussians are
+    near-orthogonal, so distinct entities are trivially separable at
+    cosine threshold 0.6 (reference default, config.yaml:16)."""
+    v = _rng("base/" + label).standard_normal(EMBED_DIM)
+    return (v / np.linalg.norm(v) * 4.6).astype(np.float32)  # ref norms ~4.6
+
+
+def run_length(doc_id: str) -> int:
+    return 3 + _h("runlen/" + doc_id) % 5  # 3..7 frames per scene run
+
+
+def frame_faces(doc_id: str, frame_no: int, n_entities: int) -> list[tuple[str, int]]:
+    """True faces in a frame: list of (kind, entity_id) where kind is
+    'entity' or 'unknown'.  Constant within a run of ``run_length``
+    frames; deterministic in (doc_id, frame_no) alone."""
+    run_id = frame_no // run_length(doc_id)
+    r = _h(f"run/{doc_id}/{run_id}")
+    n_faces = (0, 1, 1, 1, 2)[r % 5]
+    faces = []
+    for j in range(n_faces):
+        rf = _h(f"face/{doc_id}/{run_id}/{j}")
+        if rf % UNKNOWN_FRACTION == 0:
+            faces.append(("unknown", -1))
+        else:
+            faces.append(("entity", rf % n_entities))
+    return faces
+
+
+def face_embedding(
+    doc_id: str, frame_no: int, face_idx: int, kind: str, entity_id: int,
+    n_entities: int,
+) -> np.ndarray:
+    """Embedding the 'encoder' would produce for this face.  Entity
+    faces jitter around the entity prototype (new noise every frame so
+    the kNN join does real per-mention work); unknown faces are fresh
+    random vectors (cosine vs any prototype ≈ 0 → distance ≈ 1 > τ)."""
+    rng = _rng(f"emb/{doc_id}/{frame_no}/{face_idx}")
+    if kind == "unknown":
+        v = rng.standard_normal(EMBED_DIM)
+        return (v / np.linalg.norm(v) * 4.6).astype(np.float32)
+    base = base_vector(entity_names(n_entities)[entity_id])
+    noise = rng.standard_normal(EMBED_DIM).astype(np.float32) * JITTER_SIGMA
+    return base + noise
+
+
+def gallery_embedding(label: str, thumb_idx: int) -> np.ndarray:
+    """Gallery thumbnail embedding: prototype + per-thumbnail jitter
+    (the reference gallery has ~20 thumbnails per entity)."""
+    base = base_vector(label)
+    noise = (
+        _rng(f"thumb/{label}/{thumb_idx}").standard_normal(EMBED_DIM).astype(np.float32)
+        * JITTER_SIGMA
+    )
+    return base + noise
+
+
+def parse_media_ref(media_ref: str) -> tuple[str, int]:
+    """'frame://{doc_id}/{frame_no}' -> (doc_id, frame_no)."""
+    body = media_ref[len("frame://"):]
+    doc_id, frame_no = body.rsplit("/", 1)
+    return doc_id, int(frame_no)
