@@ -119,13 +119,15 @@ def _scenes_one_doc(pdf: pd.DataFrame, frame_threshold: int) -> pd.DataFrame:
     labels_seq = [list(x) for x in pdf["labels"]]
     ts = pdf["ts_ms"].tolist()
     found = extract_scenes_kernel(labels_seq, ts, frame_threshold)
+    # explicit dtypes: an empty group would otherwise default entities
+    # to float64, which pyarrow can't cast to list<string>
     return pd.DataFrame(
         {
-            "doc_id": doc_id,
+            "doc_id": pd.Series([doc_id] * len(found), dtype=object),
             "scene_idx": np.arange(len(found), dtype=np.int32),
-            "entities": [names for names, _, _ in found],
-            "start_ms": [s for _, s, _ in found],
-            "end_ms": [e for _, _, e in found],
+            "entities": pd.Series([names for names, _, _ in found], dtype=object),
+            "start_ms": np.array([s for _, s, _ in found], dtype=np.float64),
+            "end_ms": np.array([e for _, _, e in found], dtype=np.float64),
         }
     )
 

@@ -1,0 +1,135 @@
+"""End-to-end parity: the distributed Spark pipeline vs the sequential
+pure-Python reference-semantics oracle on the same deterministic
+synthetic corpus.  Gate: triple P/R >= 0.95 (BASELINE.json) — we
+assert exact set equality, which is stronger."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from face_hunter_spark import synth
+from face_hunter_spark.pipeline import link_documents, run_link_job
+from face_hunter_spark.reference_oracle import oracle_triples, precision_recall
+from face_hunter_spark.schemas import NS
+
+N_DOCS = 60
+N_ENTITIES = 20
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs_pdf = synth.make_documents_pdf(N_DOCS, N_ENTITIES)
+    gallery_pdf = synth.make_gallery_pdf(
+        n_entities=N_ENTITIES, thumbs_per_entity=8, distractors=3
+    )
+    catalog_pdf = synth.make_entity_catalog_pdf(
+        n_entities=N_ENTITIES, distractors=3
+    )
+    from face_hunter_spark.schemas import DOCUMENTS, ENTITY_CATALOG, GALLERY
+
+    return {
+        "docs_pdf": docs_pdf,
+        "gallery_pdf": gallery_pdf,
+        "catalog_pdf": catalog_pdf,
+        "docs": spark.createDataFrame(docs_pdf, DOCUMENTS),
+        "gallery": spark.createDataFrame(gallery_pdf, GALLERY),
+        "catalog": spark.createDataFrame(catalog_pdf, ENTITY_CATALOG),
+    }
+
+
+CORE_PREDS = {
+    NS["rdf_type"], NS["dc_identifier"], NS["dc_title"],
+    NS["video_scene_from"], NS["video_temporal_segment_of"],
+    NS["temporal_has_start"], NS["temporal_duration"],
+    NS["temporal_has_finish"], NS["foaf_depicts"],
+}
+
+
+def spark_triple_set(df):
+    rows = df.select("subj", "pred", "obj").collect()
+    return {(r.subj, r.pred, r.obj) for r in rows if r.pred in CORE_PREDS}
+
+
+def test_bruteforce_parity(spark, corpus):
+    got = spark_triple_set(
+        link_documents(
+            corpus["docs"], corpus["gallery_pdf"], corpus["catalog"],
+            n_entities=N_ENTITIES,
+        )
+    )
+    expected = oracle_triples(
+        corpus["docs_pdf"], corpus["gallery_pdf"], corpus["catalog_pdf"],
+        n_entities=N_ENTITIES,
+    )
+    p, r = precision_recall(got, expected)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(got), len(expected))
+    assert got == expected  # stronger: bit-exact triple set
+
+
+def test_lsh_parity(spark, corpus):
+    got = spark_triple_set(
+        link_documents(
+            corpus["docs"], corpus["gallery_pdf"], corpus["catalog"],
+            n_entities=N_ENTITIES, strategy="lsh",
+            gallery_df=corpus["gallery"],
+        )
+    )
+    expected = oracle_triples(
+        corpus["docs_pdf"], corpus["gallery_pdf"], corpus["catalog_pdf"],
+        n_entities=N_ENTITIES,
+    )
+    p, r = precision_recall(got, expected)
+    # LSH is approximate: the P/R >= 0.95 gate applies as-is
+    assert p >= 0.95 and r >= 0.95, (p, r, len(got), len(expected))
+
+
+def test_idempotent_rerun(spark, corpus, tmp_path):
+    from face_hunter_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    stats1 = run_link_job(
+        spark, cat, corpus["docs"], corpus["gallery_pdf"], corpus["catalog"],
+        n_entities=N_ENTITIES,
+    )
+    assert stats1["n_docs"] == N_DOCS and stats1["n_triples"] > 0
+    # rerun over the same docs: everything anti-joined away
+    stats2 = run_link_job(
+        spark, cat, corpus["docs"], corpus["gallery_pdf"], corpus["catalog"],
+        n_entities=N_ENTITIES,
+    )
+    assert stats2["n_triples"] == 0
+    # resume: add new docs, only they are processed
+    docs2 = synth.make_documents_pdf(N_DOCS + 10, N_ENTITIES)
+    from face_hunter_spark.schemas import DOCUMENTS
+
+    stats3 = run_link_job(
+        spark, cat, spark.createDataFrame(docs2, DOCUMENTS),
+        corpus["gallery_pdf"], corpus["catalog"], n_entities=N_ENTITIES,
+    )
+    assert stats3["n_docs"] == 10
+    # committed table = union of both runs; triple set matches a fresh
+    # one-shot run over all 70 docs
+    all_docs = spark.createDataFrame(docs2, DOCUMENTS)
+    fresh = spark_triple_set(
+        link_documents(all_docs, corpus["gallery_pdf"], corpus["catalog"],
+                       n_entities=N_ENTITIES)
+    )
+    stored = spark_triple_set(cat.read(spark, "triples"))
+    assert stored == fresh
+    # lineage recorded per bucket per run
+    lineage = cat.read(spark, "lineage")
+    assert lineage.where(F.col("run_id") == stats1["run_id"]).count() > 0
+    assert lineage.where(F.col("run_id") == stats3["run_id"]).count() > 0
+
+
+def test_span_roundtrip_invariant(spark, corpus):
+    """BASELINE.json per-row invariant: explode -> reassemble preserves
+    (kind, text, media_ref, order) per document exactly."""
+    from face_hunter_spark.operators.spans import explode_spans, reassemble_spans
+
+    docs = corpus["docs"]
+    back = reassemble_spans(explode_spans(docs))
+    orig = {r.doc_id: [(s.kind, s.text, s.media_ref) for s in r.spans]
+            for r in docs.collect()}
+    round_ = {r.doc_id: [(s.kind, s.text, s.media_ref) for s in r.spans]
+              for r in back.collect()}
+    assert orig == round_
