@@ -1,0 +1,141 @@
+"""Canonicalization: same-as edges -> connected components -> one
+canonical id per entity cluster (SURVEY.md §2.9).
+
+The reference resolves cross-KG identity point-wise at query time with
+a live DBpedia owl:sameAs lookup per URI (knowledge_graphs.py:306-336,
+used at graph.py:163-164).  At 10^12 scale that's a batch operator:
+
+  1. ``same_as_edges`` — catalog rows sharing norm_name across KGs.
+  2. ``connected_components`` — pure-DataFrame hash-min label
+     propagation (no GraphFrames jar in this sandbox; the north_star's
+     GraphFrames connectedComponents() is a drop-in swap).  Converges
+     in O(log n) joins; each round is two shuffles on the edge table.
+     localCheckpoint() each round cuts the exponential lineage that
+     otherwise re-executes every prior join on each new action.
+  3. ``canonical_map`` — min(wikidata QID) per component, else min URI.
+
+Components here are tiny (dbpedia<->wikidata pairs/chains), but the
+implementation is generic and scales: iteration count is bounded by
+the graph diameter, not component count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def same_as_edges(entity_catalog: DataFrame) -> DataFrame:
+    """(uri_a, uri_b) pairs of URIs that share a norm_name."""
+    a = entity_catalog.select(
+        F.col("norm_name"), F.col("entity").alias("uri_a")
+    )
+    b = entity_catalog.select(
+        F.col("norm_name"), F.col("entity").alias("uri_b")
+    )
+    return (
+        a.join(b, "norm_name")
+        .where(F.col("uri_a") < F.col("uri_b"))
+        .select("uri_a", "uri_b")
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """edges(uri_a, uri_b) -> (uri, component) with component = the
+    lexicographic min uri reachable.  Hash-min label propagation:
+    every node repeatedly adopts the min label among itself and its
+    neighbors until no label changes.
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col("uri_a").alias("src"), F.col("uri_b").alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("uri_b").alias("src"), F.col("uri_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("uri"))
+        .distinct()
+        .withColumn("component", F.col("uri"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate label for each node: min over neighbors' labels
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["uri"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["uri"] == neighbor_min["src"], "left")
+            .select(
+                "uri",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = updated.where(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def canonical_map(entity_catalog: DataFrame, max_iter: int = 20) -> DataFrame:
+    """URI -> canonical id.  Canonical = min Wikidata URI in the
+    component if any (north_star: 'canonicalized to QIDs'), else the
+    component min.  Singleton URIs (no same-as partner) map to
+    themselves."""
+    edges = same_as_edges(entity_catalog)
+    cc = connected_components(edges, max_iter=max_iter)
+    wd_min = (
+        cc.where(F.col("uri").startswith("http://www.wikidata.org/"))
+        .groupBy("component")
+        .agg(F.min("uri").alias("wd_canonical"))
+    )
+    comp_canon = (
+        cc.join(wd_min, "component", "left")
+        .select(
+            "uri",
+            F.coalesce("wd_canonical", "component").alias("canonical"),
+        )
+    )
+    singletons = (
+        entity_catalog.select(F.col("entity").alias("uri"))
+        .distinct()
+        .join(comp_canon, "uri", "left_anti")
+        .withColumn("canonical", F.col("uri"))
+    )
+    return comp_canon.unionByName(singletons)
+
+
+def canonicalize_depicts(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Add obj_canonical to depicts triples (broadcast map join); other
+    triples pass through with obj_canonical = obj.  The original obj is
+    preserved — the reference's DBpedia-preferred output stays visible
+    (graph.py:111-114) while queries match on the canonical id."""
+    depicts = triples.where(
+        F.col("pred").isin(
+            "http://xmlns.com/foaf/0.1/depicts", "https://schema.org/depicts"
+        )
+    )
+    rest = triples.where(
+        ~F.col("pred").isin(
+            "http://xmlns.com/foaf/0.1/depicts", "https://schema.org/depicts"
+        )
+    )
+    mapped = depicts.join(
+        F.broadcast(canon.withColumnRenamed("uri", "obj")), "obj", "left"
+    ).withColumn("obj_canonical", F.coalesce("canonical", "obj")).drop("canonical")
+    return rest.withColumn("obj_canonical", F.col("obj")).unionByName(mapped)

@@ -1,0 +1,141 @@
+"""Read path: the reference's SPARQL query surface (graph.py:130-244)
+as Spark SQL over the ``triples`` table.
+
+Each SPARQL star pattern on a shared subject becomes a self-join on
+``subj``; because triples are bucketed by doc (all of a scene's rows
+share its doc_bucket), these self-joins co-partition and AQE keeps the
+small filtered sides broadcast.  A ``scene_view`` pivot is registered
+once so ad-hoc queries (get_videos_with_filters) are plain SQL over a
+wide view instead of N-way self-joins.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import NS
+
+
+def register_views(spark: SparkSession, triples: DataFrame,
+                   canon: DataFrame | None = None) -> None:
+    triples.createOrReplaceTempView("triples")
+    scene_wide(triples, canon).createOrReplaceTempView("scene_view")
+
+
+def scene_wide(triples: DataFrame, canon: DataFrame | None = None) -> DataFrame:
+    """One row per (scene, depicted entity): scene, video, title, link,
+    start, finish, entity[, canonical_entity].  A single groupBy-pivot
+    over pred replaces repeated self-joins (one shuffle on subj)."""
+    per_scene = (
+        triples.where(
+            F.col("pred").isin(
+                NS["video_scene_from"], NS["temporal_has_start"],
+                NS["temporal_has_finish"], NS["temporal_duration"],
+            )
+        )
+        .groupBy("subj")
+        .agg(
+            F.max(F.when(F.col("pred") == NS["video_scene_from"], F.col("obj"))).alias("video"),
+            F.max(F.when(F.col("pred") == NS["temporal_has_start"], F.col("obj"))).alias("start"),
+            F.max(F.when(F.col("pred") == NS["temporal_has_finish"], F.col("obj"))).alias("finish"),
+            F.max(F.when(F.col("pred") == NS["temporal_duration"], F.col("obj"))).alias("duration"),
+        )
+        .where(F.col("video").isNotNull())
+        .withColumnRenamed("subj", "scene")
+    )
+    per_video = (
+        triples.where(
+            F.col("pred").isin(NS["dc_identifier"], NS["dc_title"])
+        )
+        .groupBy("subj")
+        .agg(
+            F.max(F.when(F.col("pred") == NS["dc_identifier"], F.col("obj"))).alias("link"),
+            F.max(F.when(F.col("pred") == NS["dc_title"], F.col("obj"))).alias("title"),
+        )
+        .withColumnRenamed("subj", "video")
+    )
+    depicts = triples.where(F.col("pred") == NS["foaf_depicts"]).select(
+        F.col("subj").alias("scene"), F.col("obj").alias("entity")
+    )
+    wide = per_scene.join(per_video, "video").join(depicts, "scene", "left")
+    if canon is not None:
+        wide = wide.join(
+            F.broadcast(canon.withColumnRenamed("uri", "entity")),
+            "entity",
+            "left",
+        ).withColumn(
+            "canonical_entity", F.coalesce("canonical", "entity")
+        ).drop("canonical")
+    return wide
+
+
+def get_scenes_from_video(spark: SparkSession, identifier_uri: str) -> DataFrame:
+    """graph.py:130-151: (scene, entity, start, end) for one video."""
+    return spark.sql(
+        """
+        SELECT DISTINCT scene, entity, start, finish
+        FROM scene_view WHERE video = :v AND entity IS NOT NULL
+        """,
+        args={"v": identifier_uri},
+    )
+
+
+def get_scenes_with_entity(
+    spark: SparkSession,
+    identifier: str,
+    entity_catalog: DataFrame | None = None,
+    canon: DataFrame | None = None,
+) -> DataFrame | None:
+    """graph.py:153-192: distinct (title, link, co-occurring entity,
+    start, finish) for all scenes depicting the given entity.
+
+    identifier may be a DBpedia URI, a Wikidata URI (resolved through
+    the canonical map — the batch analogue of the live owl:sameAs
+    lookup at knowledge_graphs.py:306-336), or a plain label (resolved
+    through the catalog like get_uri_from_csv)."""
+    uri = identifier
+    if not identifier.startswith("http://"):
+        if entity_catalog is None:
+            return None
+        hits = (
+            entity_catalog.where(F.col("name") == identifier)
+            .select("entity", "source_kg")
+            .collect()
+        )
+        by_kg = {r.source_kg: r.entity for r in hits}
+        uri = by_kg.get("dbpedia") or by_kg.get("wikidata")
+        if uri is None:
+            return None
+    sv = spark.table("scene_view")
+    if "canonical_entity" in sv.columns and canon is not None:
+        target = canon.where(F.col("uri") == uri).select("canonical")
+        match = sv.join(
+            F.broadcast(target),
+            sv["canonical_entity"] == F.col("canonical"),
+            "inner",
+        )
+    else:
+        match = sv.where(F.col("entity") == uri)
+    co = sv.select(
+        F.col("scene").alias("s2"), F.col("entity").alias("co_entity")
+    )
+    return (
+        match.join(co, match["scene"] == co["s2"])
+        .select("title", "link", "co_entity", "start", "finish")
+        .where(F.col("co_entity").isNotNull())
+        .distinct()
+    )
+
+
+def get_videos_with_filters(spark: SparkSession, where_sql: str) -> DataFrame:
+    """graph.py:194-244: user-supplied constraints over the scene view.
+    The reference splices SPARQL fragments + FILTER(...) into a
+    template; here the template is the scene_view and the user filter
+    is a SQL WHERE fragment over its columns (entity attributes join in
+    via dim tables registered by the caller).  Federation (live
+    service{} blocks) is out of scope — documented in SURVEY.md §2.8."""
+    return spark.sql(
+        "SELECT DISTINCT title, link, entity, start, finish "
+        f"FROM scene_view WHERE {where_sql}"
+    )

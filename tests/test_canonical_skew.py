@@ -1,0 +1,86 @@
+import pandas as pd
+import pyspark.sql.functions as F
+
+from face_hunter_spark import synth
+from face_hunter_spark.operators.canonical import (
+    canonical_map,
+    connected_components,
+    same_as_edges,
+)
+from face_hunter_spark.operators.skew import salted_agg
+
+
+def test_connected_components_chain(spark):
+    # chain a-b-c-d plus isolated pair e-f: two components
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")], ["uri_a", "uri_b"]
+    )
+    got = {r.uri: r.component for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
+
+
+def test_canonical_map_prefers_wikidata(spark):
+    from face_hunter_spark.schemas import ENTITY_CATALOG
+
+    cat_pdf = synth.make_entity_catalog_pdf(n_entities=10, distractors=0)
+    cat = spark.createDataFrame(cat_pdf, ENTITY_CATALOG)
+    canon = canonical_map(cat)
+    rows = {r.uri: r.canonical for r in canon.collect()}
+    # every URI maps somewhere; canonical is always a wikidata URI when
+    # the component has one (all our components do)
+    assert set(rows) == set(cat_pdf["entity"])
+    for uri, c in rows.items():
+        assert c.startswith("http://www.wikidata.org/")
+    # dbpedia and wikidata URI of the same entity share a canonical id
+    by_name = cat_pdf.groupby("name")["entity"].apply(list)
+    for name, uris in by_name.items():
+        assert len({rows[u] for u in uris}) == 1, name
+
+
+def test_same_as_edges_shape(spark):
+    from face_hunter_spark.schemas import ENTITY_CATALOG
+
+    cat = spark.createDataFrame(
+        synth.make_entity_catalog_pdf(n_entities=9, distractors=0),
+        ENTITY_CATALOG,
+    )
+    edges = same_as_edges(cat)
+    # 8 of 9 entities have both KGs (1/9 wikidata-only) -> 8 edges
+    assert edges.count() == 8
+
+
+def test_salted_agg_matches_plain(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["hot"] * 500 + ["cold%d" % i for i in range(100)],
+            "v": list(range(600)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.k: (r.n, r.total, r.lo, r.hi)
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            aggs={
+                "n": ("count", "v"),
+                "total": ("sum", "v"),
+                "lo": ("min", "v"),
+                "hi": ("max", "v"),
+            },
+            salt_buckets=8,
+            salt_source="v",
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.total, r.lo, r.hi)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
