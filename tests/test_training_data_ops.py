@@ -1,0 +1,167 @@
+"""Tests for the training-data operators (dedup, similarity, text,
+multimodal) on the driver-generated /root/testdata tables + synthetic
+near-duplicates."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from face_hunter_spark.operators import dedup, multimodal, similarity
+from face_hunter_spark.operators import text as T
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """Corpus with planted exact + near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},                      # exact dup
+        {"doc_id": 3, "text": base.replace("lazy", "sleepy")},  # near dup
+        {"doc_id": 4, "text": "completely different content about spark "
+                              "query engines and shuffle partitions"},
+        {"doc_id": 5, "text": "The quick brown fox JUMPS over the lazy dog "
+                              "again and again ok"},       # case/punct dup
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_exact_dedup(spark, dup_corpus):
+    groups = dedup.exact_duplicate_groups(dup_corpus).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0].member_ids) == [1, 2, 5]  # normalization folds case
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(dup_corpus).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_jaccard_pairs(spark, dup_corpus):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.jaccard_pairs(dup_corpus, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_planted_dups(spark, dup_corpus):
+    got = {(r.id_a, r.id_b) for r in
+           dedup.minhash_lsh_pairs(dup_corpus, threshold=0.5).collect()}
+    # exact dups always collide; the near-dup pair survives verification
+    assert {(1, 2), (1, 5), (2, 5)} <= got
+    assert all(4 not in p for p in got)
+
+
+def test_minhash_recall_vs_exact(spark, documents):
+    """The driver corpus has planted near-duplicates.  LSH-found pairs
+    are exact-verified (precision 1.0 by construction); recall vs the
+    exact inverted-index join must be near-total at J>=0.9 (collision
+    probability 1-(1-J^3)^4 > 0.97 there)."""
+    exact = {(r.id_a, r.id_b) for r in
+             dedup.jaccard_pairs(documents, threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           dedup.minhash_lsh_pairs(documents, threshold=0.9).collect()}
+    assert exact, "driver corpus should contain planted near-duplicates"
+    assert lsh <= exact
+    assert len(lsh & exact) / len(exact) >= 0.95
+
+
+def test_simhash_pairs(spark, dup_corpus):
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_pairs(dup_corpus, max_hamming=3).collect()}
+    assert got[(1, 2)] == 0 and got[(1, 5)] == 0
+    assert all(4 not in p for p in got)
+
+
+def test_embedding_near_dups(spark, embeddings):
+    pairs = dedup.embedding_near_dup_pairs(
+        embeddings.limit(200), threshold=0.99
+    ).collect()
+    for r in pairs:
+        assert r.cosine >= 0.99
+
+
+def test_cosine_topk_exact_vs_fast(spark, embeddings):
+    qs = embeddings.select(F.col("vec_id").alias("q_id"), "embedding").limit(30)
+    corpus = embeddings.select(F.col("vec_id").alias("c_id"), "embedding")
+    slow = {(r.q_id, r.rank): r.c_id
+            for r in similarity.cosine_topk(qs, corpus, k=5).collect()}
+    fast = {(r.q_id, r.rank): r.c_id
+            for r in similarity.cosine_topk_fast(
+                qs, corpus.toPandas(), k=5).collect()}
+    assert slow == fast
+    # self is always rank 1
+    assert all(slow[(q, 1)] == q for (q, rk) in slow if rk == 1)
+
+
+def test_ann_lsh_recall(spark, embeddings):
+    qs = embeddings.select(F.col("vec_id").alias("q_id"), "embedding").limit(50)
+    corpus = embeddings.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {(r.q_id, r.c_id) for r in
+             similarity.cosine_topk(qs, corpus, k=3).collect()}
+    approx = {(r.q_id, r.c_id) for r in
+              similarity.ann_lsh_topk(qs, corpus, k=3, bands=24,
+                                      rows_per_band=3, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_recall(spark, embeddings):
+    qs = embeddings.select(F.col("vec_id").alias("q_id"), "embedding").limit(50)
+    corpus = embeddings.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {(r.q_id, r.c_id) for r in
+             similarity.cosine_topk(qs, corpus, k=3).collect()}
+    approx = {(r.q_id, r.c_id) for r in
+              similarity.ivf_topk(qs, corpus, k=3, n_cells=8,
+                                  n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+
+
+def test_text_ops(spark, documents):
+    out = documents.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.doc_fingerprint(F.col("text")).alias("fp"),
+        T.rolling_fingerprint(F.col("text")).alias("rfp"),
+    ).collect()
+    assert all(r.n_tokens > 0 for r in out)
+    assert all(0.0 <= r.quality <= 1.0 for r in out)
+    assert all(len(r.fp) == 32 and len(r.rfp) == 32 for r in out)
+    assert {r.lang_pred for r in out} <= {"en", "de", "es", "fr", "und"}
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media_df(spark, 24)
+    dec = multimodal.decode_media(media).collect()
+    assert len(dec) == 24 and all(r.ok for r in dec)
+    assert all(r.width >= 160 and r.height >= 90 for r in dec)
+    feats = multimodal.extract_features(media).collect()
+    assert all(len(r.feature) == multimodal.FEATURE_DIM for r in feats)
+    # determinism: rerun gives identical features
+    feats2 = multimodal.extract_features(media).collect()
+    assert {r.media_id: r.feature for r in feats} == {
+        r.media_id: r.feature for r in feats2
+    }
+    frames = multimodal.sample_video_frames(media)
+    got = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 16 for r in got)
+    # only video rows produce frames
+    kinds = {r.media_id for r in media.where("kind = 'video'").collect()}
+    assert {r.media_id for r in got} == kinds
+    # real codec is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, codec="real")
