@@ -1,0 +1,804 @@
+"""Driver-contract query inventory: every entry pairs an idiomatic
+Spark implementation (DataFrame API / Spark SQL, using the engine's
+operator modules) with an equivalent DuckDB oracle SQL string run by
+the driver on the same parquet tables (see __spark_entry__.py).
+
+Portability rules used throughout (so order-insensitive value hashes
+match across engines):
+* floats: computed in DOUBLE on both sides (embeddings cast from
+  float32 to double BEFORE any arithmetic; fold order identical),
+  then round(x, N) to absorb last-ulp noise.
+* money sums: cast to DECIMAL(18,2) first (exact), cast the result
+  back to double.
+* timestamps: compared as epoch milliseconds (unix_millis /
+  epoch_ms), never as formatted strings.
+* hashes: md5 hex strings; hex->int via conv(...,16,10) in Spark and
+  ('0x'||...)::BIGINT in DuckDB (verified equal).
+* arrays never appear in outputs (stringified with concat_ws/
+  string_agg with explicit ORDER BY instead).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------------
+# relational core (SURVEY.md §2.2-2.7 operator inventory over TPC-H-ish data)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter + multi-agg groupBy (partial
+    aggregation / map-side combine is the point)."""
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem").where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice").cast("decimal(18,2)")
+                     * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(28,6)")
+                ).cast("double"), 2,
+            ).alias("sum_disc_price"),
+            F.round(F.avg(F.col("l_quantity").cast("decimal(18,2)").cast("double")), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_disc_price,
+  round(avg(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE)), 4) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join with broadcast dims + decimal revenue rollup."""
+    load_views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .join(spark.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(spark.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(spark.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_STAR = """
+SELECT r_name, count(*) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_orders_per_customer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT join keeping order-less customers, then a histogram."""
+    load_views(spark, sf_dir)
+    per_cust = (
+        spark.table("customer")
+        .join(spark.table("orders"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+ORACLE_HISTOGRAM = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT n_orders, count(*) AS n_customers FROM per_cust
+GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANTI join (the reference's set-difference / video_exists
+    pattern) rolled up per nation."""
+    load_views(spark, sf_dir)
+    return (
+        spark.table("customer")
+        .join(spark.table("orders"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(spark.table("nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+ORACLE_ANTI = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_nations_with_rich_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI join: nations having at least one supplier above balance."""
+    load_views(spark, sf_dir)
+    rich = spark.table("supplier").where(F.col("s_acctbal") > 9000)
+    return (
+        spark.table("nation")
+        .join(rich, F.col("n_nationkey") == F.col("s_nationkey"), "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+ORACLE_SEMI = """
+SELECT n_nationkey, n_name FROM nation
+WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey
+              AND s_acctbal > 9000)
+ORDER BY n_nationkey
+"""
+
+
+def q_top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window (the kNN-prune pattern)."""
+    load_views(spark, sf_dir)
+    j = spark.table("orders").join(
+        spark.table("customer"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "c_mktsegment", F.col("rank").cast("long").alias("rank"), "o_orderkey",
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment", "rank")
+    )
+
+
+ORACLE_TOP3 = """
+SELECT c_mktsegment, rank, o_orderkey, round(CAST(o_totalprice AS DOUBLE), 2) AS total
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey) t
+WHERE rank <= 3 ORDER BY c_mktsegment, rank
+"""
+
+
+def q_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window (the timestamp-synthesis / cumulative
+    pattern) for a bounded key slice."""
+    load_views(spark, sf_dir)
+    o = spark.table("orders").where(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("run_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+ORACLE_RUNNING = """
+SELECT o_custkey, o_orderkey,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+  AS run_total
+FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min gap) — the SQL-
+    expressible cousin of scene extraction (SURVEY.md §2.5)."""
+    load_views(spark, sf_dir)
+    return spark.sql("""
+        WITH flagged AS (
+          SELECT user_id, event_id, unix_millis(cast(ts AS timestamp)) AS ts_ms,
+            CASE WHEN lag(unix_millis(cast(ts AS timestamp))) OVER w IS NULL
+                   OR unix_millis(cast(ts AS timestamp)) - lag(unix_millis(cast(ts AS timestamp))) OVER w > 1800000
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT user_id, ts_ms,
+            sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms, event_id) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, min(ts_ms) AS start_ms,
+               max(ts_ms) AS end_ms, count(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """)
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts_ms,
+    CAST(sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts_ms, event_id) AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, min(ts_ms) AS start_ms,
+       max(ts_ms) AS end_ms, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def q_majority_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority vote with deterministic tie-break (the kNN vote
+    semantics: max count, then lexicographic — SURVEY.md §2.4)."""
+    load_views(spark, sf_dir)
+    counts = spark.table("events").groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("user_id", F.col("event_type").alias("majority_type"), "n")
+        .orderBy("user_id")
+    )
+
+
+ORACLE_MAJORITY = """
+SELECT user_id, event_type AS majority_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY count(*) DESC, event_type) AS r
+  FROM events GROUP BY user_id, event_type) t
+WHERE r = 1 ORDER BY user_id
+"""
+
+
+def q_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered group-concat of the distinct per-user event types."""
+    load_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("event_type"))).alias("types"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_TYPE_SETS = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types,
+       count(*) AS n_types
+FROM (SELECT DISTINCT user_id, event_type FROM events) t
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_sample_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-per-group sampling: order by md5(name) inside
+    each nation, keep 2 (the reference's seeded groupby-sample)."""
+    load_views(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(F.md5("c_name"), "c_custkey")
+    return (
+        spark.table("customer")
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 2)
+        .select("c_nationkey", F.col("r").cast("long").alias("r"),
+                "c_custkey", "c_name")
+        .orderBy("c_nationkey", "r")
+    )
+
+
+ORACLE_SAMPLE = """
+SELECT c_nationkey, r, c_custkey, c_name FROM (
+  SELECT c_nationkey, c_custkey, c_name,
+    row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY md5(c_name), c_custkey) AS r
+  FROM customer) t
+WHERE r <= 2 ORDER BY c_nationkey, r
+"""
+
+
+def q_custkeys_open_minus_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT): customers with open orders only."""
+    load_views(spark, sf_dir)
+    o = spark.table("orders")
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    filled = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    # subtract = EXCEPT (set semantics); exceptAll would be a multiset
+    # difference and keep customers that merely have MORE open orders
+    return open_.subtract(filled).orderBy("o_custkey")
+
+
+ORACLE_EXCEPT = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+def q_custkeys_open_and_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: customers with both order states."""
+    load_views(spark, sf_dir)
+    o = spark.table("orders")
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    filled = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return open_.intersect(filled).orderBy("o_custkey")
+
+
+ORACLE_INTERSECT = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+def q_singleton_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group-size==1 filter (the reference's dedup-singleton pattern)."""
+    load_views(spark, sf_dir)
+    return (
+        spark.table("part")
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 1)
+        .select("p_type")
+        .orderBy("p_type")
+    )
+
+
+ORACLE_SINGLETON = """
+SELECT p_type FROM part GROUP BY p_type HAVING count(*) = 1 ORDER BY p_type
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + bucket rollup over the events stream."""
+    load_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+ORACLE_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1 ORDER BY k_bucket
+"""
+
+
+def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch view of the streaming op)."""
+    load_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy(
+            F.unix_millis(F.date_trunc("hour", F.col("ts"))).alias("hour_ms"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("hour_ms", "event_type")
+    )
+
+
+ORACLE_HOURLY = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type
+"""
+
+# --------------------------------------------------------------------------
+# text analysis / dedup / fingerprints over the documents corpus
+# --------------------------------------------------------------------------
+
+# DuckDB fragment equivalent to text.tokens(): lowercase, split on
+# non-alphanumeric runs, drop empties.
+_DUCK_TOKENS = (
+    "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as T
+    load_views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .select("source", T.token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TOKEN_STATS = f"""
+SELECT source, count(*) AS n_docs,
+       round(avg(len({_DUCK_TOKENS.format(col='text')})), 4) AS avg_tokens,
+       max(len({_DUCK_TOKENS.format(col='text')})) AS max_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text as T
+    load_views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .select(T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def _duck_lang_hits(lang: str) -> str:
+    from .operators.text import STOPWORDS
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"len(list_filter({toks}, x -> list_contains([{words}], x)))"
+
+
+def _oracle_lang_id() -> str:
+    from .operators.text import LANG_PRIORITY
+    hits = {lg: _duck_lang_hits(lg) for lg in LANG_PRIORITY}
+    # mirror text.lang_id: argmax with LANG_PRIORITY tie-break
+    best_lang = f"'{LANG_PRIORITY[0]}'"
+    best = hits[LANG_PRIORITY[0]]
+    for lg in LANG_PRIORITY[1:]:
+        best_lang = f"CASE WHEN {hits[lg]} > {best} THEN '{lg}' ELSE {best_lang} END"
+        best = f"CASE WHEN {hits[lg]} > {best} THEN {hits[lg]} ELSE {best} END"
+    return f"""
+WITH scored AS (
+  SELECT CASE WHEN {best} > 0 THEN {best_lang} ELSE 'und' END AS lang_pred
+  FROM documents)
+SELECT lang_pred, count(*) AS n_docs FROM scored
+GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def q_fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup profile: distinct normalized fingerprints vs docs."""
+    from .operators import text as T
+    load_views(spark, sf_dir)
+    return spark.table("documents").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(T.doc_fingerprint(F.col("text"))).alias("n_distinct"),
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT count(*) AS n_docs,
+  count(DISTINCT md5(array_to_string({_DUCK_TOKENS.format(col='text')}, ' ')))
+  AS n_distinct
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs at J>=0.9 (inverted-index
+    join in Spark; set algebra in the oracle)."""
+    from .operators import dedup
+    load_views(spark, sf_dir)
+    return (
+        dedup.jaccard_pairs(spark.table("documents"), threshold=0.9)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_DUCK_SHINGLES = f"""
+list_distinct(CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))
+  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+  ELSE [] END)
+"""
+
+ORACLE_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_DUCK_SHINGLES} AS s
+  FROM (SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks
+        FROM documents)
+  WHERE len(toks) > 0)
+SELECT a.id AS id_a, b.id AS id_b,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation with exact verification; the
+    oracle recomputes the identical md5-string signatures, so even the
+    LSH bucketing is checked, not just the final pairs."""
+    from .operators import dedup
+    load_views(spark, sf_dir)
+    return (
+        dedup.minhash_lsh_pairs(
+            spark.table("documents"), threshold=0.9, num_hashes=12, bands=4
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oracle_minhash() -> str:
+    num_hashes, bands = 12, 4
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "concat_ws('|', '%d', %s)" % (b, ", ".join(f"h{b * r + j}" for j in range(r)))
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {_DUCK_SHINGLES} AS s
+  FROM (SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents)
+  WHERE len(toks) > 0),
+sig AS (SELECT id, s, {sig_cols} FROM sh),
+bucketed AS (
+  SELECT id, s, unnest([{band_exprs}]) AS bucket FROM sig),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b,
+  round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
+FROM cand
+WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa, sb))) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable 32-bit SimHash for a bounded doc slice."""
+    from .operators import dedup
+    load_views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .where(F.col("doc_id") < 64)
+        .select("doc_id", dedup.simhash32(F.col("text")).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_simhash() -> str:
+    toks = _DUCK_TOKENS.format(col="text")
+    h = "('0x' || substr(md5(t), 1, 8))::BIGINT"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(toks, t -> ((({h} >> {b}) & 1) * 2 - 1))) > 0 "
+        f"THEN {2 ** b} ELSE 0 END)"
+        for b in range(32)
+    )
+    return f"""
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+FROM (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id < 64)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding similarity over the embeddings table
+# --------------------------------------------------------------------------
+
+_DUCK_COSINE = """
+(list_sum(list_transform(range(1, len(a.embedding) + 1),
+    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+ / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+  * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))))
+"""
+
+
+def _cosine_scored(spark: SparkSession):
+    """query side = label >= 5, gallery side = label < 5; cosine in
+    DOUBLE with left-fold order matching the oracle."""
+    emb = spark.table("embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.where(F.col("label") >= 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.where(F.col("label") < 5).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return q.crossJoin(F.broadcast(c)).withColumn(
+        "cosine", dot / (nrm(F.col("qv")) * nrm(F.col("cv")))
+    )
+
+
+def q_knn_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force 1-NN cosine — the reference's linking semantics
+    (face_recognition.py:300-314) over the driver embeddings."""
+    load_views(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        _cosine_scored(spark)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("q_id", "c_id", F.round("cosine", 9).alias("cosine"))
+        .orderBy("q_id")
+    )
+
+
+ORACLE_KNN1 = f"""
+SELECT q_id, c_id, round(cosine, 9) AS cosine FROM (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id, {_DUCK_COSINE} AS cosine,
+    row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_DUCK_COSINE} DESC, b.vec_id) AS r
+  FROM embeddings a, embeddings b
+  WHERE a.label >= 5 AND b.label < 5) t
+WHERE r = 1 ORDER BY q_id
+"""
+
+
+def q_knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN top-3 with the window prune used by the LSH linker."""
+    load_views(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "c_id")
+    return (
+        _cosine_scored(spark)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("q_id", F.col("rank").cast("long").alias("rank"), "c_id")
+        .orderBy("q_id", "rank")
+    )
+
+
+ORACLE_KNN3 = f"""
+SELECT q_id, rank, c_id FROM (
+  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+    row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_DUCK_COSINE} DESC, b.vec_id) AS rank
+  FROM embeddings a, embeddings b
+  WHERE a.label >= 5 AND b.label < 5) t
+WHERE rank <= 3 ORDER BY q_id, rank
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.95)."""
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("cv"))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (nrm(F.col("qv")) * nrm(F.col("cv"))))
+        .where(F.col("cosine") >= 0.95)
+        .select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+ORACLE_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_DUCK_COSINE}, 9) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id AND {_DUCK_COSINE} >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
+def q_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's evaluation metrics (evaluation.py:93-145) as a
+    relational op: per-doc prediction = token set, truth = a fixed
+    probe list; frame-averaged accuracy/precision/recall/f1."""
+    from .operators import text as T
+    from .operators.metrics import evaluation_metrics
+    load_views(spark, sf_dir)
+    probe = ["the", "data", "query", "spark"]
+    framed = spark.table("documents").select(
+        F.array_distinct(T.tokens(F.col("text"))).alias("y_pred"),
+        F.array([F.lit(x) for x in probe]).alias("y_true"),
+    )
+    m = evaluation_metrics(framed)
+    return m.select(
+        F.round("accuracy", 9).alias("accuracy"),
+        F.round("precision", 9).alias("precision"),
+        F.round("recall", 9).alias("recall"),
+        F.round("f1", 9).alias("f1"),
+    )
+
+
+ORACLE_EVAL = f"""
+WITH framed AS (
+  SELECT list_distinct({_DUCK_TOKENS.format(col='text')}) AS y_pred,
+         ['the', 'data', 'query', 'spark'] AS y_true
+  FROM documents),
+scored AS (
+  SELECT
+    CAST(len(list_intersect(y_pred, y_true)) AS DOUBLE) AS i,
+    CAST(len(list_distinct(list_concat(y_pred, y_true))) AS DOUBLE) AS u,
+    CAST(len(y_pred) AS DOUBLE) AS y, CAST(len(y_true) AS DOUBLE) AS z
+  FROM framed)
+SELECT round(avg(i / u), 9) AS accuracy,
+       round(avg(i / y), 9) AS precision,
+       round(avg(i / z), 9) AS recall,
+       round(avg(2 * i / (z + y)), 9) AS f1
+FROM scored
+"""
