@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness.  Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ..., ...}
+
+Scaling evidence (BASELINE.json: efficiency >= 0.8 between N and 4N):
+``python bench.py --scaling`` runs the KG pipeline at local[8] and
+local[32] on identical input and reports throughput at both plus
+efficiency = (T_8 / T_32) / 4.  Results land in BENCH_SCALING.json and
+are summarized in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_label(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return -1.0
+
+
+def build(master: str, shuffle: int):
+    from face_hunter_spark.session import build_session
+
+    return build_session(
+        app_name="fhs-bench", master=master, shuffle_partitions=shuffle
+    )
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def kg_pipeline_df(spark, sf_dir):
+    import __spark_entry__ as em
+
+    return em._kg_pipeline(spark, sf_dir)
+
+
+def n_docs(spark, sf_dir) -> int:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def headline_queries(spark, sf_dir):
+    """name -> zero-arg callable returning a row count (forces full
+    execution)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as em
+    from face_hunter_spark.operators import dedup, similarity
+
+    DQ = em.DQ
+
+    def knn_gemm():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+        corpus_pdf = emb.select(F.col("vec_id").alias("c_id"), "embedding").toPandas()
+        return _count(similarity.cosine_topk_fast(qs, corpus_pdf, k=10))
+
+    return {
+        "kg_link_pipeline": lambda: _count(kg_pipeline_df(spark, sf_dir)),
+        "pricing_summary": lambda: _count(DQ.q_pricing_summary(spark, sf_dir)),
+        "star_join_revenue": lambda: _count(DQ.q_star_join_revenue(spark, sf_dir)),
+        "sessionize_events": lambda: _count(DQ.q_sessionize_events(spark, sf_dir)),
+        "top3_orders_per_segment": lambda: _count(
+            DQ.q_top3_orders_per_segment(spark, sf_dir)
+        ),
+        "minhash_lsh_pairs": lambda: _count(
+            dedup.minhash_lsh_pairs(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.9
+            )
+        ),
+        "simhash_fingerprints": lambda: _count(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                dedup.simhash32(F.col("text")).alias("h")
+            )
+        ),
+        "knn_topk_gemm": knn_gemm,
+        "scene_extraction": lambda: _count(
+            em._q_scene_extraction(spark, sf_dir)
+        ),
+    }
+
+
+def run_suite() -> dict:
+    spark = build(f"local[{CPUS}]", shuffle=max(int(CPUS) * 2, 8))
+    timings: dict[str, float] = {}
+    nd = n_docs(spark, SF_DIR)
+    kg_sec = None
+    for name, fn in headline_queries(spark, SF_DIR).items():
+        t0 = time.monotonic()
+        fn()
+        dt = round(time.monotonic() - t0, 3)
+        timings[name] = dt
+        if name == "kg_link_pipeline":
+            kg_sec = dt
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline suite wall time (KG link pipeline + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(SF_DIR),
+        "n_docs": nd,
+        "docs_per_sec": round(nd / kg_sec, 2) if kg_sec else None,
+        "cpus": int(CPUS),
+    }
+
+
+def run_scaling(masters=(8, 32)) -> dict:
+    out = {"sf": _sf_label(SF_DIR), "runs": {}}
+    for cores in masters:
+        spark = build(f"local[{cores}]", shuffle=max(cores * 2, 8))
+        nd = n_docs(spark, SF_DIR)
+        # warm the JVM/python workers once (session startup noise), then time
+        t0 = time.monotonic()
+        kg_pipeline_df(spark, SF_DIR).count()
+        dt = time.monotonic() - t0
+        spark.stop()
+        out["runs"][str(cores)] = {
+            "cores": cores,
+            "sec": round(dt, 3),
+            "docs_per_sec": round(nd / dt, 2),
+            "n_docs": nd,
+        }
+    lo, hi = str(masters[0]), str(masters[1])
+    speedup = out["runs"][lo]["sec"] / out["runs"][hi]["sec"]
+    out["speedup"] = round(speedup, 3)
+    out["scaling_efficiency"] = round(
+        speedup / (masters[1] / masters[0]), 3
+    )
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        res = run_scaling()
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_SCALING.json"), "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps(res))
+    else:
+        print(json.dumps(run_suite()))

@@ -24,6 +24,7 @@ batch boundaries, and execution order.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -41,12 +42,14 @@ def _rng(s: str) -> np.random.Generator:
     return np.random.default_rng(_h(s))
 
 
+@lru_cache(maxsize=64)
 def entity_names(n_entities: int) -> list[str]:
     """Synthetic celebrity labels ('Entity 000'...), mirroring the
     reference gallery's 54 distinct entities (labels_cele.pickle)."""
     return [f"Entity {i:03d}" for i in range(n_entities)]
 
 
+@lru_cache(maxsize=4096)
 def base_vector(label: str) -> np.ndarray:
     """Per-entity prototype embedding.  Random 512-d gaussians are
     near-orthogonal, so distinct entities are trivially separable at
@@ -55,6 +58,7 @@ def base_vector(label: str) -> np.ndarray:
     return (v / np.linalg.norm(v) * 4.6).astype(np.float32)  # ref norms ~4.6
 
 
+@lru_cache(maxsize=65536)
 def run_length(doc_id: str) -> int:
     return 3 + _h("runlen/" + doc_id) % 5  # 3..7 frames per scene run
 

@@ -30,6 +30,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from .text import doc_fingerprint, shingles, tokens
+from .util import ensure_parallelism
 
 
 # ---------------------------------------------------------------- exact
@@ -63,6 +64,7 @@ def dedup_exact(
 # ------------------------------------------------------- n-gram jaccard
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    df = ensure_parallelism(df)  # md5 shingle hashing is CPU-bound
     return df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), n).alias("sh"),
@@ -103,14 +105,15 @@ def minhash_signature(sh_col, num_hashes: int) -> Column:
     """Array of num_hashes minhash values.  Hash_i(s) = md5(i ':' s) as
     a hex STRING; the lexicographic min over shingles is a valid
     min-hash (md5 is uniform on hex strings) and is engine-portable."""
+    def hasher(i: int):
+        # closure over i — a default-arg lambda would be introspected
+        # as a 2-arg (elem, index) HOF lambda and receive the index
+        # column as the second parameter
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    sh_col,
-                    lambda s, _i=i: F.md5(F.concat(F.lit(f"{_i}:"), s)),
-                )
-            )
+            F.array_min(F.transform(sh_col, hasher(i)))
             for i in range(num_hashes)
         ]
     )
@@ -205,7 +208,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: block on 4 x 8-bit bands (pigeonhole:
     hamming <= 3 over 32 bits guarantees >= 1 identical band), verify
     with bit_count(a XOR b) <= max_hamming."""
-    sh = df.select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("simhash")
     )
     banded = sh.select(

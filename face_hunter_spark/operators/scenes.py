@@ -150,6 +150,51 @@ def extract_scenes(
     return frame_predictions.groupBy("doc_id").applyInPandas(fn, schema=SCENES)
 
 
+def extract_scenes_from_faces(
+    linked_faces: DataFrame, frame_threshold: int = 3
+) -> DataFrame:
+    """Fused frame-assembly + scene extraction: one shuffle on doc_id
+    instead of two (groupBy frame THEN groupBy doc).  Input: linked
+    face rows (doc_id, frame_no, ts_ms, face_idx, label) with NULL
+    face_idx marking empty frames.  At 10^12 docs this halves the
+    shuffle bytes of the post-linking path; same output as
+    assemble_frame_predictions |> extract_scenes (tested equal)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = pdf["doc_id"].iloc[0]
+        frames: dict[tuple, list] = {}
+        for frame_no, ts, fidx, label in zip(
+            pdf["frame_no"], pdf["ts_ms"], pdf["face_idx"], pdf["labels_in"]
+        ):
+            key = (ts, frame_no)
+            frames.setdefault(key, [])
+            if not pd.isna(fidx):
+                frames[key].append((int(fidx), label))
+        keys = sorted(frames)
+        labels_seq = [
+            [lab for _, lab in sorted(frames[k])] for k in keys
+        ]
+        ts_seq = [k[0] for k in keys]
+        found = extract_scenes_kernel(labels_seq, ts_seq, frame_threshold)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([doc_id] * len(found), dtype=object),
+                "scene_idx": np.arange(len(found), dtype=np.int32),
+                "entities": pd.Series([n for n, _, _ in found], dtype=object),
+                "start_ms": np.array([s for _, s, _ in found], dtype=np.float64),
+                "end_ms": np.array([e for _, _, e in found], dtype=np.float64),
+            }
+        )
+
+    import pyspark.sql.functions as F2
+
+    slim = linked_faces.select(
+        "doc_id", "frame_no", "ts_ms", "face_idx",
+        F2.col("label").alias("labels_in"),
+    )
+    return slim.groupBy("doc_id").applyInPandas(fn, schema=SCENES)
+
+
 def scenes_gaps_and_islands(frame_predictions: DataFrame) -> DataFrame:
     """Spark-native run-length variant: island = maximal run of frames
     with identical sorted entity sets (after 'unknown' removal; empty

@@ -109,57 +109,58 @@ def resolve_entity_uris(entity_catalog: DataFrame) -> DataFrame:
 
 
 def scene_triples(scenes: DataFrame, entity_catalog: DataFrame) -> DataFrame:
-    """insert_scene (graph.py:84-117) as one declarative plan."""
+    """insert_scene (graph.py:84-117) as ONE single-pass plan.
+
+    The naive shape — a base-triples branch UNION a depicts branch —
+    references ``scenes`` twice, and since scenes sit at the end of
+    the expensive vision->linking chain, Spark would execute that
+    chain twice per action.  Instead: posexplode_outer the entity
+    list (pos 0 / null row carries the per-scene base triples), one
+    broadcast join resolves URIs, one final explode emits everything.
+    """
     s = scene_uri(F.col("doc_id"), F.col("start_ms"), F.col("end_ms"))
     v = F.concat(F.lit(HOME_URI), F.col("doc_id"))
-    base = scenes.select(
-        "doc_id",
-        "entities",
-        F.explode(
-            F.array(
-                _t(s, NS["rdf_type"], F.lit(NS["video_scene"])),
-                _t(s, NS["video_scene_from"], v),
-                _t(s, NS["video_temporal_segment_of"], v),
-                _t(s, NS["temporal_has_start"], td_str(F.col("start_ms")),
-                   literal=True, datatype=NS["xsd_datetime"]),
-                _t(s, NS["temporal_duration"],
-                   td_str(F.col("end_ms") - F.col("start_ms")),
-                   literal=True, datatype=NS["xsd_duration"]),
-                _t(s, NS["temporal_has_finish"], td_str(F.col("end_ms")),
-                   literal=True, datatype=NS["xsd_datetime"]),
-                # north_star alias vocabulary (additive)
-                _t(v, NS["hunter_has_scene"], s),
-            )
-        ).alias("t"),
-    ).select("doc_id", "t.*")
 
-    uris = resolve_entity_uris(entity_catalog)
-    depicted = (
-        scenes.select(
-            "doc_id",
-            scene_uri(F.col("doc_id"), F.col("start_ms"), F.col("end_ms")).alias(
-                "subj"
-            ),
-            F.explode("entities").alias("name"),
-        )
-        .join(F.broadcast(uris), "name", "inner")  # unresolvable -> dropped
-        .select(
-            "doc_id",
-            "subj",
-            F.col("entity_uri").alias("obj"),
-        )
+    exploded = scenes.select(
+        "doc_id",
+        s.alias("s_uri"),
+        v.alias("v_uri"),
+        td_str(F.col("start_ms")).alias("start_str"),
+        td_str(F.col("end_ms") - F.col("start_ms")).alias("dur_str"),
+        td_str(F.col("end_ms")).alias("finish_str"),
+        F.posexplode_outer("entities").alias("pos", "name"),
     )
-    depicts = depicted.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                _t(F.col("subj"), NS["foaf_depicts"], F.col("obj")),
-                _t(F.col("subj"), NS["sdo_depicts"], F.col("obj")),
-            )
-        ).alias("t"),
-    ).select("doc_id", "t.*")
+    uris = resolve_entity_uris(entity_catalog)
+    joined = exploded.join(F.broadcast(uris), "name", "left")
 
-    return base.unionByName(depicts)
+    su, vu = F.col("s_uri"), F.col("v_uri")
+    base_arr = F.array(
+        _t(su, NS["rdf_type"], F.lit(NS["video_scene"])),
+        _t(su, NS["video_scene_from"], vu),
+        _t(su, NS["video_temporal_segment_of"], vu),
+        _t(su, NS["temporal_has_start"], F.col("start_str"),
+           literal=True, datatype=NS["xsd_datetime"]),
+        _t(su, NS["temporal_duration"], F.col("dur_str"),
+           literal=True, datatype=NS["xsd_duration"]),
+        _t(su, NS["temporal_has_finish"], F.col("finish_str"),
+           literal=True, datatype=NS["xsd_datetime"]),
+        # north_star alias vocabulary (additive)
+        _t(vu, NS["hunter_has_scene"], su),
+    )
+    depicts_arr = F.array(
+        _t(su, NS["foaf_depicts"], F.col("entity_uri")),
+        _t(su, NS["sdo_depicts"], F.col("entity_uri")),
+    )
+    triple_arr = F.concat(
+        F.when(F.col("pos").isNull() | (F.col("pos") == 0), base_arr)
+        .otherwise(F.slice(base_arr, 1, 0)),
+        # unresolvable names (incl. empty-frame sentinels) emit nothing
+        F.when(F.col("entity_uri").isNotNull(), depicts_arr)
+        .otherwise(F.slice(depicts_arr, 1, 0)),
+    )
+    return joined.select(
+        "doc_id", F.explode(triple_arr).alias("t")
+    ).select("doc_id", "t.*")
 
 
 def with_partitioning(triples: DataFrame, run_id: str) -> DataFrame:

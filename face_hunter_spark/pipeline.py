@@ -46,9 +46,14 @@ def link_documents(
     gallery_df: DataFrame | None = None,
 ) -> DataFrame:
     """documents -> un-partitioned triples DataFrame (pure transform)."""
-    media = spans.media_frames(documents, sample_every=sample_every)
     from .operators import vision
+    from .operators.util import ensure_parallelism
 
+    # fan the frame rows out BEFORE the Python stage: a narrow parquet
+    # scan otherwise pins the decode/embed UDF to 1-2 tasks
+    media = ensure_parallelism(
+        spans.media_frames(documents, sample_every=sample_every), by="doc_id"
+    )
     faces = vision.detect_embed_faces(media, n_entities=n_entities)
     if strategy == "bruteforce":
         linked = linking.link_bruteforce(faces, gallery_pdf, distance_threshold)
@@ -57,8 +62,10 @@ def link_documents(
         linked = linking.link_lsh(faces, gallery_df, distance_threshold)
     else:
         raise ValueError(strategy)
-    preds = linking.assemble_frame_predictions(linked)
-    scn = scenes.extract_scenes(preds, frame_threshold=frame_threshold)
+    # fused path: frame assembly + scene smoothing in ONE doc_id
+    # shuffle (equivalent to assemble_frame_predictions |>
+    # extract_scenes — parity-tested)
+    scn = scenes.extract_scenes_from_faces(linked, frame_threshold=frame_threshold)
     return T.video_triples(documents).unionByName(
         T.scene_triples(scn, entity_catalog)
     )

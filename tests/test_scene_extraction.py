@@ -102,3 +102,32 @@ def test_gaps_and_islands_variant(spark):
     )
     # strict-equality runs: [Ali,Bo] x5 then [Bo] x4
     assert got == [(["Ali", "Bo"], 1.0, 5.0, 5), (["Bo"], 6.0, 9.0, 4)]
+
+
+@pytest.mark.spark
+def test_fused_faces_path_equals_two_stage(spark):
+    """extract_scenes_from_faces == assemble_frame_predictions |>
+    extract_scenes on a corpus with empty frames and multi-face rows."""
+    import pyspark.sql.functions as F
+
+    from face_hunter_spark import synth
+    from face_hunter_spark.operators import linking, spans, vision
+    from face_hunter_spark.operators.scenes import extract_scenes_from_faces
+
+    docs = spark.createDataFrame(
+        synth.make_documents_pdf(25, 8),
+        schema=__import__("face_hunter_spark.schemas", fromlist=["DOCUMENTS"]).DOCUMENTS,
+    )
+    gal = synth.make_gallery_pdf(n_entities=8, thumbs_per_entity=5, distractors=2)
+    media = spans.media_frames(docs)
+    faces = vision.detect_embed_faces(media, n_entities=8)
+    linked = linking.link_bruteforce(faces, gal).cache()
+    two_stage = extract_scenes(
+        linking.assemble_frame_predictions(linked), 3
+    )
+    fused = extract_scenes_from_faces(linked, 3)
+    key = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.scene_idx, tuple(r.entities), r.start_ms, r.end_ms)
+        for r in df.collect()
+    )
+    assert key(two_stage) == key(fused)
