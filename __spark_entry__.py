@@ -28,20 +28,38 @@ from face_hunter_spark import driver_queries as DQ  # noqa: E402
 # flagship: interleaved docs from the driver corpus -> KG triples
 # --------------------------------------------------------------------------
 
-def _interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _interleaved_documents(
+    spark: SparkSession, sf_dir: str, replicas: int = 1
+) -> DataFrame:
     """Build the BASELINE.json input shape (doc_id, spans) from the
     driver's documents table: each doc contributes one text span (its
-    real text) and a deterministic run of media spans."""
+    real text) and a deterministic run of media spans.  ``replicas``
+    multiplies the corpus via ONE broadcast crossJoin with a range
+    (distinct doc ids per replica) — a k-way union would grow the plan
+    and the scheduled task count k-fold."""
     # rename first: aliasing the formatted id back to "doc_id" in the
     # same select would make later expressions lateral-alias-resolve to
     # the NEW string column
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumnRenamed(
-        "doc_id", "orig_id"
-    )
+    from face_hunter_spark.operators.util import ensure_parallelism
+
+    # fan out the narrow scan BEFORE the per-row span construction —
+    # a one-file parquet read otherwise runs the transform (and every
+    # downstream stage until the first exchange) on one core
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), factor=2
+    ).withColumnRenamed("doc_id", "orig_id")
+    if replicas > 1:
+        docs = docs.crossJoin(
+            F.broadcast(spark.range(replicas).select(F.col("id").alias("rep")))
+        )
+        doc_str = F.format_string(
+            "r%d_vid_%05d", F.col("rep"), F.col("orig_id").cast("int")
+        )
+    else:
+        doc_str = F.format_string("vid_%05d", F.col("orig_id").cast("int"))
     n_frames = (F.pmod(F.xxhash64(F.col("orig_id").cast("string")), F.lit(12)) + 4
                 ).cast("int")
     frame_idx = F.sequence(F.lit(0), n_frames - 1)
-    doc_str = F.format_string("vid_%05d", F.col("orig_id").cast("int"))
     return docs.select(
         doc_str.alias("doc_id"),
         F.concat(

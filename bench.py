@@ -122,20 +122,52 @@ def run_suite() -> dict:
     }
 
 
-def run_scaling(masters=(8, 32)) -> dict:
-    out = {"sf": _sf_label(SF_DIR), "runs": {}}
+def _replicated_kg_df(spark, sf_dir: str, replicas: int):
+    """KG pipeline over a corpus replicated `replicas`x with distinct
+    doc ids — large enough to amortize session/stage fixed costs so the
+    scaling measurement reflects the pipeline, not JVM startup.  Built
+    purely from the driver corpus (no external data)."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as em
+    from face_hunter_spark import synth
+    from face_hunter_spark.pipeline import link_documents
+    from face_hunter_spark.schemas import ENTITY_CATALOG
+
+    docs = em._interleaved_documents(spark, sf_dir, replicas=replicas)
+    gallery_pdf = synth.make_gallery_pdf(
+        n_entities=em.N_ENTITIES, thumbs_per_entity=8, distractors=3
+    )
+    catalog = spark.createDataFrame(
+        synth.make_entity_catalog_pdf(n_entities=em.N_ENTITIES, distractors=3),
+        ENTITY_CATALOG,
+    )
+    return link_documents(docs, gallery_pdf, catalog, n_entities=em.N_ENTITIES)
+
+
+def run_scaling(masters=(2, 8), replicas: int = 64, repeats: int = 3) -> dict:
+    """Same job, identical input, two parallelism levels.  The host is
+    shared/contended, so take the MIN over `repeats` runs (least-
+    interference estimate) at each level."""
+    out = {"sf": _sf_label(SF_DIR), "replicas": replicas,
+           "repeats": repeats, "runs": {}}
     for cores in masters:
         spark = build(f"local[{cores}]", shuffle=max(cores * 2, 8))
-        nd = n_docs(spark, SF_DIR)
-        # warm the JVM/python workers once (session startup noise), then time
-        t0 = time.monotonic()
-        kg_pipeline_df(spark, SF_DIR).count()
-        dt = time.monotonic() - t0
+        nd = n_docs(spark, SF_DIR) * replicas
+        best = None
+        times = []
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            _replicated_kg_df(spark, SF_DIR, replicas).count()
+            dt = time.monotonic() - t0
+            times.append(round(dt, 3))
+            best = dt if best is None or dt < best else best
         spark.stop()
         out["runs"][str(cores)] = {
             "cores": cores,
-            "sec": round(dt, 3),
-            "docs_per_sec": round(nd / dt, 2),
+            "sec": round(best, 3),
+            "all_runs_sec": times,
+            "docs_per_sec": round(nd / best, 2),
             "n_docs": nd,
         }
     lo, hi = str(masters[0]), str(masters[1])

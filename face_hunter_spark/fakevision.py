@@ -80,6 +80,44 @@ def frame_faces(doc_id: str, frame_no: int, n_entities: int) -> list[tuple[str, 
     return faces
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SplitMix64 mix function (public-domain constant set)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def noise_block(seeds: np.ndarray, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic standard-normal noise for a BATCH of seeds:
+    (n,) uint64 -> (n, dim) float32.  Counter-based (SplitMix64 +
+    Box-Muller) so it is fully numpy-vectorized and independent of
+    batching/partition order — per-face Generator construction was the
+    vision stage's hot spot."""
+    seeds = seeds.astype(np.uint64).reshape(-1, 1)
+    half = (dim + 1) // 2
+    ctr = np.arange(half, dtype=np.uint64).reshape(1, -1)
+    a = _splitmix64(seeds + ctr * np.uint64(2))
+    b = _splitmix64(seeds + ctr * np.uint64(2) + np.uint64(1))
+    # uniform in (0,1]; avoid log(0)
+    u1 = (a >> np.uint64(11)).astype(np.float64) / float(1 << 53) + 1e-300
+    u2 = (b >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    r = np.sqrt(-2.0 * np.log(u1))
+    z0 = r * np.cos(2.0 * np.pi * u2)
+    z1 = r * np.sin(2.0 * np.pi * u2)
+    out = np.empty((seeds.shape[0], half * 2), dtype=np.float32)
+    out[:, 0::2] = z0
+    out[:, 1::2] = z1
+    return out[:, :dim]
+
+
+def face_seed(doc_id: str, frame_no: int, face_idx: int) -> int:
+    return _h(f"emb/{doc_id}/{frame_no}/{face_idx}")
+
+
 def face_embedding(
     doc_id: str, frame_no: int, face_idx: int, kind: str, entity_id: int,
     n_entities: int,
@@ -87,14 +125,42 @@ def face_embedding(
     """Embedding the 'encoder' would produce for this face.  Entity
     faces jitter around the entity prototype (new noise every frame so
     the kNN join does real per-mention work); unknown faces are fresh
-    random vectors (cosine vs any prototype ≈ 0 → distance ≈ 1 > τ)."""
-    rng = _rng(f"emb/{doc_id}/{frame_no}/{face_idx}")
+    random vectors (cosine vs any prototype ≈ 0 → distance ≈ 1 > τ).
+    Single-face wrapper over the vectorized batch path (the pipeline
+    uses embed_faces_batch; the sequential oracle uses this)."""
+    seed = np.array([face_seed(doc_id, frame_no, face_idx)], dtype=np.uint64)
+    noise = noise_block(seed)[0]
     if kind == "unknown":
-        v = rng.standard_normal(EMBED_DIM)
-        return (v / np.linalg.norm(v) * 4.6).astype(np.float32)
+        return (noise / np.linalg.norm(noise) * 4.6).astype(np.float32)
     base = base_vector(entity_names(n_entities)[entity_id])
-    noise = rng.standard_normal(EMBED_DIM).astype(np.float32) * JITTER_SIGMA
-    return base + noise
+    return base + noise * JITTER_SIGMA
+
+
+@lru_cache(maxsize=16)
+def prototype_matrix(n_entities: int) -> np.ndarray:
+    return np.stack([base_vector(n) for n in entity_names(n_entities)])
+
+
+def embed_faces_batch(
+    seeds: np.ndarray, entity_ids: np.ndarray, n_entities: int
+) -> np.ndarray:
+    """(n,) seeds + (n,) entity ids (-1 = unknown) -> (n, EMBED_DIM)
+    float32, bit-identical to per-face face_embedding calls."""
+    noise = noise_block(seeds)
+    out = noise * JITTER_SIGMA
+    unknown = entity_ids < 0
+    if unknown.any():
+        nv = noise[unknown]
+        out[unknown] = (
+            nv / np.linalg.norm(nv, axis=1, keepdims=True) * 4.6
+        ).astype(np.float32)
+    known = ~unknown
+    if known.any():
+        out[known] = (
+            prototype_matrix(n_entities)[entity_ids[known]]
+            + noise[known] * JITTER_SIGMA
+        )
+    return out.astype(np.float32)
 
 
 def gallery_embedding(label: str, thumb_idx: int) -> np.ndarray:

@@ -160,39 +160,56 @@ def extract_scenes_from_faces(
     shuffle bytes of the post-linking path; same output as
     assemble_frame_predictions |> extract_scenes (tested equal)."""
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_id = pdf["doc_id"].iloc[0]
-        frames: dict[tuple, list] = {}
-        for frame_no, ts, fidx, label in zip(
-            pdf["frame_no"], pdf["ts_ms"], pdf["face_idx"], pdf["labels_in"]
-        ):
-            key = (ts, frame_no)
-            frames.setdefault(key, [])
-            if not pd.isna(fidx):
-                frames[key].append((int(fidx), label))
-        keys = sorted(frames)
-        labels_seq = [
-            [lab for _, lab in sorted(frames[k])] for k in keys
-        ]
-        ts_seq = [k[0] for k in keys]
-        found = extract_scenes_kernel(labels_seq, ts_seq, frame_threshold)
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([doc_id] * len(found), dtype=object),
-                "scene_idx": np.arange(len(found), dtype=np.int32),
-                "entities": pd.Series([n for n, _, _ in found], dtype=object),
-                "start_ms": np.array([s for _, s, _ in found], dtype=np.float64),
-                "end_ms": np.array([e for _, _, e in found], dtype=np.float64),
-            }
-        )
+    from typing import Iterator
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_ents, out_s, out_e = [], [], [], [], []
+            for doc_id, rows in zip(pdf["doc_id"], pdf["rows"]):
+                frames: dict[tuple, list] = {}
+                for r in rows:  # struct(ts_ms, frame_no, face_idx, label)
+                    key = (r["ts_ms"], r["frame_no"])
+                    bucket = frames.setdefault(key, [])
+                    if r["face_idx"] is not None:
+                        bucket.append((r["face_idx"], r["label"]))
+                keys = sorted(frames)
+                labels_seq = [
+                    [lab for _, lab in sorted(frames[k])] for k in keys
+                ]
+                ts_seq = [k[0] for k in keys]
+                found = extract_scenes_kernel(
+                    labels_seq, ts_seq, frame_threshold
+                )
+                for i, (names, s, e) in enumerate(found):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_ents.append(names)
+                    out_s.append(s)
+                    out_e.append(e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype=object),
+                    "scene_idx": pd.array(out_idx, dtype="int32"),
+                    "entities": pd.Series(out_ents, dtype=object),
+                    "start_ms": pd.array(out_s, dtype="float64"),
+                    "end_ms": pd.array(out_e, dtype="float64"),
+                }
+            )
 
     import pyspark.sql.functions as F2
 
-    slim = linked_faces.select(
-        "doc_id", "frame_no", "ts_ms", "face_idx",
-        F2.col("label").alias("labels_in"),
+    # one JVM-side shuffle packs each doc into a single row; the Python
+    # stage then streams Arrow batches of docs — no per-group pandas
+    # machinery (applyInPandas pays ~ms per group; docs are tiny)
+    packed = (
+        linked_faces.groupBy("doc_id")
+        .agg(
+            F2.collect_list(
+                F2.struct("ts_ms", "frame_no", "face_idx", "label")
+            ).alias("rows")
+        )
     )
-    return slim.groupBy("doc_id").applyInPandas(fn, schema=SCENES)
+    return packed.mapInPandas(fn, schema=SCENES)
 
 
 def scenes_gaps_and_islands(frame_predictions: DataFrame) -> DataFrame:

@@ -16,6 +16,10 @@ def ensure_parallelism(df: DataFrame, factor: int = 2,
     add a shuffle for nothing)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    # NB: deliberately no df.rdd.getNumPartitions() guard — converting
+    # the plan to an RDD just to count partitions costs seconds of
+    # driver time per query (it builds the whole Python-serializer
+    # pipeline).  Call sites are narrow scans where fanning out is
+    # always right; an explicit-count repartition is also exempt from
+    # AQE coalescing, so the target sticks.
     return df.repartition(target, by) if by else df.repartition(target)

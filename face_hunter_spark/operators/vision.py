@@ -97,3 +97,83 @@ def detect_embed_faces(
     return media.select("doc_id", "frame_no", "ts_ms").mapInPandas(
         fn, schema=FACES
     )
+
+
+def detect_embed_link(
+    media: DataFrame,
+    gallery_arrays,
+    distance_threshold: float = 0.6,
+    n_entities: int = 54,
+    encoder: str = "hash",
+) -> DataFrame:
+    """FUSED vision + brute-force linking in one Python stage: decode,
+    embed (vectorized batch), and match against the broadcast gallery
+    with a single BLAS matmul — embeddings never cross the Arrow
+    boundary (SURVEY.md §4.5: collapsing adjacent mapInPandas stages
+    beats a custom Catalyst rule).  Output rows carry only the label.
+
+    ``gallery_arrays`` is an sc.broadcast of linking._gallery_arrays
+    output.  Semantically identical to detect_embed_faces |>
+    link_bruteforce (parity-tested); use the two-stage ops when the
+    embeddings themselves are wanted downstream.
+    """
+    if encoder != "hash":
+        _get_encoder(encoder)  # raises the explicit stub error
+
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("ts_ms", DoubleType(), False),
+        StructField("face_idx", IntegerType(), True),
+        StructField("label", StringType(), True),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        labels, mat, norms = gallery_arrays.value
+        matn = (mat / norms[:, None]).T  # (512, G), pre-normalized
+        for pdf in batches:
+            docs, frames, tss, idxs, seeds, ents = [], [], [], [], [], []
+            for doc_id, frame_no, ts_ms in zip(
+                pdf["doc_id"], pdf["frame_no"], pdf["ts_ms"]
+            ):
+                faces = fv.frame_faces(doc_id, int(frame_no), n_entities)
+                if not faces:
+                    docs.append(doc_id); frames.append(frame_no)
+                    tss.append(ts_ms); idxs.append(None)
+                    seeds.append(0); ents.append(-2)  # -2 = no face
+                    continue
+                for j, (kind, ent) in enumerate(faces):
+                    docs.append(doc_id); frames.append(frame_no)
+                    tss.append(ts_ms); idxs.append(j)
+                    seeds.append(fv.face_seed(doc_id, int(frame_no), j))
+                    ents.append(-1 if kind == "unknown" else ent)
+            ents_arr = np.asarray(ents, dtype=np.int64)
+            has_face = ents_arr >= -1
+            out_labels = np.full(len(docs), None, dtype=object)
+            if has_face.any():
+                emb = fv.embed_faces_batch(
+                    np.asarray(seeds, dtype=np.uint64)[has_face],
+                    ents_arr[has_face], n_entities,
+                )
+                qn = np.linalg.norm(emb, axis=1, keepdims=True)
+                d = 1.0 - (emb / qn) @ matn  # (B, G) cosine distances
+                best = np.argmin(d, axis=1)
+                bestd = d[np.arange(len(best)), best]
+                out_labels[has_face] = np.where(
+                    bestd < distance_threshold, labels[best], "unknown"
+                )
+            yield pd.DataFrame({
+                "doc_id": pd.Series(docs, dtype=object),
+                "frame_no": pd.array(frames, dtype="int32"),
+                "ts_ms": pd.array(tss, dtype="float64"),
+                "face_idx": pd.array(idxs, dtype="Int32"),
+                "label": pd.Series(out_labels, dtype=object),
+            })
+
+    return media.select("doc_id", "frame_no", "ts_ms").mapInPandas(
+        fn, schema=out_schema
+    )

@@ -54,11 +54,19 @@ def link_documents(
     media = ensure_parallelism(
         spans.media_frames(documents, sample_every=sample_every), by="doc_id"
     )
-    faces = vision.detect_embed_faces(media, n_entities=n_entities)
     if strategy == "bruteforce":
-        linked = linking.link_bruteforce(faces, gallery_pdf, distance_threshold)
+        # fused decode+embed+link stage: embeddings never cross Arrow
+        from pyspark.sql import SparkSession
+
+        bc = SparkSession.getActiveSession().sparkContext.broadcast(
+            linking._gallery_arrays(gallery_pdf)
+        )
+        linked = vision.detect_embed_link(
+            media, bc, distance_threshold, n_entities=n_entities
+        )
     elif strategy == "lsh":
         assert gallery_df is not None
+        faces = vision.detect_embed_faces(media, n_entities=n_entities)
         linked = linking.link_lsh(faces, gallery_df, distance_threshold)
     else:
         raise ValueError(strategy)
