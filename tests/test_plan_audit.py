@@ -1,0 +1,105 @@
+"""Physical-plan audits: the properties that matter at 100 TB are
+visible in the plan, so assert them — filters reach the parquet scan,
+column pruning holds, dimension joins broadcast, the relational glue
+stays in whole-stage codegen, and the hot pipeline never collapses to
+single-partition exchanges."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def plan_of(df, execute: bool = False) -> str:
+    if execute:
+        # AQE prints WholeStageCodegen spans only in the final plan
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .where(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .where(F.col("l_quantity") > 10)
+        .select("l_returnflag", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .count()
+    )
+    plan = plan_of(df)
+    # ReadSchema must contain ONLY the grouped column
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    import face_hunter_spark.driver_queries as DQ
+
+    plan = plan_of(DQ.q_star_join_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_relational_glue_in_codegen(spark):
+    import face_hunter_spark.driver_queries as DQ
+
+    plan = plan_of(DQ.q_pricing_summary(spark, SF_DIR), execute=True)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the compact form
+    assert "*(1)" in plan and "*(2)" in plan
+    assert "BatchScan" in plan or "FileScan" in plan
+
+
+def test_pipeline_plan_shape(spark):
+    """The flagship pipeline: exactly one grouped-Python stage, no
+    duplicated scene subtree, a broadcast join for the entity catalog,
+    and no non-broadcast exchange with partitioning=1."""
+    import __spark_entry__ as em
+
+    plan = plan_of(em._kg_pipeline(spark, "/root/testdata/sf0.001"))
+    assert plan.count("FlatMapGroupsInPandas") <= 1
+    assert plan.count("MapInPandas") <= 2
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            pytest.fail(f"single-partition exchange in hot path: {line}")
+
+
+def test_triples_write_partitioning(spark, tmp_path):
+    """Committed triple snapshots are physically partitioned by
+    doc_bucket (partition pruning on the read path)."""
+    import os
+
+    from face_hunter_spark import synth
+    from face_hunter_spark.catalog import ParquetCatalog
+    from face_hunter_spark.pipeline import run_link_job
+    from face_hunter_spark.schemas import ENTITY_CATALOG
+
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    run_link_job(
+        spark, cat,
+        synth.documents_df(spark, 20, 8),
+        synth.make_gallery_pdf(n_entities=8, thumbs_per_entity=4, distractors=1),
+        spark.createDataFrame(
+            synth.make_entity_catalog_pdf(n_entities=8, distractors=1),
+            ENTITY_CATALOG,
+        ),
+        n_entities=8,
+    )
+    snap_dirs = os.listdir(str(tmp_path / "kg/triples/data"))
+    assert len(snap_dirs) == 1
+    inner = os.listdir(str(tmp_path / "kg/triples/data") + "/" + snap_dirs[0])
+    assert any(d.startswith("doc_bucket=") for d in inner)
+    # and partition pruning: a doc_bucket filter prunes the scan
+    df = cat.read(spark, "triples").where(F.col("doc_bucket") == 3)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "doc_bucket" in plan
