@@ -274,6 +274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": DQ.q_minhash_lsh_pairs,
         "simhash_fingerprints": DQ.q_simhash_fingerprints,
         "eval_metrics": DQ.q_eval_metrics,
+        "salted_event_rollup": DQ.q_salted_event_rollup,
+        "event_type_cooccurrence": DQ.q_event_type_cooccurrence,
+        "rolling_fingerprints": DQ.q_rolling_fingerprints,
+        "exact_dup_groups": DQ.q_exact_dup_groups,
         # similarity search
         "knn_top1": DQ.q_knn_top1,
         "knn_top3": DQ.q_knn_top3,
@@ -314,6 +318,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": DQ._oracle_minhash(),
         "simhash_fingerprints": DQ._oracle_simhash(),
         "eval_metrics": DQ.ORACLE_EVAL,
+        "salted_event_rollup": DQ.ORACLE_SALTED,
+        "event_type_cooccurrence": DQ.ORACLE_COOCCUR,
+        "rolling_fingerprints": DQ.ORACLE_ROLLING,
+        "exact_dup_groups": DQ.ORACLE_DUP_GROUPS,
         "knn_top1": DQ.ORACLE_KNN1,
         "knn_top3": DQ.ORACLE_KNN3,
         "embedding_near_dups": DQ.ORACLE_NEAR_DUP,

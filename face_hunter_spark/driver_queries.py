@@ -802,3 +802,125 @@ SELECT round(avg(i / u), 9) AS accuracy,
        round(avg(2 * i / (z + y)), 9) AS f1
 FROM scored
 """
+
+
+def q_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe two-stage aggregation (operators/skew.py) — result
+    must equal a plain GROUP BY (the oracle)."""
+    from .operators.skew import salted_agg
+    load_views(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "v_dec", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "event_id"),
+            "total": ("sum", "v_dec"),
+            "lo": ("min", "event_id"),
+            "hi": ("max", "event_id"),
+        },
+        salt_buckets=16,
+        salt_source="event_id",
+    )
+    return out.select(
+        "event_type", "n",
+        F.round(F.col("total").cast("double"), 6).alias("total"),
+        "lo", "hi",
+    ).orderBy("event_type")
+
+
+ORACLE_SALTED = """
+SELECT event_type, count(event_id) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total,
+       min(event_id) AS lo, max(event_id) AS hi
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence pairs (the get_scenes_with_entity co-entity
+    pattern, SURVEY.md §2.8): distinct event-type pairs per user,
+    counted across users."""
+    load_views(spark, sf_dir)
+    ut = spark.table("events").select("user_id", "event_type").distinct()
+    a = ut.withColumnRenamed("event_type", "type_a")
+    b = ut.withColumnRenamed("event_type", "type_b")
+    return (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_COOCCUR = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(*) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY type_a, type_b
+"""
+
+
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint (min md5 over char 8-gram
+    windows of the normalized token stream) for a doc slice."""
+    from .operators import text as T
+    load_views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id", T.rolling_fingerprint(F.col("text")).alias("rfp"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_ROLLING = f"""
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string({_DUCK_TOKENS.format(col='text')}, ' ') AS s
+  FROM documents WHERE doc_id < 40)
+SELECT doc_id,
+  list_min(list_transform(
+    range(1, greatest(len(s) - 8 + 1, 1) + 1),
+    i -> md5(substr(s, i, 8)))) AS rfp
+FROM norm ORDER BY doc_id
+"""
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup groups: normalized-content fingerprint -> group size
+    and kept representative (min doc_id)."""
+    from .operators import dedup
+    load_views(spark, sf_dir)
+    return (
+        dedup.exact_duplicate_groups(spark.table("documents"))
+        .select("fingerprint", "n_docs", "keep_id")
+        .unionByName(
+            # also expose the singleton profile so the query is
+            # non-empty even on a dup-free corpus
+            spark.table("documents").groupBy().agg(
+                F.lit("__total__").alias("fingerprint"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("keep_id"),
+            )
+        )
+        .orderBy("fingerprint")
+    )
+
+
+ORACLE_DUP_GROUPS = f"""
+WITH fp AS (
+  SELECT doc_id AS id,
+         md5(array_to_string({_DUCK_TOKENS.format(col='text')}, ' ')) AS f
+  FROM documents)
+SELECT f AS fingerprint, count(*) AS n_docs, min(id) AS keep_id
+FROM fp GROUP BY f HAVING count(*) > 1
+UNION ALL
+SELECT '__total__' AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents
+ORDER BY fingerprint
+"""

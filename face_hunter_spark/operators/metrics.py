@@ -27,11 +27,14 @@ def frame_metrics(df: DataFrame, pred_col: str = "y_pred",
     union = F.size(F.array_union(pred_col, true_col))
     y = F.size(F.col(pred_col))
     z = F.size(F.col(true_col))
+    # try_divide: an empty prediction/truth list yields NULL (skipped
+    # by avg) instead of an ANSI divide-by-zero error — the reference
+    # would emit numpy warnings/nans on the same inputs
     return (
-        df.withColumn("accuracy", inter / union)
-        .withColumn("precision", inter / y)
-        .withColumn("recall", inter / z)
-        .withColumn("f1", (2 * inter) / (z + y))
+        df.withColumn("accuracy", F.try_divide(inter, union))
+        .withColumn("precision", F.try_divide(inter, y))
+        .withColumn("recall", F.try_divide(inter, z))
+        .withColumn("f1", F.try_divide(2 * inter, z + y))
     )
 
 
