@@ -225,11 +225,48 @@ def _q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(
+                # null-safe: a doc missing on either side of the full
+                # join is a mismatch too, not a silently-skipped NULL
                 F.when(
-                    F.col("o.spans_hash") != F.col("r.spans_hash"), 1
-                ).otherwise(0)
+                    F.col("o.spans_hash").eqNullSafe(F.col("r.spans_hash")), 0
+                ).otherwise(1)
             ).alias("n_mismatches"),
         )
+    )
+
+
+# exact oracle for the invariant: the round trip is the identity, so
+# the full join pairs every original doc exactly once with zero
+# mismatches; doc count = documents-table rows (one interleaved doc
+# per source row at replicas=1).
+ORACLE_SPAN_ROUNDTRIP = """
+SELECT count(*) AS n_docs, 0 AS n_mismatches FROM documents
+"""
+
+
+def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read path (SURVEY.md §2.8, graph.py:153-192): run the pipeline,
+    register the scene_view, and search scenes depicting the busiest
+    entity (deterministic pick = lexicographically smallest among the
+    most-depicted).  Rows-only: the triples come from the Python-UDF
+    vision stage, not SQL-expressible in DuckDB."""
+    from face_hunter_spark import query as Q
+    from face_hunter_spark.schemas import NS
+
+    triples = _kg_pipeline(spark, sf_dir)
+    Q.register_views(spark, triples)
+    target = (
+        triples.where(F.col("pred") == NS["foaf_depicts"])
+        .groupBy("obj")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "obj")
+        .limit(1)
+        .collect()[0]["obj"]
+    )
+    return (
+        Q.get_scenes_with_entity(spark, target)
+        .select("title", "link", "co_entity", "start", "finish")
+        .orderBy("link", "start", "co_entity")
     )
 
 
@@ -282,6 +319,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_top1": DQ.q_knn_top1,
         "knn_top3": DQ.q_knn_top3,
         "embedding_near_dups": DQ.q_embedding_near_dups,
+        # §2 gap-closers (group-concat, max_by, balancing, union,
+        # video-level accuracy, islands scenes)
+        "scene_islands": DQ.q_scene_islands,
+        "group_concat_brands": DQ.q_group_concat_brands,
+        "argmax_event_per_user": DQ.q_argmax_event_per_user,
+        "balanced_event_sample": DQ.q_balanced_event_sample,
+        "union_name_catalog": DQ.q_union_name_catalog,
+        "video_level_accuracy": DQ.q_video_level_accuracy,
+        "kg_scene_search": _q_kg_scene_search,
         # graph / pipeline / UDF ops (rows-only where noted in oracle_sql)
         "connected_components": _q_connected_components,
         "scene_extraction": _q_scene_extraction,
@@ -326,7 +372,14 @@ def oracle_sql() -> dict[str, str]:
         "knn_top3": DQ.ORACLE_KNN3,
         "embedding_near_dups": DQ.ORACLE_NEAR_DUP,
         "connected_components": ORACLE_CC,
+        "scene_islands": DQ.ORACLE_ISLANDS,
+        "group_concat_brands": DQ.ORACLE_GROUP_CONCAT,
+        "argmax_event_per_user": DQ.ORACLE_ARGMAX,
+        "balanced_event_sample": DQ.ORACLE_BALANCED,
+        "union_name_catalog": DQ.ORACLE_UNION,
+        "video_level_accuracy": DQ.ORACLE_VIDEO_ACC,
+        "span_roundtrip": ORACLE_SPAN_ROUNDTRIP,
         # rows-only (approximate / sequential-UDF / synthetic-input):
         # scene_extraction, ann_lsh_topk, ivf_topk, multimodal_decode,
-        # span_roundtrip, kg_triples_by_pred
+        # kg_triples_by_pred, kg_scene_search
     }

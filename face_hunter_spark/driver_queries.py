@@ -924,3 +924,202 @@ SELECT '__total__' AS fingerprint, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents
 ORDER BY fingerprint
 """
+
+
+# --------------------------------------------------------------------------
+# §2 gap-closers (round 1, session 2): group-concat, max_by, class
+# balancing, union catalogs, video-level accuracy, islands scenes
+# --------------------------------------------------------------------------
+
+def q_scene_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native gaps-and-islands scene variant (SURVEY.md §2.5
+    option b) on the same events-derived frame predictions as the
+    quirk-faithful scene_extraction query — 100% built-in expressions,
+    exact SQL oracle (unlike the sequential applyInPandas port)."""
+    from .operators.scenes import scenes_gaps_and_islands
+
+    load_views(spark, sf_dir)
+    preds = spark.sql("""
+        SELECT cast(user_id AS string) AS doc_id,
+               cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS int) - 1 AS frame_no,
+               cast((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    - 1) * 1000.0 AS double) AS ts_ms,
+               CASE WHEN value IS NULL THEN array()
+                    ELSE array(event_type) END AS labels
+        FROM events
+    """)
+    return scenes_gaps_and_islands(preds).select(
+        "doc_id", "scene_idx",
+        F.concat_ws(",", "entities").alias("entities"),
+        "start_ms", "end_ms", "n_frames",
+    )
+
+
+ORACLE_ISLANDS = """
+WITH preds AS (
+  SELECT cast(user_id AS VARCHAR) AS doc_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) - 1 AS frame_no,
+         cast((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 1000.0 AS DOUBLE) AS ts_ms,
+         CASE WHEN value IS NULL THEN cast([] AS VARCHAR[]) ELSE [event_type] END AS ents
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN lag(ents) OVER w IS NULL OR lag(ents) OVER w <> ents
+                 THEN 1 ELSE 0 END AS chg
+  FROM preds WINDOW w AS (PARTITION BY doc_id ORDER BY ts_ms, frame_no)),
+islands AS (
+  SELECT *, sum(chg) OVER (PARTITION BY doc_id ORDER BY ts_ms, frame_no) AS island
+  FROM flagged)
+SELECT doc_id, cast(island AS INT) AS scene_idx,
+       array_to_string(ents, ',') AS entities,
+       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       count(*) AS n_frames
+FROM islands WHERE len(ents) > 0
+GROUP BY doc_id, island, ents
+"""
+
+
+def q_group_concat_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-concat (knowledge_graphs.py:135 ' / '.join of alternate
+    names per entity): sorted names per brand as one string."""
+    load_views(spark, sf_dir)
+    return (
+        spark.table("part")
+        .groupBy("p_brand")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("p_name")), " / "
+            ).alias("names"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+
+
+ORACLE_GROUP_CONCAT = """
+SELECT p_brand, string_agg(p_name, ' / ' ORDER BY p_name) AS names,
+       count(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
+def q_argmax_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / argmin-distance analogue (largest-face selection,
+    face_recognition.py:367-371): top event per user by value, ties
+    broken deterministically by event_id via an epsilon key (DuckDB
+    arg_max has no composite-key overload)."""
+    load_views(spark, sf_dir)
+    key = F.col("value") + F.col("event_id") * F.lit(1e-9)
+    return (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max_by("event_id", key).alias("top_event"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_ARGMAX = """
+SELECT user_id,
+       arg_max(event_id, value + event_id * 1e-9) AS top_event,
+       round(max(value), 6) AS max_value,
+       count(*) AS n_events
+FROM events WHERE value IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_balanced_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balancing downsample (distance_tuning.py:139-150):
+    equalize all event_type classes to the minority-class size,
+    deterministically (lowest event_ids kept)."""
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    min_n = ev.groupBy("event_type").count().agg(
+        F.min("count").alias("min_n")
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(min_n))
+        .where(F.col("rn") <= F.col("min_n"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("event_id").alias("id_checksum"),
+            F.max("event_id").alias("max_kept_id"),
+        )
+    )
+
+
+ORACLE_BALANCED = """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events),
+min_n AS (
+  SELECT min(n) AS min_n FROM (
+    SELECT count(*) AS n FROM events GROUP BY event_type))
+SELECT event_type, count(*) AS n_sampled, sum(event_id) AS id_checksum,
+       max(event_id) AS max_kept_id
+FROM ranked, min_n WHERE rn <= min_n GROUP BY event_type
+"""
+
+
+def q_union_name_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two entity catalogs (graph.py:64 pd.concat of
+    dbpedia+wikidata thumbnail CSVs): customer ∪ supplier names with
+    source tag, deduplicated."""
+    load_views(spark, sf_dir)
+    cust = spark.table("customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    supp = spark.table("supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return cust.unionByName(supp).dropDuplicates(["name", "src"])
+
+
+ORACLE_UNION = """
+SELECT DISTINCT * FROM (
+  SELECT c_name AS name, 'customer' AS src FROM customer
+  UNION ALL
+  SELECT s_name AS name, 'supplier' AS src FROM supplier)
+"""
+
+
+def q_video_level_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-level accuracy rule (evaluation.py:148-202): a video is
+    'correct' when >10% of its frames hit OR more than one frame hits.
+    Here: user=video, frame=event, hit=event_type='click'."""
+    load_views(spark, sf_dir)
+    hit = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    return (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(hit).alias("n_hits"),
+        )
+        .select(
+            "user_id", "n_frames", "n_hits",
+            F.when(
+                (F.col("n_hits") / F.col("n_frames") > 0.1)
+                | (F.col("n_hits") > 1),
+                1,
+            ).otherwise(0).alias("correct"),
+        )
+    )
+
+
+ORACLE_VIDEO_ACC = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_frames,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_hits
+  FROM events GROUP BY user_id)
+SELECT user_id, n_frames, n_hits,
+       CASE WHEN n_hits / n_frames > 0.1 OR n_hits > 1
+            THEN 1 ELSE 0 END AS correct
+FROM per_user
+"""

@@ -114,3 +114,68 @@ def test_windowed_counts_streaming_with_late_data(spark, tmp_path):
     # 00:00 window must include BOTH its rows (on-time + late)
     assert emitted[("2024-01-01 00:00:00", "A")] == 2
     assert emitted[("2024-01-01 00:02:00", "A")] == 1
+
+
+@pytest.mark.slow
+def test_streaming_scene_runs_state_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): a scene run
+    that spans two micro-batches must come out as ONE scene — state
+    carries the open run across batches.  Empty frames close runs;
+    stale docs are flushed by event-time timeout when the watermark
+    passes them.  (Timestamps sit well above epoch 0: rows at/below
+    the initial watermark of 0 would be dropped as late.)"""
+    B = 1_000_000.0  # base event time, ms
+    src = str(tmp_path / "frames")
+    schema = "doc_id string, frame_no int, ts_ms double, labels array<string>"
+
+    def write(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "frame_no", "ts_ms", "labels"]
+        )
+        spark.createDataFrame(pdf, schema).write.mode("append").parquet(src)
+
+    # batch 1: d1 run A closes (A,A,B); d2 emits A via an empty frame
+    write([
+        ("d1", 0, B + 0.0, ["A"]), ("d1", 1, B + 1000.0, ["A"]),
+        ("d1", 2, B + 2000.0, ["B"]),
+        ("d2", 0, B + 0.0, ["A"]), ("d2", 1, B + 1000.0, []),
+    ])
+    stream_df = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming.streaming_scene_runs(stream_df)
+        .writeStream.format("memory").queryName("scene_runs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: d1's open B run continues (must NOT restart), then
+        # C; d3 is far in the future and advances the watermark
+        write([
+            ("d1", 3, B + 3000.0, ["B"]), ("d1", 4, B + 4000.0, ["C"]),
+            ("d3", 0, B + 200000.0, ["Z"]),
+        ])
+        q.processAllAvailable()
+        # batch 3: more d3 data runs a batch in which the now-advanced
+        # watermark fires the event-time timeouts -> stale d1 flushes
+        # its open C run (d2 holds no open run, flushes nothing)
+        write([("d3", 1, B + 210000.0, ["Z"])])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "select * from scene_runs order by doc_id, scene_idx"
+    ).collect()
+    got = [
+        (r.doc_id, r.scene_idx, r.entities, r.start_ms, r.end_ms, r.n_frames)
+        for r in rows
+    ]
+    assert got == [
+        ("d1", 0, "A", B + 0.0, B + 1000.0, 2),
+        # one scene across the batch boundary: frames 2 and 3
+        ("d1", 1, "B", B + 2000.0, B + 3000.0, 2),
+        # stale-doc flush via event-time timeout
+        ("d1", 2, "C", B + 4000.0, B + 4000.0, 1),
+        ("d2", 0, "A", B + 0.0, B + 0.0, 1),
+    ]
