@@ -1,0 +1,122 @@
+"""File-format sources beyond parquet (SURVEY.md §2.1): the gallery
+thumbnail directory scan and the two CSV dimension scans the reference
+reads at startup, re-expressed as Spark DataSource reads.
+
+* ``read_gallery_binaries`` — the reference walks ``ID_Name/`` folders
+  and regex-filters jpg/jpeg/png files one at a time
+  (``create_embeddings`` src/models/face_recognition.py:223-266,
+  ``image_files_in_folder`` src/utils/utils.py:63-72).  Here it is ONE
+  distributed ``binaryFile`` scan: Spark lists and reads files in
+  parallel across executors, the entity label falls out of the parent
+  directory name, and the pathGlobFilter prunes non-images at the
+  source (never shipped, never decoded).  At 100 TB of thumbnails the
+  scan parallelizes by file; no driver-side directory walk.
+* ``read_entity_catalog_csv`` — ``Thumbnails_links.csv``
+  (``Graph.__init__`` src/knowledge_graph/graph.py:62-68; columns
+  ``index, entity, img, name, norm_name, folder_name``) → the
+  ``entities`` dim table, with the dbpedia/wikidata classification the
+  reference derives from the URI prefix (get_uri_from_csv,
+  src/data/knowledge_graphs.py:387-408).
+* ``read_eval_manifest_csv`` — ``information.csv`` ground-truth
+  manifest (src/models/evaluation.py:37-40, src/data/datasets.py:
+  33-40): ``file`` + semicolon-packed ``entities`` → array column.
+
+All three return small dim-table DataFrames meant to be broadcast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import ENTITY_CATALOG
+
+IMAGE_GLOB = "*.{jpg,jpeg,png,JPG,JPEG,PNG}"
+
+
+def read_gallery_binaries(
+    spark: SparkSession, root: str, glob: str = IMAGE_GLOB
+) -> DataFrame:
+    """Distributed scan of a ``<root>/<Entity_Name>/*.jpg`` thumbnail
+    tree → (entity_name, path, content binary, length).  entity_name
+    is the parent directory (the reference's ``ID_Name`` folder
+    convention, underscores → spaces like its folder_name munging)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    parent_dir = F.element_at(F.split(F.col("path"), "/"), -2)
+    return raw.select(
+        F.regexp_replace(parent_dir, "_", " ").alias("entity_name"),
+        F.col("path"),
+        F.col("content"),
+        F.col("length").cast("long").alias("length"),
+    )
+
+
+def gallery_from_binaries(
+    spark: SparkSession, root: str, codec: str = "fake"
+) -> DataFrame:
+    """The reference's ``create_embeddings`` pipeline as a dataflow:
+    binaryFile scan → feature extraction (Arrow-batched, pluggable
+    codec — see operators/multimodal.py) → (label, embedding) gallery
+    rows, the broadcast side of the kNN linker."""
+    from .operators.multimodal import extract_features
+
+    files = read_gallery_binaries(spark, root)
+    media = files.select(
+        F.col("path").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.lit("image/jpeg").alias("mime"),
+    )
+    feats = extract_features(media, codec=codec)
+    labels = files.select(
+        F.col("path").alias("media_id"), F.col("entity_name").alias("label")
+    )
+    return labels.join(feats, "media_id").select(
+        "label", F.col("feature").alias("embedding")
+    )
+
+
+def read_entity_catalog_csv(
+    spark: SparkSession, paths: str | list[str]
+) -> DataFrame:
+    """Thumbnails_links.csv (one or many — the reference concatenates
+    the dbpedia and wikidata variants) → ENTITY_CATALOG rows.  The
+    source_kg classification mirrors get_uri_from_csv's URI-prefix
+    test; rows per (entity, thumbnail) are collapsed to one per
+    entity URI."""
+    df = spark.read.csv(paths, header=True, inferSchema=False)
+    classified = df.select(
+        F.col("entity"),
+        F.col("name"),
+        F.coalesce(F.col("norm_name"), F.col("name")).alias("norm_name"),
+        F.when(
+            F.col("entity").startswith("http://www.wikidata.org"), "wikidata"
+        ).otherwise("dbpedia").alias("source_kg"),
+    )
+    return (
+        classified.dropDuplicates(["entity"])
+        .select([F.col(f.name).cast(f.dataType) for f in ENTITY_CATALOG.fields])
+    )
+
+
+def read_eval_manifest_csv(
+    spark: SparkSession, path: str, sep: str = ";"
+) -> DataFrame:
+    """information.csv ground-truth manifest → (file, entities array).
+    The reference packs multiple entities into one cell; the split
+    produces the per-file truth set its evaluation joins against."""
+    df = spark.read.csv(path, header=True)
+    return df.select(
+        F.col("file"),
+        F.filter(
+            # one-arg lambda: passing F.trim itself would be
+            # introspected as a two-param (elem, index) HOF lambda
+            F.transform(F.split(F.col("entities"), sep), lambda e: F.trim(e)),
+            lambda e: e != F.lit(""),
+        ).alias("entities"),
+    )
