@@ -1,0 +1,94 @@
+"""Crash-resume semantics of the catalog seam (north_rule: resumable
+from checkpoint after executor loss).
+
+A failure between the data write and the manifest commit leaves an
+ORPHAN snapshot directory.  The contract (same as an aborted Iceberg
+commit): readers never see it, and re-running the job re-links the
+affected docs exactly once — the final committed triple set equals a
+never-crashed run's."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from face_hunter_spark import synth
+from face_hunter_spark.catalog import ParquetCatalog
+from face_hunter_spark.pipeline import run_link_job
+
+N_ENT = 10
+
+
+def _inputs(spark, n_docs=24):
+    docs = synth.documents_df(spark, n_docs, N_ENT)
+    gal = synth.make_gallery_pdf(n_entities=N_ENT, thumbs_per_entity=5,
+                                 distractors=2)
+    ecat = synth.entity_catalog_df(spark, n_entities=N_ENT, distractors=2)
+    return docs, gal, ecat
+
+
+def _triple_set(spark, cat):
+    return {
+        (r.subj, r.pred, r.obj)
+        for r in cat.read(spark, "triples")
+        .select("subj", "pred", "obj").collect()
+    }
+
+
+def test_orphan_snapshot_invisible_and_replayed(spark, tmp_path):
+    docs, gal, ecat = _inputs(spark)
+
+    # the never-crashed baseline
+    clean = ParquetCatalog(str(tmp_path / "clean"))
+    run_link_job(spark, clean, docs, gal, ecat, n_entities=N_ENT)
+    expected = _triple_set(spark, clean)
+    assert expected
+
+    # crashed run: data landed for half the docs, manifest never
+    # committed (executor/driver loss between write and commit)
+    crashed = ParquetCatalog(str(tmp_path / "crashed"))
+    half = docs.where(F.col("doc_id") < "vid_00012")
+    partial = run_link_job(
+        spark, ParquetCatalog(str(tmp_path / "scratch")), half, gal, ecat,
+        n_entities=N_ENT,
+    )
+    assert partial["n_docs"] == 12
+    # replay the partial output as an orphan dir under the crashed
+    # catalog: data present, manifest absent
+    orphan = os.path.join(str(tmp_path / "crashed"), "triples", "data",
+                          "snap=deadbeefcafe")
+    spark.read.option("basePath", str(tmp_path / "scratch") + "/triples") \
+        .parquet(str(tmp_path / "scratch") + "/triples/data/snap=" +
+                 partial["snapshot"]) \
+        .write.parquet(orphan)
+    assert not crashed.exists("triples")  # reader isolation
+
+    # resume: the full input reruns; anti-join sees NO committed docs,
+    # so everything is processed exactly once
+    stats = run_link_job(spark, crashed, docs, gal, ecat, n_entities=N_ENT)
+    assert stats["n_docs"] == 24
+    assert _triple_set(spark, crashed) == expected
+
+    # second resume is a no-op (idempotency after recovery)
+    stats2 = run_link_job(spark, crashed, docs, gal, ecat, n_entities=N_ENT)
+    assert stats2["n_triples"] == 0
+
+
+def test_resume_after_committed_prefix(spark, tmp_path):
+    """Commit half, crash before the rest: rerun processes ONLY the
+    un-committed docs and converges to the clean result."""
+    docs, gal, ecat = _inputs(spark)
+    clean = ParquetCatalog(str(tmp_path / "clean"))
+    run_link_job(spark, clean, docs, gal, ecat, n_entities=N_ENT)
+    expected = _triple_set(spark, clean)
+
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    half = docs.where(F.col("doc_id") < "vid_00012")
+    s1 = run_link_job(spark, cat, half, gal, ecat, n_entities=N_ENT)
+    assert s1["n_docs"] == 12
+    s2 = run_link_job(spark, cat, docs, gal, ecat, n_entities=N_ENT)
+    assert s2["n_docs"] == 12  # only the remaining half
+    assert _triple_set(spark, cat) == expected
+    # lineage has rows from both runs (per-partition audit trail)
+    lin = cat.read(spark, "lineage")
+    assert lin.select("run_id").distinct().count() == 2
+    assert lin.agg(F.sum("n_docs")).collect()[0][0] == 24
