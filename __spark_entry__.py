@@ -115,9 +115,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _q_scene_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quirk-faithful sequential scene smoothing via applyInPandas on
-    frame predictions derived from the events table (deterministic)."""
-    from face_hunter_spark.operators.scenes import extract_scenes
+    """Quirk-faithful sequential scene smoothing on frame predictions
+    derived from the events table (deterministic).  Packed physical
+    form: one collect_list shuffle + mapInPandas (tested equal to the
+    applyInPandas form, minus its per-group pandas setup cost)."""
+    from face_hunter_spark.operators.scenes import extract_scenes_packed as extract_scenes
 
     DQ.load_views(spark, sf_dir)
     preds = spark.sql("""

@@ -249,3 +249,52 @@ def scenes_gaps_and_islands(frame_predictions: DataFrame) -> DataFrame:
             "n_frames",
         )
     )
+
+def extract_scenes_packed(
+    frame_predictions: DataFrame, frame_threshold: int = 3
+) -> DataFrame:
+    """Same semantics as ``extract_scenes`` (quirk-faithful kernel),
+    different physical shape: ONE JVM collect_list shuffle packs each
+    doc into a row, then a single ``mapInPandas`` stage streams Arrow
+    batches of whole docs.  applyInPandas pays per-group pandas setup
+    (~ms/group — dominant when docs are small and numerous); the packed
+    form amortizes it across a batch.  Tested equal to extract_scenes.
+    """
+    from typing import Iterator
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_ents, out_s, out_e = [], [], [], [], []
+            for doc_id, rows in zip(pdf["doc_id"], pdf["rows"]):
+                seq = sorted(rows, key=lambda r: (r["ts_ms"], r["frame_no"]))
+                labels_seq = [list(r["labels"]) for r in seq]
+                ts_seq = [r["ts_ms"] for r in seq]
+                found = extract_scenes_kernel(
+                    labels_seq, ts_seq, frame_threshold
+                )
+                for i, (names, s, e) in enumerate(found):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_ents.append(names)
+                    out_s.append(s)
+                    out_e.append(e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype=object),
+                    "scene_idx": pd.array(out_idx, dtype="int32"),
+                    "entities": pd.Series(out_ents, dtype=object),
+                    "start_ms": pd.array(out_s, dtype="float64"),
+                    "end_ms": pd.array(out_e, dtype="float64"),
+                }
+            )
+
+    from .util import ensure_parallelism
+
+    packed = frame_predictions.groupBy("doc_id").agg(
+        F.collect_list(F.struct("ts_ms", "frame_no", "labels")).alias("rows")
+    )
+    # the packed rows are few and small, so AQE coalesces the shuffle
+    # to 1-2 partitions — which would serialize the Python kernel onto
+    # 1-2 cores; an explicit-count repartition is exempt from AQE
+    # coalescing and spreads the per-doc work across the cluster
+    return ensure_parallelism(packed, factor=1).mapInPandas(fn, schema=SCENES)

@@ -131,3 +131,37 @@ def test_fused_faces_path_equals_two_stage(spark):
         for r in df.collect()
     )
     assert key(two_stage) == key(fused)
+
+
+def test_packed_variant_equals_apply_in_pandas(spark):
+    """extract_scenes_packed is a physical rewrite only — identical
+    output to extract_scenes on the same frame predictions."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from face_hunter_spark.operators.scenes import (
+        extract_scenes, extract_scenes_packed,
+    )
+
+    rows = []
+    for d in range(6):
+        n = 5 + d
+        for f in range(n):
+            labels = (["A"] if f < n // 2 else ["A", "B"]) if d % 2 else (
+                ["unknown"] if f == 2 else ["B"]
+            )
+            rows.append((f"doc{d}", f, f * 1000.0, labels))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "frame_no", "ts_ms", "labels"])
+    preds = spark.createDataFrame(
+        pdf, "doc_id string, frame_no int, ts_ms double, labels array<string>"
+    )
+
+    def norm(df):
+        return sorted(
+            (r.doc_id, r.scene_idx, tuple(r.entities), r.start_ms, r.end_ms)
+            for r in df.collect()
+        )
+
+    for thr in (1, 2, 3):
+        assert norm(extract_scenes_packed(preds, thr)) == norm(
+            extract_scenes(preds, thr)
+        ), f"threshold {thr}"
