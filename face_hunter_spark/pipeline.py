@@ -89,7 +89,11 @@ def run_link_job(
     **kwargs,
 ) -> dict:
     """Idempotent link job: skips docs already in the triple table,
-    appends one committed snapshot + lineage rows.  Returns stats."""
+    appends one committed snapshot + per-bucket lineage rows + one
+    run-level metrics row.  Returns stats."""
+    import time
+
+    t_start = time.monotonic()
     run_id = run_id or uuid.uuid4().hex[:12]
 
     if catalog.exists("triples"):
@@ -131,6 +135,26 @@ def run_link_job(
     catalog.append("lineage", lineage, run_id)
 
     n_docs = new_triples.select("doc_id").distinct().count()
+    # run-level metrics (north_rule: lineage + metrics per append):
+    # scene/link volume and wall time, queryable next to the triples
+    counts = new_triples.agg(
+        F.countDistinct(
+            F.when(F.col("pred") == NS["video_scene_from"], F.col("subj"))
+        ).alias("n_scenes"),
+        F.countDistinct(
+            F.when(F.col("pred") == NS["foaf_depicts"], F.col("obj"))
+        ).alias("n_entities_linked"),
+    ).collect()[0]
+    metrics = spark.createDataFrame(
+        [(
+            run_id, n_docs, n_rows, int(counts["n_scenes"] or 0),
+            int(counts["n_entities_linked"] or 0),
+            int((time.monotonic() - t_start) * 1000),
+        )],
+        "run_id string, n_docs long, n_triples long, n_scenes long, "
+        "n_entities_linked long, wall_ms long",
+    )
+    catalog.append("metrics", metrics, run_id)
     new_triples.unpersist()
     return {
         "run_id": run_id,

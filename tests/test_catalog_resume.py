@@ -92,3 +92,28 @@ def test_resume_after_committed_prefix(spark, tmp_path):
     lin = cat.read(spark, "lineage")
     assert lin.select("run_id").distinct().count() == 2
     assert lin.agg(F.sum("n_docs")).collect()[0][0] == 24
+
+
+def test_metrics_row_per_run(spark, tmp_path):
+    """Each committed run appends one metrics row whose counts agree
+    with the triples it wrote."""
+    docs, gal, ecat = _inputs(spark, n_docs=10)
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    stats = run_link_job(spark, cat, docs, gal, ecat, n_entities=N_ENT)
+    m = cat.read(spark, "metrics").collect()
+    assert len(m) == 1
+    row = m[0]
+    assert row.run_id == stats["run_id"]
+    assert row.n_docs == stats["n_docs"] == 10
+    assert row.n_triples == stats["n_triples"]
+    tri = cat.read(spark, "triples")
+    from face_hunter_spark.schemas import NS
+    n_scenes = (
+        tri.where(F.col("pred") == NS["video_scene_from"])
+        .select("subj").distinct().count()
+    )
+    assert row.n_scenes == n_scenes
+    assert row.wall_ms > 0
+    # an all-duplicate rerun commits nothing, including metrics
+    run_link_job(spark, cat, docs, gal, ecat, n_entities=N_ENT)
+    assert cat.read(spark, "metrics").count() == 1
