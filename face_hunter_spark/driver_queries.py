@@ -577,8 +577,9 @@ ORDER BY id_a, id_b
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate generation with exact verification; the
-    oracle recomputes the identical md5-string signatures, so even the
-    LSH bucketing is checked, not just the final pairs."""
+    oracle regenerates the identical integer-hash signatures (same
+    universal-hash constants), so even the LSH bucketing is checked,
+    not just the final pairs."""
     from .operators import dedup
     load_views(spark, sf_dir)
     return (
@@ -591,10 +592,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_minhash() -> str:
+    from .operators.dedup import MINHASH_P, minhash_constants
+
     num_hashes, bands = 12, 4
     r = num_hashes // bands
+    a_c, b_c = minhash_constants(num_hashes)
     sig_cols = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}:' || x))) AS h{i}"
+        f"list_min(list_transform(s, h -> ({a_c[i]} * (h % {MINHASH_P})"
+        f" + {b_c[i]}) % {MINHASH_P})) AS h{i}"
         for i in range(num_hashes)
     )
     band_exprs = ", ".join(
@@ -603,7 +608,9 @@ def _oracle_minhash() -> str:
     )
     return f"""
 WITH sh AS (
-  SELECT doc_id AS id, {_DUCK_SHINGLES} AS s
+  SELECT doc_id AS id,
+         list_distinct(list_transform({_DUCK_SHINGLES},
+             x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS s
   FROM (SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents)
   WHERE len(toks) > 0),
 sig AS (SELECT id, s, {sig_cols} FROM sh),

@@ -10,10 +10,14 @@ Scale design notes (the point of each physical shape):
                  then |A∩B| falls out of a count per pair.
 * minhash LSH  — band buckets bound the candidate set; each doc lands
                  in exactly `bands` buckets, so shuffle volume is
-                 O(bands * N), independent of pair count.  Hashes are
-                 md5-hex strings min'd lexicographically — portable
-                 across engines (the DuckDB oracle computes the exact
-                 same signatures).
+                 O(bands * N), independent of pair count.  Shingles are
+                 hashed once to 60-bit ints (md5 prefix), then the
+                 signature is a universal-hash family over those ints —
+                 one md5 pass total, int arrays (not strings) on the
+                 wire, engine-portable (the DuckDB oracle regenerates
+                 the identical constants and signatures).  The md5-hex
+                 string variant (`minhash_signature`) is kept for
+                 API/teaching parity.
 * simhash      — 32-bit fingerprints via token-hash bit voting; near-
                  dup candidates via 8-bit band equality (any pair at
                  hamming distance <= 3 shares at least one of 4 bands),
@@ -101,6 +105,50 @@ def jaccard_pairs(
 
 # ---------------------------------------------------------- minhash LSH
 
+MINHASH_P = 2147483647  # 2^31 - 1; products stay under 2^62 in BIGINT
+
+
+def minhash_constants(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Fixed (a_i, b_i) for the universal-hash family h_i(x) =
+    (a_i * x + b_i) mod P.  Deterministic LCG-derived constants so the
+    DuckDB oracle can regenerate the identical family."""
+    a, b = [], []
+    for i in range(num_hashes):
+        a.append(((1103515245 * (i + 7) + 12345) % MINHASH_P) | 1)
+        b.append((69069 * (i + 3) + 1) % MINHASH_P)
+    return a, b
+
+
+def shingle_hashes(sh_col) -> Column:
+    """Distinct 60-bit integer hashes of the shingle strings:
+    int(md5(s)[:15], 16).  Engine-portable (DuckDB:
+    ('0x' || substr(md5(s),1,15))::BIGINT) and ~2.5x smaller than the
+    strings on the wire — the candidate join then shuffles long arrays
+    instead of text, and set ops compare ints."""
+    return F.array_distinct(
+        F.transform(
+            sh_col,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+
+
+def minhash_signature_int(hash_col, num_hashes: int) -> Column:
+    """Array of num_hashes minhash values over integer shingle hashes:
+    min over shingles of (a_i * (h mod P) + b_i) mod P.  Pure integer
+    arithmetic — no per-hash md5 pass over the shingles."""
+    a, b = minhash_constants(num_hashes)
+
+    def hasher(i: int):
+        return lambda h: (F.lit(a[i]) * (h % F.lit(MINHASH_P))
+                          + F.lit(b[i])) % F.lit(MINHASH_P)
+
+    return F.array(
+        *[F.array_min(F.transform(hash_col, hasher(i)))
+          for i in range(num_hashes)]
+    )
+
+
 def minhash_signature(sh_col, num_hashes: int) -> Column:
     """Array of num_hashes minhash values.  Hash_i(s) = md5(i ':' s) as
     a hex STRING; the lexicographic min over shingles is a valid
@@ -134,7 +182,12 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     s = _shingled(df, text_col, id_col, n).where(F.col("n_sh") > 0)
-    sig = s.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    hashed = s.select(
+        "id", shingle_hashes(F.col("sh")).alias("sh")
+    )
+    sig = hashed.withColumn(
+        "sig", minhash_signature_int(F.col("sh"), num_hashes)
+    )
     bucketed = sig.select(
         "id",
         "sh",
@@ -142,7 +195,10 @@ def minhash_lsh_pairs(
             F.array(
                 *[
                     F.concat_ws(
-                        "|", F.lit(str(b)), *[F.col("sig")[b * r + j] for j in range(r)]
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col("sig")[b * r + j].cast("string")
+                          for j in range(r)],
                     )
                     for b in range(bands)
                 ]
