@@ -103,3 +103,42 @@ def test_triples_write_partitioning(spark, tmp_path):
     df = cat.read(spark, "triples").where(F.col("doc_bucket") == 3)
     plan = plan_of(df)
     assert "PartitionFilters" in plan and "doc_bucket" in plan
+
+def test_minhash_candidate_join_is_equijoin(spark):
+    """The LSH candidate join must be an equi-join on the band bucket —
+    never a cartesian/nested-loop pair enumeration."""
+    from face_hunter_spark.operators import dedup
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(dedup.minhash_lsh_pairs(df, threshold=0.9))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_islands_scene_variant_is_pure_jvm(spark):
+    """The Spark-native scene variant must compile to window+agg only —
+    zero Python workers in the plan."""
+    import face_hunter_spark.driver_queries as DQ
+
+    plan = plan_of(DQ.q_scene_islands(spark, SF_DIR))
+    assert "InPandas" not in plan and "PythonUDF" not in plan
+
+
+def test_packed_scene_stage_fans_out(spark):
+    """extract_scenes_packed repartitions the packed rows so the Python
+    kernel never runs on an AQE-coalesced 1-2 partition exchange."""
+    import pandas as pd
+
+    from face_hunter_spark.operators.scenes import extract_scenes_packed
+
+    pdf = pd.DataFrame(
+        [("d", f, f * 1000.0, ["A"]) for f in range(4)],
+        columns=["doc_id", "frame_no", "ts_ms", "labels"],
+    )
+    preds = spark.createDataFrame(
+        pdf, "doc_id string, frame_no int, ts_ms double, labels array<string>"
+    )
+    plan = plan_of(extract_scenes_packed(preds))
+    # explicit-count round-robin repartition feeds the Python stage
+    assert "MapInPandas" in plan
+    assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan
