@@ -65,6 +65,11 @@ def link_documents(
             media, bc, distance_threshold, n_entities=n_entities
         )
     elif strategy == "lsh":
+        # fused broadcast-gallery LSH (zero-shuffle linking)
+        faces = vision.detect_embed_faces(media, n_entities=n_entities)
+        linked = linking.link_lsh_fused(faces, gallery_pdf, distance_threshold)
+    elif strategy == "lsh_shuffle":
+        # relational candidate join — the beyond-broadcast-gallery form
         assert gallery_df is not None
         faces = vision.detect_embed_faces(media, n_entities=n_entities)
         linked = linking.link_lsh(faces, gallery_df, distance_threshold)

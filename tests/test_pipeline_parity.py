@@ -66,20 +66,23 @@ def test_bruteforce_parity(spark, corpus):
 
 
 def test_lsh_parity(spark, corpus):
-    got = spark_triple_set(
-        link_documents(
-            corpus["docs"], corpus["gallery_pdf"], corpus["catalog"],
-            n_entities=N_ENTITIES, strategy="lsh",
-            gallery_df=corpus["gallery"],
-        )
-    )
+    """Both LSH physical forms (fused broadcast-gallery and relational
+    candidate join) must clear the P/R gate vs the reference oracle."""
     expected = oracle_triples(
         corpus["docs_pdf"], corpus["gallery_pdf"], corpus["catalog_pdf"],
         n_entities=N_ENTITIES,
     )
-    p, r = precision_recall(got, expected)
-    # LSH is approximate: the P/R >= 0.95 gate applies as-is
-    assert p >= 0.95 and r >= 0.95, (p, r, len(got), len(expected))
+    for strategy in ("lsh", "lsh_shuffle"):
+        got = spark_triple_set(
+            link_documents(
+                corpus["docs"], corpus["gallery_pdf"], corpus["catalog"],
+                n_entities=N_ENTITIES, strategy=strategy,
+                gallery_df=corpus["gallery"],
+            )
+        )
+        p, r = precision_recall(got, expected)
+        # LSH is approximate: the P/R >= 0.95 gate applies as-is
+        assert p >= 0.95 and r >= 0.95, (strategy, p, r, len(got), len(expected))
 
 
 def test_idempotent_rerun(spark, corpus, tmp_path):
