@@ -114,6 +114,14 @@ def run_link_job(
     new_triples = T.with_partitioning(
         link_documents(documents, gallery_pdf, entity_catalog, **kwargs), run_id
     )
+    # north_rule: mentions canonicalize to QIDs (connected components
+    # over catalog same-as edges) IN the materialized table — depicts
+    # rows carry obj_canonical next to the DBpedia-preferred obj
+    from .operators.canonical import canonical_map, canonicalize_depicts
+
+    new_triples = canonicalize_depicts(
+        new_triples, canonical_map(entity_catalog)
+    )
 
     # One pass: cache the job's output so triples + lineage + metrics
     # come from the same computation (per-partition lineage is derived

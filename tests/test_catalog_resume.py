@@ -117,3 +117,30 @@ def test_metrics_row_per_run(spark, tmp_path):
     # an all-duplicate rerun commits nothing, including metrics
     run_link_job(spark, cat, docs, gal, ecat, n_entities=N_ENT)
     assert cat.read(spark, "metrics").count() == 1
+
+
+def test_materialized_triples_are_canonicalized(spark, tmp_path):
+    """north_rule: depicts mentions canonicalize to QIDs in the
+    committed table — obj keeps the reference's DBpedia-preferred URI,
+    obj_canonical carries the component's Wikidata QID; all other
+    triples have obj_canonical == obj."""
+    docs, gal, ecat = _inputs(spark, n_docs=12)
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    run_link_job(spark, cat, docs, gal, ecat, n_entities=N_ENT)
+    tri = cat.read(spark, "triples")
+    from face_hunter_spark.schemas import NS
+    dep = tri.where(F.col("pred") == NS["foaf_depicts"])
+    assert dep.count() > 0
+    # every depicted DBpedia URI maps to a wikidata canonical
+    db = dep.where(F.col("obj").startswith("http://dbpedia.org"))
+    assert db.count() > 0
+    bad = db.where(
+        ~F.col("obj_canonical").startswith("http://www.wikidata.org")
+    ).count()
+    assert bad == 0
+    # non-depicts rows pass through unchanged (both vocabularies —
+    # foaf:depicts and the sdo:depicts alias — are canonicalized)
+    rest = tri.where(
+        ~F.col("pred").isin(NS["foaf_depicts"], NS["sdo_depicts"])
+    )
+    assert rest.where(F.col("obj_canonical") != F.col("obj")).count() == 0
