@@ -198,9 +198,14 @@ def extract_scenes_from_faces(
 
     import pyspark.sql.functions as F2
 
+    from .util import ensure_parallelism
+
     # one JVM-side shuffle packs each doc into a single row; the Python
     # stage then streams Arrow batches of docs — no per-group pandas
-    # machinery (applyInPandas pays ~ms per group; docs are tiny)
+    # machinery (applyInPandas pays ~ms per group; docs are tiny).
+    # Explicit-count repartition after the agg: AQE would otherwise
+    # coalesce the packed shuffle by bytes and serialize the Python
+    # kernel onto a handful of cores at replica scale
     packed = (
         linked_faces.groupBy("doc_id")
         .agg(
@@ -209,7 +214,7 @@ def extract_scenes_from_faces(
             ).alias("rows")
         )
     )
-    return packed.mapInPandas(fn, schema=SCENES)
+    return ensure_parallelism(packed, factor=1).mapInPandas(fn, schema=SCENES)
 
 
 def scenes_gaps_and_islands(frame_predictions: DataFrame) -> DataFrame:
