@@ -169,7 +169,7 @@ def _replicated_kg_df(spark, sf_dir: str, replicas: int):
     return link_documents(docs, gallery_pdf, catalog, n_entities=em.N_ENTITIES)
 
 
-def run_scaling(masters=(2, 8), replicas: int = 64, repeats: int = 3) -> dict:
+def run_scaling(masters=(2, 8), replicas: int = 128, repeats: int = 3) -> dict:
     """Same job, identical input, two parallelism levels.  The host is
     shared/contended, so take the MIN over `repeats` runs (least-
     interference estimate) at each level."""
