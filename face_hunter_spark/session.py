@@ -32,6 +32,15 @@ def build_session(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
         os.environ.get("SPARK_GRAFT_CPUS", "*")
     )
+    # pin per-task BLAS/OpenMP to 1 thread: the task is Spark's unit of
+    # parallelism, and N workers x M BLAS threads oversubscribes cores
+    # (SURVEY.md §4 "intra-op parallelism").  Set in the driver env so
+    # forked local-mode Python workers inherit it; executorEnv covers
+    # real clusters.
+    _thread_vars = ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                    "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS")
+    for var in _thread_vars:
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -47,6 +56,8 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    for var in _thread_vars:
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
     if shuffle_partitions is None:
         # sensible local default; cluster submitters override
         shuffle_partitions = 32
