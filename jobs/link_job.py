@@ -34,7 +34,8 @@ def main() -> int:
     ap.add_argument("--n-entities", type=int, default=54)
     ap.add_argument("--distance-threshold", type=float, default=0.6)
     ap.add_argument("--frame-threshold", type=int, default=3)
-    ap.add_argument("--strategy", choices=["bruteforce", "lsh"],
+    ap.add_argument("--strategy",
+                    choices=["bruteforce", "lsh", "lsh_shuffle"],
                     default="bruteforce")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
@@ -67,7 +68,7 @@ def main() -> int:
         ENTITY_CATALOG,
     )
     gallery_df = None
-    if args.strategy == "lsh":
+    if args.strategy == "lsh_shuffle":
         from face_hunter_spark.schemas import GALLERY
 
         gallery_df = spark.createDataFrame(gallery_pdf, GALLERY)
