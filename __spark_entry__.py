@@ -329,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_event_sample": DQ.q_balanced_event_sample,
         "union_name_catalog": DQ.q_union_name_catalog,
         "video_level_accuracy": DQ.q_video_level_accuracy,
+        "threshold_sweep": DQ.q_threshold_sweep,
         "kg_scene_search": _q_kg_scene_search,
         # graph / pipeline / UDF ops (rows-only where noted in oracle_sql)
         "connected_components": _q_connected_components,
@@ -380,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "balanced_event_sample": DQ.ORACLE_BALANCED,
         "union_name_catalog": DQ.ORACLE_UNION,
         "video_level_accuracy": DQ.ORACLE_VIDEO_ACC,
+        "threshold_sweep": DQ.ORACLE_THRESHOLD_SWEEP,
         "span_roundtrip": ORACLE_SPAN_ROUNDTRIP,
         # rows-only (approximate / sequential-UDF / synthetic-input):
         # scene_extraction, ann_lsh_topk, ivf_topk, multimodal_decode,

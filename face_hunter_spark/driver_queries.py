@@ -1130,3 +1130,84 @@ SELECT user_id, n_frames, n_hits,
             THEN 1 ELSE 0 END AS correct
 FROM per_user
 """
+
+
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-threshold tuning curve (distance_tuning.py:85-177):
+    cosine over all pairs of a bounded embedding slice, labeled
+    match/unmatch by class, then precision/recall at a 0.1-step
+    threshold grid — the batch form of the reference's tuning-dataset
+    sweep."""
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings").where(F.col("vec_id") < 200).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+                   F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
+                   F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        a.crossJoin(b).where(F.col("ia") < F.col("ib"))
+        .select(
+            (F.col("la") == F.col("lb")).cast("int").alias("match"),
+            (dot / (nrm(F.col("va")) * nrm(F.col("vb")))).alias("cosine"),
+        )
+    )
+    grid = pairs.select(
+        "match", "cosine",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("t"),
+    ).withColumn("thr", F.col("t") / 10.0)
+    return (
+        grid.groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("cosine") >= F.col("thr"), 1).otherwise(0)
+                  ).alias("n_accept"),
+            F.sum(F.when((F.col("cosine") >= F.col("thr"))
+                         & (F.col("match") == 1), 1).otherwise(0)
+                  ).alias("n_true"),
+            F.sum("match").alias("n_match_total"),
+        )
+        .select(
+            F.round("thr", 1).alias("thr"),
+            "n_accept", "n_true",
+            # -1.0 sentinel (not NULL): Spark->pandas turns NULL
+            # doubles into NaN, which hash-mismatches DuckDB's NULL
+            F.round(F.when(F.col("n_accept") > 0,
+                           F.col("n_true") / F.col("n_accept"))
+                    .otherwise(F.lit(-1.0)), 6).alias("precision"),
+            F.round(F.col("n_true") / F.col("n_match_total"), 6
+                    ).alias("recall"),
+        )
+    )
+
+
+ORACLE_THRESHOLD_SWEEP = """
+WITH emb AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),
+pairs AS (
+  SELECT CAST(a.label = b.label AS INT) AS match,
+         (list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+           * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+         ) AS cosine
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+grid AS (
+  SELECT p.match, p.cosine, t.range / 10.0 AS thr
+  FROM pairs p, range(1, 10) t)
+SELECT round(thr, 1) AS thr,
+       sum(CASE WHEN cosine >= thr THEN 1 ELSE 0 END) AS n_accept,
+       sum(CASE WHEN cosine >= thr AND match = 1 THEN 1 ELSE 0 END) AS n_true,
+       round(CASE WHEN sum(CASE WHEN cosine >= thr THEN 1 ELSE 0 END) > 0
+             THEN sum(CASE WHEN cosine >= thr AND match = 1 THEN 1 ELSE 0 END)::DOUBLE
+                  / sum(CASE WHEN cosine >= thr THEN 1 ELSE 0 END)
+             ELSE -1.0 END, 6) AS precision,
+       round(sum(CASE WHEN cosine >= thr AND match = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / sum(match), 6) AS recall
+FROM grid GROUP BY thr
+"""
