@@ -291,9 +291,47 @@ def link_lsh_fused(
     surviving candidate -> 'unknown'; empty frames pass through NULL.
     """
     spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(
+        lsh_gallery_payload(gallery_pdf, bands, rows_per_band)
+    )
+
+    schema = StructType(
+        faces.schema.fields
+        + [StructField("label", StringType(), True),
+           StructField("distance", FloatType(), True)]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lab = np.full(len(pdf), None, dtype=object)
+            dist = np.full(len(pdf), np.nan, dtype=np.float32)
+            mask = pdf["embedding"].notna().to_numpy()
+            if mask.any():
+                q = np.vstack(
+                    [np.asarray(e, dtype=np.float32)
+                     for e in pdf["embedding"][mask]]
+                )
+                out_lab, out_dist = lsh_score_batch(
+                    q, bc.value, distance_threshold, k
+                )
+                lab[mask] = out_lab
+                dist[mask] = out_dist
+            out = pdf.copy()
+            out["label"] = lab
+            out["distance"] = dist
+            yield out
+
+    return faces.mapInPandas(fn, schema=schema)
+
+
+def lsh_gallery_payload(
+    gallery_pdf: pd.DataFrame, bands: int = 8, rows_per_band: int = 6
+):
+    """Driver-side build of the broadcastable LSH gallery: (labels,
+    matrix, norms, hyperplanes, bucket->gallery-indices dict, bands,
+    rows_per_band).  One tiny G x planes matmul."""
     labels, mat, norms = _gallery_arrays(gallery_pdf)
-    dim = mat.shape[1]
-    planes = _hyperplanes(bands * rows_per_band, dim)
+    planes = _hyperplanes(bands * rows_per_band, mat.shape[1])
     gbits = (mat @ planes.T) > 0
     buckets: dict[int, np.ndarray] = {}
     for b in range(bands):
@@ -304,93 +342,69 @@ def link_lsh_fused(
         keys = (b << 24) | val
         for g_idx, key in enumerate(keys):
             buckets.setdefault(int(key), []).append(g_idx)
-    buckets = {key: np.asarray(v, dtype=np.int64) for key, v in buckets.items()}
-    bc = spark.sparkContext.broadcast(
-        (labels, mat, norms, planes, buckets, bands, rows_per_band)
+    return (
+        labels, mat, norms, planes,
+        {key: np.asarray(v, dtype=np.int64) for key, v in buckets.items()},
+        bands, rows_per_band,
     )
 
-    schema = StructType(
-        faces.schema.fields
-        + [StructField("label", StringType(), True),
-           StructField("distance", FloatType(), True)]
-    )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        labels, mat, norms, planes, buckets, bands_, rpb = bc.value
-        for pdf in batches:
-            lab = np.full(len(pdf), None, dtype=object)
-            dist = np.full(len(pdf), np.nan, dtype=np.float32)
-            mask = pdf["embedding"].notna().to_numpy()
-            if mask.any():
-                q = np.vstack(
-                    [np.asarray(e, dtype=np.float32)
-                     for e in pdf["embedding"][mask]]
-                )
-                qn = np.linalg.norm(q, axis=1)
-                bits = (q @ planes.T) > 0
-                out_lab = np.full(len(q), UNKNOWN, dtype=object)
-                out_dist = np.full(len(q), np.nan, dtype=np.float32)
-                # candidate sets per face from the band buckets
-                cand_list = []
-                for i in range(len(q)):
-                    ids = []
-                    for b in range(bands_):
-                        chunk = bits[i, b * rpb : (b + 1) * rpb]
-                        val = 0
-                        for bit in chunk:
-                            val = (val << 1) | int(bit)
-                        hit = buckets.get((b << 24) | val)
-                        if hit is not None:
-                            ids.append(hit)
-                    cand_list.append(
-                        np.unique(np.concatenate(ids))
-                        if ids else np.empty(0, np.int64)
-                    )
-                lens = np.fromiter(
-                    (len(c) for c in cand_list), dtype=np.int64, count=len(q)
-                )
-                if lens.sum():
-                    flat_g = np.concatenate(
-                        [c for c in cand_list if len(c)]
-                    )
-                    rep = np.repeat(np.arange(len(q)), lens)
-                    dots = np.einsum("ij,ij->i", q[rep], mat[flat_g])
-                    d = 1.0 - dots / (qn[rep] * norms[flat_g])
-                    # per-face selection: top-k by distance, majority
-                    # vote among thresholded, ties nearest-first then
-                    # lowest gallery index (candidates are id-sorted)
-                    off = 0
-                    for i in range(len(q)):
-                        n_c = lens[i]
-                        if n_c == 0:
-                            continue
-                        ds = d[off:off + n_c]
-                        gs = flat_g[off:off + n_c]
-                        off += n_c
-                        order = np.lexsort((gs, ds))[:k]
-                        kept = [j for j in order
-                                if ds[j] < distance_threshold]
-                        if not kept:
-                            continue
-                        if k == 1 or len(kept) == 1:
-                            best = kept[0]
-                        else:
-                            votes: dict[str, int] = {}
-                            for j in kept:
-                                votes[labels[gs[j]]] = (
-                                    votes.get(labels[gs[j]], 0) + 1
-                                )
-                            top = max(votes.values())
-                            best = next(
-                                j for j in kept if votes[labels[gs[j]]] == top
-                            )
-                        out_lab[i] = labels[gs[best]]
-                        out_dist[i] = ds[best]
-                lab[mask] = out_lab
-                dist[mask] = out_dist
-            out = pdf.copy()
-            out["label"] = lab
-            out["distance"] = dist
-            yield out
-
-    return faces.mapInPandas(fn, schema=schema)
+def lsh_score_batch(
+    q: np.ndarray, payload, distance_threshold: float, k: int = 1
+):
+    """Score one batch of query embeddings against the broadcast LSH
+    gallery payload: signature matmul -> bucket candidate lookup ->
+    flattened einsum -> per-face top-k/threshold/vote.  Returns
+    (labels object array, float32 distances); faces with no surviving
+    candidate get 'unknown'/NaN.  Shared by link_lsh_fused and the
+    fully-fused vision stage (vision.detect_embed_link matcher='lsh').
+    """
+    labels, mat, norms, planes, buckets, bands_, rpb = payload
+    qn = np.linalg.norm(q, axis=1)
+    bits = (q @ planes.T) > 0
+    out_lab = np.full(len(q), UNKNOWN, dtype=object)
+    out_dist = np.full(len(q), np.nan, dtype=np.float32)
+    # vectorized band keys: (n, bands*rpb) bits -> (n, bands) ints
+    weights = (1 << np.arange(rpb - 1, -1, -1)).astype(np.int64)
+    band_ids = (np.arange(bands_, dtype=np.int64) << 24).reshape(1, -1)
+    keys = bits.reshape(len(q), bands_, rpb).astype(np.int64) @ weights
+    keys = keys | band_ids
+    cand_list = []
+    for row in keys:
+        ids = [h for h in (buckets.get(int(key)) for key in row)
+               if h is not None]
+        cand_list.append(
+            np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+        )
+    lens = np.fromiter((len(c) for c in cand_list), dtype=np.int64,
+                       count=len(q))
+    if lens.sum():
+        flat_g = np.concatenate([c for c in cand_list if len(c)])
+        rep = np.repeat(np.arange(len(q)), lens)
+        dots = np.einsum("ij,ij->i", q[rep], mat[flat_g])
+        d = 1.0 - dots / (qn[rep] * norms[flat_g])
+        # per-face selection: top-k by distance, majority vote among
+        # thresholded, ties nearest-first then lowest gallery index
+        off = 0
+        for i in range(len(q)):
+            n_c = lens[i]
+            if n_c == 0:
+                continue
+            ds = d[off:off + n_c]
+            gs = flat_g[off:off + n_c]
+            off += n_c
+            order = np.lexsort((gs, ds))[:k]
+            kept = [j for j in order if ds[j] < distance_threshold]
+            if not kept:
+                continue
+            if k == 1 or len(kept) == 1:
+                best = kept[0]
+            else:
+                votes: dict[str, int] = {}
+                for j in kept:
+                    votes[labels[gs[j]]] = votes.get(labels[gs[j]], 0) + 1
+                top = max(votes.values())
+                best = next(j for j in kept if votes[labels[gs[j]]] == top)
+            out_lab[i] = labels[gs[best]]
+            out_dist[i] = ds[best]
+    return out_lab, out_dist

@@ -105,16 +105,25 @@ def detect_embed_link(
     distance_threshold: float = 0.6,
     n_entities: int = 54,
     encoder: str = "hash",
+    matcher: str = "bruteforce",
 ) -> DataFrame:
-    """FUSED vision + brute-force linking in one Python stage: decode,
-    embed (vectorized batch), and match against the broadcast gallery
-    with a single BLAS matmul — embeddings never cross the Arrow
-    boundary (SURVEY.md §4.5: collapsing adjacent mapInPandas stages
-    beats a custom Catalyst rule).  Output rows carry only the label.
+    """FUSED vision + linking in one Python stage: decode, embed
+    (vectorized batch), and match against the broadcast gallery —
+    embeddings never cross the Arrow boundary (SURVEY.md §4.5:
+    collapsing adjacent mapInPandas stages beats a custom Catalyst
+    rule).  Output rows carry only the label.
 
-    ``gallery_arrays`` is an sc.broadcast of linking._gallery_arrays
-    output.  Semantically identical to detect_embed_faces |>
-    link_bruteforce (parity-tested); use the two-stage ops when the
+    ``matcher`` picks the in-batch match kernel against the broadcast:
+    * 'bruteforce' — one BLAS matmul vs the whole gallery matrix;
+      ``gallery_arrays`` is an sc.broadcast of
+      linking._gallery_arrays output.
+    * 'lsh' — LSH band buckets prune candidates, gathered einsum
+      scores only them (the north_star join, fully fused);
+      ``gallery_arrays`` is an sc.broadcast of
+      linking.lsh_gallery_payload output.
+
+    Semantically identical to detect_embed_faces |> link_bruteforce /
+    link_lsh_fused (parity-tested); use the two-stage ops when the
     embeddings themselves are wanted downstream.
     """
     if encoder != "hash":
@@ -133,8 +142,11 @@ def detect_embed_link(
     ])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        labels, mat, norms = gallery_arrays.value
-        matn = (mat / norms[:, None]).T  # (512, G), pre-normalized
+        if matcher == "bruteforce":
+            labels, mat, norms = gallery_arrays.value
+            matn = (mat / norms[:, None]).T  # (512, G), pre-normalized
+        else:
+            from .linking import lsh_score_batch
         for pdf in batches:
             docs, frames, tss, idxs, seeds, ents = [], [], [], [], [], []
             for doc_id, frame_no, ts_ms in zip(
@@ -159,13 +171,19 @@ def detect_embed_link(
                     np.asarray(seeds, dtype=np.uint64)[has_face],
                     ents_arr[has_face], n_entities,
                 )
-                qn = np.linalg.norm(emb, axis=1, keepdims=True)
-                d = 1.0 - (emb / qn) @ matn  # (B, G) cosine distances
-                best = np.argmin(d, axis=1)
-                bestd = d[np.arange(len(best)), best]
-                out_labels[has_face] = np.where(
-                    bestd < distance_threshold, labels[best], "unknown"
-                )
+                if matcher == "bruteforce":
+                    qn = np.linalg.norm(emb, axis=1, keepdims=True)
+                    d = 1.0 - (emb / qn) @ matn  # (B, G) cosine dists
+                    best = np.argmin(d, axis=1)
+                    bestd = d[np.arange(len(best)), best]
+                    out_labels[has_face] = np.where(
+                        bestd < distance_threshold, labels[best], "unknown"
+                    )
+                else:
+                    lab, _ = lsh_score_batch(
+                        emb, gallery_arrays.value, distance_threshold
+                    )
+                    out_labels[has_face] = lab
             yield pd.DataFrame({
                 "doc_id": pd.Series(docs, dtype=object),
                 "frame_no": pd.array(frames, dtype="int32"),

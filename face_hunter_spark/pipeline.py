@@ -65,9 +65,18 @@ def link_documents(
             media, bc, distance_threshold, n_entities=n_entities
         )
     elif strategy == "lsh":
-        # fused broadcast-gallery LSH (zero-shuffle linking)
-        faces = vision.detect_embed_faces(media, n_entities=n_entities)
-        linked = linking.link_lsh_fused(faces, gallery_pdf, distance_threshold)
+        # fully-fused broadcast-gallery LSH: decode+embed+bucket+score
+        # in ONE Python stage (embeddings never cross Arrow, same as
+        # the bruteforce path)
+        from pyspark.sql import SparkSession
+
+        bc = SparkSession.getActiveSession().sparkContext.broadcast(
+            linking.lsh_gallery_payload(gallery_pdf)
+        )
+        linked = vision.detect_embed_link(
+            media, bc, distance_threshold, n_entities=n_entities,
+            matcher="lsh",
+        )
     elif strategy == "lsh_shuffle":
         # relational candidate join — the beyond-broadcast-gallery form
         assert gallery_df is not None
