@@ -177,6 +177,18 @@ def run_link_job(
         "n_entities_linked long, wall_ms long",
     )
     catalog.append("metrics", metrics, run_id)
+    # hot-key rollup (north_rule: skewed celebrity entities): per-run
+    # depicted-entity counts via salted two-stage aggregation, so one
+    # Zipf-hot celebrity never funnels into a single reducer
+    from .operators.skew import entity_mention_counts
+
+    catalog.append(
+        "entity_counts",
+        entity_mention_counts(new_triples).withColumn(
+            "run_id", F.lit(run_id)
+        ),
+        run_id,
+    )
     new_triples.unpersist()
     return {
         "run_id": run_id,

@@ -144,3 +144,23 @@ def test_materialized_triples_are_canonicalized(spark, tmp_path):
         ~F.col("pred").isin(NS["foaf_depicts"], NS["sdo_depicts"])
     )
     assert rest.where(F.col("obj_canonical") != F.col("obj")).count() == 0
+
+
+def test_entity_counts_salted_rollup(spark, tmp_path):
+    """Each run appends a salted hot-key rollup of depicted entities;
+    counts agree with a plain groupBy over the committed triples."""
+    docs, gal, ecat = _inputs(spark, n_docs=10)
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    run_link_job(spark, cat, docs, gal, ecat, n_entities=N_ENT)
+    from face_hunter_spark.schemas import NS
+    got = {
+        (r.entity_uri, r.n_scenes)
+        for r in cat.read(spark, "entity_counts").collect()
+    }
+    plain = {
+        (r.obj, r.n)
+        for r in cat.read(spark, "triples")
+        .where(F.col("pred") == NS["foaf_depicts"])
+        .groupBy("obj").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == plain and got
