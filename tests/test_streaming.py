@@ -132,7 +132,11 @@ def test_streaming_scene_runs_state_across_batches(spark, tmp_path):
         pdf = pd.DataFrame(
             rows, columns=["doc_id", "frame_no", "ts_ms", "labels"]
         )
-        spark.createDataFrame(pdf, schema).write.mode("append").parquet(src)
+        # one file per logical batch: multi-part writes can split a
+        # batch's rows across micro-batches and race the watermark
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
 
     # batch 1: d1 run A closes (A,A,B); d2 emits A via an empty frame
     write([
