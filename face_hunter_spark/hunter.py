@@ -1,0 +1,147 @@
+"""User-facing facade — the reference's ``Hunter`` class
+(src/hunter.py:13-187) and the thin CLI/REST wrappers around it
+(cli.py, api/flask_api.py:50-83) re-expressed over the Spark engine.
+
+The reference API per entry point, and its equivalent here:
+
+| reference                              | SparkHunter |
+|----------------------------------------|-------------|
+| ``Hunter(url).fit(...)``               | constructor (gallery + catalog broadcastable inputs; models are per-executor singletons, not driver state) |
+| ``.link(storage_type, ...)``           | ``link(documents_df)`` — set-at-a-time: ANY number of docs per call, idempotent via the committed-doc anti-join |
+| ``graph.video_exists(id)``             | ``video_exists(doc_id)`` |
+| ``.search(entity)``                    | ``search(identifier)`` — label, DBpedia URI, or Wikidata URI (canonical-map resolved) |
+| ``graph.get_scenes_from_video``        | ``scenes_of(doc_id)`` |
+| ``graph.get_videos_with_filters``      | ``query(where_sql)`` |
+| ``cli.py run_detection`` (evaluation)  | ``evaluate(documents_df)`` |
+
+The big shape change from the reference: ``Hunter`` is one-video-at-a-
+time driver state (one URL per instance, hunter.py:18-21); this facade
+is a stateless handle over (SparkSession, catalog root) — every method
+is a distributed job or a SQL view read, so the same object serves the
+CLI, a notebook, or a request handler thread (the reference builds its
+models once per process for exactly this reason, flask_api.py:40-45).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import query as Q, synth
+from .catalog import ParquetCatalog
+from .operators.canonical import canonical_map
+from .pipeline import run_link_job
+from .schemas import ENTITY_CATALOG, NS
+
+
+class SparkHunter:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog_root: str,
+        n_entities: int = 54,
+        gallery_pdf=None,
+        entity_catalog: DataFrame | None = None,
+        strategy: str = "bruteforce",
+        distance_threshold: float = 0.6,
+        frame_threshold: int = 3,
+    ):
+        self.spark = spark
+        self.catalog = ParquetCatalog(catalog_root)
+        self.n_entities = n_entities
+        self.gallery_pdf = (
+            gallery_pdf
+            if gallery_pdf is not None
+            else synth.make_gallery_pdf(n_entities=n_entities)
+        )
+        self.entity_catalog = (
+            entity_catalog
+            if entity_catalog is not None
+            else spark.createDataFrame(
+                synth.make_entity_catalog_pdf(n_entities=n_entities),
+                ENTITY_CATALOG,
+            )
+        )
+        self.strategy = strategy
+        self.distance_threshold = distance_threshold
+        self.frame_threshold = frame_threshold
+        self._canon = canonical_map(self.entity_catalog).cache()
+
+    # ------------------------------------------------------ write path
+
+    def link(self, documents: DataFrame, run_id: str | None = None) -> dict:
+        """hunter.py:91-151 for a whole DataFrame of docs: idempotent
+        link job; returns the run stats dict."""
+        stats = run_link_job(
+            self.spark,
+            self.catalog,
+            documents,
+            self.gallery_pdf,
+            self.entity_catalog,
+            run_id=run_id,
+            n_entities=self.n_entities,
+            strategy=self.strategy,
+            distance_threshold=self.distance_threshold,
+            frame_threshold=self.frame_threshold,
+        )
+        self._refresh_views()
+        return stats
+
+    def video_exists(self, doc_id: str) -> bool:
+        """memory_store.py:82-90 membership probe."""
+        if not self.catalog.exists("triples"):
+            return False
+        return (
+            self.catalog.read(self.spark, "triples")
+            .where(F.col("doc_id") == doc_id)
+            .where(F.col("pred") == NS["rdf_type"])
+            .where(F.col("obj") == NS["mpeg7_video"])
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    # ------------------------------------------------------- read path
+
+    def _refresh_views(self) -> None:
+        if self.catalog.exists("triples"):
+            Q.register_views(
+                self.spark,
+                self.catalog.read(self.spark, "triples"),
+                canon=self._canon,
+            )
+
+    def search(self, identifier: str) -> DataFrame | None:
+        """hunter.py:153-187 / graph.py:153-192: scenes depicting a
+        label or URI (Wikidata URIs resolve through the canonical
+        map)."""
+        self._refresh_views()
+        return Q.get_scenes_with_entity(
+            self.spark, identifier,
+            entity_catalog=self.entity_catalog, canon=self._canon,
+        )
+
+    def scenes_of(self, doc_id: str) -> DataFrame:
+        """graph.py:130-151 for one video (doc URI or bare doc_id)."""
+        from .schemas import HOME_URI
+
+        uri = doc_id if doc_id.startswith("http") else HOME_URI + doc_id
+        self._refresh_views()
+        return Q.get_scenes_from_video(self.spark, uri)
+
+    def query(self, where_sql: str) -> DataFrame:
+        """graph.py:194-244 user-filter template over the scene view."""
+        self._refresh_views()
+        return Q.get_videos_with_filters(self.spark, where_sql)
+
+    # ------------------------------------------------------ evaluation
+
+    def evaluate(self, documents: DataFrame) -> dict:
+        """cli.py run_detection / evaluation.py:16-90: frame- and
+        video-level linker metrics vs planted truth."""
+        from .evalharness import evaluate_linking
+
+        return evaluate_linking(
+            documents, self.gallery_pdf, self.n_entities,
+            self.distance_threshold,
+        )

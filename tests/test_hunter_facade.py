@@ -1,0 +1,60 @@
+"""SparkHunter facade — API parity with the reference's Hunter class
+(link / video_exists / search / scenes_of / query / evaluate)."""
+
+import pyspark.sql.functions as F
+
+from face_hunter_spark import synth
+from face_hunter_spark.hunter import SparkHunter
+
+N_ENT = 10
+
+
+def test_hunter_end_to_end(spark, tmp_path):
+    h = SparkHunter(spark, str(tmp_path / "kg"), n_entities=N_ENT,
+                    gallery_pdf=synth.make_gallery_pdf(
+                        n_entities=N_ENT, thumbs_per_entity=5, distractors=2),
+                    entity_catalog=synth.entity_catalog_df(
+                        spark, n_entities=N_ENT, distractors=2))
+    docs = synth.documents_df(spark, 20, N_ENT)
+
+    assert not h.video_exists("vid_00000")
+    stats = h.link(docs)
+    assert stats["n_docs"] == 20 and stats["n_triples"] > 0
+    assert h.video_exists("vid_00000")
+
+    # idempotent re-link (the reference's video_exists early exit)
+    assert h.link(docs)["n_triples"] == 0
+
+    # scenes_of: every returned scene belongs to the requested video
+    sc = h.scenes_of("vid_00000").collect()
+    assert sc and all("vid_00000#t=" in r.scene for r in sc)
+
+    # search by label resolves through the catalog; by Wikidata URI
+    # through the canonical map — both find the same scene set
+    row = (
+        h.search("Entity 001").select("link").distinct().collect()
+        if h.search("Entity 001") is not None else []
+    )
+    assert row, "label search found no scenes"
+    from face_hunter_spark.synth import wikidata_uri
+
+    via_wd = h.search(wikidata_uri("Entity 001"))
+    assert via_wd is not None
+    assert {r.link for r in via_wd.select("link").distinct().collect()} == {
+        r.link for r in row
+    }
+
+    # user-filter query over the scene view
+    n = h.query("entity LIKE '%Entity_001'").count()
+    assert n > 0
+
+    # evaluation: near-perfect on the clean synthetic gallery
+    ev = h.evaluate(docs.limit(8))
+    assert ev["frame_metrics"]["precision"] > 0.9
+    assert ev["video_accuracy"] > 0.9
+
+
+def test_hunter_unknown_label_returns_none(spark, tmp_path):
+    h = SparkHunter(spark, str(tmp_path / "kg"), n_entities=N_ENT)
+    h.link(synth.documents_df(spark, 4, N_ENT))
+    assert h.search("No Such Person") is None
