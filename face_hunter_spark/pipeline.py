@@ -131,6 +131,22 @@ def run_link_job(
     new_triples = canonicalize_depicts(
         new_triples, canonical_map(entity_catalog)
     )
+    # north_star's doc-level triple shape: (doc, sdo:depicts, QID) —
+    # the video URI is the scene URI's '#t=' prefix, the object is the
+    # canonical QID; distinct per (doc, entity)
+    doc_depicts = (
+        new_triples.where(F.col("pred") == NS["foaf_depicts"])
+        .select(
+            F.split(F.col("subj"), "#t=").getItem(0).alias("subj"),
+            F.lit(NS["sdo_depicts"]).alias("pred"),
+            F.col("obj_canonical").alias("obj"),
+            *[c for c in new_triples.columns
+              if c not in ("subj", "pred", "obj")],
+        )
+        .withColumn("obj_canonical", F.col("obj"))
+        .dropDuplicates(["subj", "obj"])
+    )
+    new_triples = new_triples.unionByName(doc_depicts)
 
     # One pass: cache the job's output so triples + lineage + metrics
     # come from the same computation (per-partition lineage is derived

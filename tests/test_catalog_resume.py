@@ -164,3 +164,31 @@ def test_entity_counts_salted_rollup(spark, tmp_path):
         .groupBy("obj").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == plain and got
+
+
+def test_doc_level_sdo_depicts_qids(spark, tmp_path):
+    """north_star triple shape: the committed table carries
+    (doc, sdo:depicts, QID) rows — video-URI subject (no #t=),
+    canonical Wikidata QID object — alongside the scene-level rows."""
+    docs, gal, ecat = _inputs(spark, n_docs=10)
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    run_link_job(spark, cat, docs, gal, ecat, n_entities=N_ENT)
+    from face_hunter_spark.schemas import NS
+    tri = cat.read(spark, "triples")
+    doc_rows = tri.where(
+        (F.col("pred") == NS["sdo_depicts"]) & (~F.col("subj").contains("#t="))
+    )
+    assert doc_rows.count() > 0
+    assert doc_rows.where(
+        ~F.col("obj").startswith("http://www.wikidata.org")
+    ).count() == 0
+    # consistency: doc-level (doc, entity-QID) pairs == the rollup of
+    # scene-level foaf:depicts through the canonical map
+    expected = {
+        (r.v, r.q)
+        for r in tri.where(F.col("pred") == NS["foaf_depicts"])
+        .select(F.split(F.col("subj"), "#t=").getItem(0).alias("v"),
+                F.col("obj_canonical").alias("q")).distinct().collect()
+    }
+    got = {(r.subj, r.obj) for r in doc_rows.collect()}
+    assert got == expected
