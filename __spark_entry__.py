@@ -255,7 +255,9 @@ def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from face_hunter_spark import query as Q
     from face_hunter_spark.schemas import NS
 
-    triples = _kg_pipeline(spark, sf_dir)
+    # persist: the target collect AND the scene_view self-joins would
+    # otherwise each re-run the Python vision/link pipeline
+    triples = _kg_pipeline(spark, sf_dir).persist()
     Q.register_views(spark, triples)
     target = (
         triples.where(F.col("pred") == NS["foaf_depicts"])

@@ -79,6 +79,7 @@ class SparkHunter:
             self.gallery_pdf,
             self.entity_catalog,
             run_id=run_id,
+            canon=self._canon,
             n_entities=self.n_entities,
             strategy=self.strategy,
             distance_threshold=self.distance_threshold,
@@ -114,23 +115,33 @@ class SparkHunter:
     def search(self, identifier: str) -> DataFrame | None:
         """hunter.py:153-187 / graph.py:153-192: scenes depicting a
         label or URI (Wikidata URIs resolve through the canonical
-        map)."""
+        map).  None before any link() commit — the guard keeps this
+        handle from reading another SparkHunter's session-global
+        views."""
+        if not self.catalog.exists("triples"):
+            return None
         self._refresh_views()
         return Q.get_scenes_with_entity(
             self.spark, identifier,
             entity_catalog=self.entity_catalog, canon=self._canon,
         )
 
-    def scenes_of(self, doc_id: str) -> DataFrame:
-        """graph.py:130-151 for one video (doc URI or bare doc_id)."""
+    def scenes_of(self, doc_id: str) -> DataFrame | None:
+        """graph.py:130-151 for one video (doc URI or bare doc_id).
+        None before any link() commit (see search)."""
         from .schemas import HOME_URI
 
         uri = doc_id if doc_id.startswith("http") else HOME_URI + doc_id
+        if not self.catalog.exists("triples"):
+            return None
         self._refresh_views()
         return Q.get_scenes_from_video(self.spark, uri)
 
-    def query(self, where_sql: str) -> DataFrame:
-        """graph.py:194-244 user-filter template over the scene view."""
+    def query(self, where_sql: str) -> DataFrame | None:
+        """graph.py:194-244 user-filter template over the scene view.
+        None before any link() commit (see search)."""
+        if not self.catalog.exists("triples"):
+            return None
         self._refresh_views()
         return Q.get_videos_with_filters(self.spark, where_sql)
 

@@ -150,6 +150,21 @@ def extract_scenes(
     return frame_predictions.groupBy("doc_id").applyInPandas(fn, schema=SCENES)
 
 
+def _scenes_out_pdf(out_doc, out_idx, out_ents, out_s, out_e) -> pd.DataFrame:
+    """Shared SCENES-schema batch assembly for the packed mapInPandas
+    stages (explicit dtypes: empty batches must not infer float64 for
+    the list<string> column)."""
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(out_doc, dtype=object),
+            "scene_idx": pd.array(out_idx, dtype="int32"),
+            "entities": pd.Series(out_ents, dtype=object),
+            "start_ms": pd.array(out_s, dtype="float64"),
+            "end_ms": pd.array(out_e, dtype="float64"),
+        }
+    )
+
+
 def extract_scenes_from_faces(
     linked_faces: DataFrame, frame_threshold: int = 3
 ) -> DataFrame:
@@ -186,15 +201,7 @@ def extract_scenes_from_faces(
                     out_ents.append(names)
                     out_s.append(s)
                     out_e.append(e)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out_doc, dtype=object),
-                    "scene_idx": pd.array(out_idx, dtype="int32"),
-                    "entities": pd.Series(out_ents, dtype=object),
-                    "start_ms": pd.array(out_s, dtype="float64"),
-                    "end_ms": pd.array(out_e, dtype="float64"),
-                }
-            )
+            yield _scenes_out_pdf(out_doc, out_idx, out_ents, out_s, out_e)
 
     import pyspark.sql.functions as F2
 
@@ -283,15 +290,7 @@ def extract_scenes_packed(
                     out_ents.append(names)
                     out_s.append(s)
                     out_e.append(e)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out_doc, dtype=object),
-                    "scene_idx": pd.array(out_idx, dtype="int32"),
-                    "entities": pd.Series(out_ents, dtype=object),
-                    "start_ms": pd.array(out_s, dtype="float64"),
-                    "end_ms": pd.array(out_e, dtype="float64"),
-                }
-            )
+            yield _scenes_out_pdf(out_doc, out_idx, out_ents, out_s, out_e)
 
     from .util import ensure_parallelism
 

@@ -100,6 +100,7 @@ def run_link_job(
     gallery_pdf,
     entity_catalog: DataFrame,
     run_id: str | None = None,
+    canon: DataFrame | None = None,
     **kwargs,
 ) -> dict:
     """Idempotent link job: skips docs already in the triple table,
@@ -128,8 +129,11 @@ def run_link_job(
     # rows carry obj_canonical next to the DBpedia-preferred obj
     from .operators.canonical import canonical_map, canonicalize_depicts
 
+    # canon is recomputable from the catalog but involves an iterative
+    # CC loop; repeated callers (facade, streaming foreachBatch) pass
+    # their cached map instead
     new_triples = canonicalize_depicts(
-        new_triples, canonical_map(entity_catalog)
+        new_triples, canon if canon is not None else canonical_map(entity_catalog)
     )
     # north_star's doc-level triple shape: (doc, sdo:depicts, QID) —
     # the video URI is the scene URI's '#t=' prefix, the object is the

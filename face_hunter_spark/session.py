@@ -57,7 +57,11 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     for var in _thread_vars:
-        builder = builder.config(f"spark.executorEnv.{var}", "1")
+        # propagate the (possibly user-exported) driver value so local
+        # and cluster executors behave identically
+        builder = builder.config(
+            f"spark.executorEnv.{var}", os.environ[var]
+        )
     if shuffle_partitions is None:
         # sensible local default; cluster submitters override
         shuffle_partitions = 32

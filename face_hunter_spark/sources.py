@@ -111,12 +111,16 @@ def read_eval_manifest_csv(
     The reference packs multiple entities into one cell; the split
     produces the per-file truth set its evaluation joins against."""
     df = spark.read.csv(path, header=True)
+    # \Q...\E: F.split takes a Java regex, so a literal separator like
+    # '|' or '.' must be quoted or it shreds the cell per character
+    sep_re = f"\\Q{sep}\\E"
     return df.select(
         F.col("file"),
         F.filter(
             # one-arg lambda: passing F.trim itself would be
             # introspected as a two-param (elem, index) HOF lambda
-            F.transform(F.split(F.col("entities"), sep), lambda e: F.trim(e)),
+            F.transform(F.split(F.col("entities"), sep_re),
+                        lambda e: F.trim(e)),
             lambda e: e != F.lit(""),
         ).alias("entities"),
     )

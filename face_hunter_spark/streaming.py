@@ -150,12 +150,23 @@ def streaming_scene_runs(
         doc_id = key[0]
         if state.hasTimedOut:
             sig, start_ms, end_ms, n_frames, n_emitted = state.get
-            state.remove()
-            if sig:  # flush the open scene
+            if sig:
+                # flush the open scene but RETIRE the state in two
+                # phases: keep the n_emitted counter for another
+                # 10x gap so a doc that resumes continues its
+                # scene_idx sequence instead of re-issuing index 0
+                # (duplicate (doc_id, scene_idx) keys downstream);
+                # a second quiet timeout removes it for good.
+                state.update((None, 0.0, 0.0, 0, n_emitted + 1))
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + 10 * stale_gap_ms
+                )
                 yield pd.DataFrame(
                     [(doc_id, n_emitted, sig, start_ms, end_ms, n_frames)],
                     columns=cols,
                 )
+            else:
+                state.remove()
             return
         if state.exists:
             sig, start_ms, end_ms, n_frames, n_emitted = state.get

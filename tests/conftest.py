@@ -21,3 +21,16 @@ def spark():
 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# CI portability: the driver parquet fixtures and the read-only
+# reference checkout exist on the build host but not on generic CI
+# runners; fixture-dependent modules skip cleanly there.
+requires_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"driver testdata not present at {SF_DIR}",
+)
+requires_reference = pytest.mark.skipif(
+    not os.path.exists("/root/reference/models/example_graph"),
+    reason="reference checkout not present",
+)

@@ -9,6 +9,10 @@ import pytest
 
 from tests.conftest import SF_DIR
 
+from tests.conftest import requires_testdata
+
+pytestmark = requires_testdata
+
 
 def plan_of(df, execute: bool = False) -> str:
     if execute:

@@ -20,6 +20,12 @@ import re
 
 import pytest
 
+from tests.conftest import requires_reference, requires_testdata
+
+# needs the reference checkout (artifact) AND the driver parquet
+# fixtures (our pipeline input)
+pytestmark = [requires_reference, requires_testdata]
+
 REF = "/root/reference/models/example_graph"
 SCENE_T = re.compile(r"#t=\d+:\d{2}:\d{2},\d+:\d{2}:\d{2}$")
 HMS = re.compile(r"^\d+:\d{2}:\d{2}$")

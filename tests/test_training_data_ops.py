@@ -11,6 +11,10 @@ from face_hunter_spark.operators import dedup, multimodal, similarity
 from face_hunter_spark.operators import text as T
 from tests.conftest import SF_DIR
 
+from tests.conftest import requires_testdata
+
+pytestmark = requires_testdata
+
 
 @pytest.fixture(scope="module")
 def documents(spark):
