@@ -258,20 +258,29 @@ def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the target collect AND the scene_view self-joins would
     # otherwise each re-run the Python vision/link pipeline
     triples = _kg_pipeline(spark, sf_dir).persist()
-    Q.register_views(spark, triples)
-    target = (
-        triples.where(F.col("pred") == NS["foaf_depicts"])
-        .groupBy("obj")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "obj")
-        .limit(1)
-        .collect()[0]["obj"]
-    )
-    return (
-        Q.get_scenes_with_entity(spark, target)
-        .select("title", "link", "co_entity", "start", "finish")
-        .orderBy("link", "start", "co_entity")
-    )
+    try:
+        Q.register_views(spark, triples)
+        target = (
+            triples.where(F.col("pred") == NS["foaf_depicts"])
+            .select("subj", "pred", "obj").distinct()
+            .groupBy("obj")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "obj")
+            .limit(1)
+            .collect()[0]["obj"]
+        )
+        result = (
+            Q.get_scenes_with_entity(spark, target)
+            .select("title", "link", "co_entity", "start", "finish")
+            .orderBy("link", "start", "co_entity")
+        )
+        # materialize while the pipeline output is cached, then free the
+        # executor memory — repeated harness invocations in one session
+        # must not accumulate cached partitions
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        triples.unpersist()
 
 
 def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:

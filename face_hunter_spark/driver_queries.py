@@ -1012,28 +1012,39 @@ FROM part GROUP BY p_brand
 def q_argmax_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by / argmin-distance analogue (largest-face selection,
     face_recognition.py:367-371): top event per user by value, ties
-    broken deterministically by event_id via an epsilon key (DuckDB
-    arg_max has no composite-key overload)."""
+    broken deterministically by the highest event_id.  A composite
+    struct ordering key — exact, unlike an epsilon-sum key which is
+    lossy when value gaps shrink below event_id * eps."""
     load_views(spark, sf_dir)
-    key = F.col("value") + F.col("event_id") * F.lit(1e-9)
     return (
         spark.table("events")
         .where(F.col("value").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.max_by("event_id", key).alias("top_event"),
+            F.max_by("event_id", F.struct("value", "event_id")).alias(
+                "top_event"
+            ),
             F.round(F.max("value"), 6).alias("max_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
 
 
+# DuckDB arg_max takes no struct key; a row_number window is the exact
+# equivalent of max_by(event_id, struct(value, event_id))
 ORACLE_ARGMAX = """
-SELECT user_id,
-       arg_max(event_id, value + event_id * 1e-9) AS top_event,
-       round(max(value), 6) AS max_value,
+WITH nn AS (SELECT user_id, event_id, value FROM events
+            WHERE value IS NOT NULL),
+ranked AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id DESC) AS rn
+  FROM nn)
+SELECT a.user_id, t.event_id AS top_event,
+       round(max(a.value), 6) AS max_value,
        count(*) AS n_events
-FROM events WHERE value IS NOT NULL GROUP BY user_id
+FROM nn a JOIN ranked t ON a.user_id = t.user_id AND t.rn = 1
+GROUP BY a.user_id, t.event_id
 """
 
 
@@ -1068,7 +1079,8 @@ WITH ranked AS (
 min_n AS (
   SELECT min(n) AS min_n FROM (
     SELECT count(*) AS n FROM events GROUP BY event_type))
-SELECT event_type, count(*) AS n_sampled, sum(event_id) AS id_checksum,
+SELECT event_type, count(*) AS n_sampled,
+       sum(event_id)::BIGINT AS id_checksum,
        max(event_id) AS max_kept_id
 FROM ranked, min_n WHERE rn <= min_n GROUP BY event_type
 """
@@ -1099,7 +1111,9 @@ SELECT DISTINCT * FROM (
 def q_video_level_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-level accuracy rule (evaluation.py:148-202): a video is
     'correct' when >10% of its frames hit OR more than one frame hits.
-    Here: user=video, frame=event, hit=event_type='click'."""
+    Here: user=video, frame=event, hit=event_type='click'.  The 10%
+    rule is evaluated as ``10 * n_hits > n_frames`` — pure integer
+    arithmetic, so no engine-dependent float-boundary flips."""
     load_views(spark, sf_dir)
     hit = F.when(F.col("event_type") == "click", 1).otherwise(0)
     return (
@@ -1112,7 +1126,7 @@ def q_video_level_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "n_frames", "n_hits",
             F.when(
-                (F.col("n_hits") / F.col("n_frames") > 0.1)
+                (10 * F.col("n_hits") > F.col("n_frames"))
                 | (F.col("n_hits") > 1),
                 1,
             ).otherwise(0).alias("correct"),
@@ -1123,10 +1137,11 @@ def q_video_level_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VIDEO_ACC = """
 WITH per_user AS (
   SELECT user_id, count(*) AS n_frames,
-         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_hits
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           AS n_hits
   FROM events GROUP BY user_id)
 SELECT user_id, n_frames, n_hits,
-       CASE WHEN n_hits / n_frames > 0.1 OR n_hits > 1
+       CASE WHEN 10 * n_hits > n_frames OR n_hits > 1
             THEN 1 ELSE 0 END AS correct
 FROM per_user
 """
@@ -1201,8 +1216,9 @@ grid AS (
   SELECT p.match, p.cosine, t.range / 10.0 AS thr
   FROM pairs p, range(1, 10) t)
 SELECT round(thr, 1) AS thr,
-       sum(CASE WHEN cosine >= thr THEN 1 ELSE 0 END) AS n_accept,
-       sum(CASE WHEN cosine >= thr AND match = 1 THEN 1 ELSE 0 END) AS n_true,
+       sum(CASE WHEN cosine >= thr THEN 1 ELSE 0 END)::BIGINT AS n_accept,
+       sum(CASE WHEN cosine >= thr AND match = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_true,
        round(CASE WHEN sum(CASE WHEN cosine >= thr THEN 1 ELSE 0 END) > 0
              THEN sum(CASE WHEN cosine >= thr AND match = 1 THEN 1 ELSE 0 END)::DOUBLE
                   / sum(CASE WHEN cosine >= thr THEN 1 ELSE 0 END)

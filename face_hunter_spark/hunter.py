@@ -66,6 +66,12 @@ class SparkHunter:
         self.distance_threshold = distance_threshold
         self.frame_threshold = frame_threshold
         self._canon = canonical_map(self.entity_catalog).cache()
+        # instance-scoped temp-view names: two SparkHunter handles on
+        # one SparkSession must not clobber each other's views between
+        # a refresh and a later read of a returned lazy DataFrame
+        import uuid as _uuid
+
+        self._view_suffix = "_h" + _uuid.uuid4().hex[:8]
 
     # ------------------------------------------------------ write path
 
@@ -110,6 +116,7 @@ class SparkHunter:
                 self.spark,
                 self.catalog.read(self.spark, "triples"),
                 canon=self._canon,
+                suffix=self._view_suffix,
             )
 
     def search(self, identifier: str) -> DataFrame | None:
@@ -124,6 +131,7 @@ class SparkHunter:
         return Q.get_scenes_with_entity(
             self.spark, identifier,
             entity_catalog=self.entity_catalog, canon=self._canon,
+            view="scene_view" + self._view_suffix,
         )
 
     def scenes_of(self, doc_id: str) -> DataFrame | None:
@@ -135,15 +143,25 @@ class SparkHunter:
         if not self.catalog.exists("triples"):
             return None
         self._refresh_views()
-        return Q.get_scenes_from_video(self.spark, uri)
+        return Q.get_scenes_from_video(
+            self.spark, uri, view="scene_view" + self._view_suffix
+        )
 
-    def query(self, where_sql: str) -> DataFrame | None:
-        """graph.py:194-244 user-filter template over the scene view.
+    def query(
+        self, where_sql: str, attributes: DataFrame | None = None
+    ) -> DataFrame | None:
+        """graph.py:194-244 user-filter template over the scene view,
+        optionally broadcast-joined with an entity-attribute dim table
+        (the offline analogue of the reference's service{} blocks).
         None before any link() commit (see search)."""
         if not self.catalog.exists("triples"):
             return None
         self._refresh_views()
-        return Q.get_videos_with_filters(self.spark, where_sql)
+        return Q.get_videos_with_filters(
+            self.spark, where_sql,
+            view="scene_view" + self._view_suffix,
+            attributes=attributes,
+        )
 
     # ------------------------------------------------------ evaluation
 

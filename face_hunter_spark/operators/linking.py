@@ -117,6 +117,9 @@ def _hyperplanes(n_bits: int, dim: int) -> np.ndarray:
 def lsh_signature_udf(bands: int, rows_per_band: int, dim: int = 512):
     """pandas UDF: embedding -> array of band bucket keys.  Bucket key
     packs (band_id << 24) | band_bits so a single int column joins."""
+    # the packing reserves 24 low bits for band_bits; more rows per
+    # band would silently collide across bands
+    assert rows_per_band <= 24, "bucket packing supports rows_per_band <= 24"
     planes = _hyperplanes(bands * rows_per_band, dim)
 
     @F.pandas_udf(ArrayType(IntegerType()))
@@ -330,6 +333,7 @@ def lsh_gallery_payload(
     """Driver-side build of the broadcastable LSH gallery: (labels,
     matrix, norms, hyperplanes, bucket->gallery-indices dict, bands,
     rows_per_band).  One tiny G x planes matmul."""
+    assert rows_per_band <= 24, "bucket packing supports rows_per_band <= 24"
     labels, mat, norms = _gallery_arrays(gallery_pdf)
     planes = _hyperplanes(bands * rows_per_band, mat.shape[1])
     gbits = (mat @ planes.T) > 0

@@ -36,15 +36,24 @@ def salted_agg(
     """groupBy(keys).agg(...) in two shuffle stages.
 
     aggs: {out_name: (fn, col)} with fn in count|sum|min|max.
-    salt_source: column whose hash spreads a hot key; defaults to a
-    random uniform salt (deterministic alternative: pass a unique id
-    column so results are reproducible row-for-row).
+    salt_source: column whose hash spreads a hot key.  Default (None)
+    hashes the WHOLE row (xxhash64 over every input column) — fully
+    deterministic across partitionings, so the partial-stage row->salt
+    assignment is reproducible (identical duplicate rows share a salt
+    bucket, which only narrows spreading for degenerate all-dup keys).
+    Pass ``salt_source="__rand__"`` to opt into a uniform random salt
+    (seeded, but per-partition-seeded: row assignment then depends on
+    the input partitioning).
     """
-    salt = (
-        F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets))
-        if salt_source
-        else (F.rand(seed=42) * salt_buckets).cast("int")
-    )
+    if salt_source == "__rand__":
+        salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    elif salt_source:
+        salt = F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets))
+    else:
+        salt = F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+            F.lit(salt_buckets),
+        )
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

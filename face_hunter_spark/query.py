@@ -18,9 +18,14 @@ from .schemas import NS
 
 
 def register_views(spark: SparkSession, triples: DataFrame,
-                   canon: DataFrame | None = None) -> None:
-    triples.createOrReplaceTempView("triples")
-    scene_wide(triples, canon).createOrReplaceTempView("scene_view")
+                   canon: DataFrame | None = None,
+                   suffix: str = "") -> None:
+    """Register ``triples``/``scene_view`` temp views.  ``suffix``
+    scopes the names so two handles sharing one SparkSession don't
+    clobber each other's views between a refresh and a later read
+    (SparkHunter passes a per-instance suffix)."""
+    triples.createOrReplaceTempView(f"triples{suffix}")
+    scene_wide(triples, canon).createOrReplaceTempView(f"scene_view{suffix}")
 
 
 def scene_wide(triples: DataFrame, canon: DataFrame | None = None) -> DataFrame:
@@ -70,12 +75,14 @@ def scene_wide(triples: DataFrame, canon: DataFrame | None = None) -> DataFrame:
     return wide
 
 
-def get_scenes_from_video(spark: SparkSession, identifier_uri: str) -> DataFrame:
+def get_scenes_from_video(
+    spark: SparkSession, identifier_uri: str, view: str = "scene_view"
+) -> DataFrame:
     """graph.py:130-151: (scene, entity, start, end) for one video."""
     return spark.sql(
-        """
+        f"""
         SELECT DISTINCT scene, entity, start, finish
-        FROM scene_view WHERE video = :v AND entity IS NOT NULL
+        FROM {view} WHERE video = :v AND entity IS NOT NULL
         """,
         args={"v": identifier_uri},
     )
@@ -86,6 +93,7 @@ def get_scenes_with_entity(
     identifier: str,
     entity_catalog: DataFrame | None = None,
     canon: DataFrame | None = None,
+    view: str = "scene_view",
 ) -> DataFrame | None:
     """graph.py:153-192: distinct (title, link, co-occurring entity,
     start, finish) for all scenes depicting the given entity.
@@ -107,7 +115,7 @@ def get_scenes_with_entity(
         uri = by_kg.get("dbpedia") or by_kg.get("wikidata")
         if uri is None:
             return None
-    sv = spark.table("scene_view")
+    sv = spark.table(view)
     if "canonical_entity" in sv.columns and canon is not None:
         target = canon.where(F.col("uri") == uri).select("canonical")
         match = sv.join(
@@ -128,14 +136,41 @@ def get_scenes_with_entity(
     )
 
 
-def get_videos_with_filters(spark: SparkSession, where_sql: str) -> DataFrame:
+def get_videos_with_filters(
+    spark: SparkSession,
+    where_sql: str,
+    view: str = "scene_view",
+    attributes: DataFrame | None = None,
+) -> DataFrame:
     """graph.py:194-244: user-supplied constraints over the scene view.
+
     The reference splices SPARQL fragments + FILTER(...) into a
-    template; here the template is the scene_view and the user filter
-    is a SQL WHERE fragment over its columns (entity attributes join in
-    via dim tables registered by the caller).  Federation (live
-    service{} blocks) is out of scope — documented in SURVEY.md §2.8."""
-    return spark.sql(
-        "SELECT DISTINCT title, link, entity, start, finish "
-        f"FROM scene_view WHERE {where_sql}"
+    template, with entity attributes (birthDate, gender, the
+    wikidata sameAs URI) fetched live via federated ``service{}``
+    blocks (graph.py:205-215).  The batch analogue: ``attributes`` is
+    an offline entity-attribute dim table (one row per depicts URI —
+    see synth.make_entity_attributes_pdf for the shape) broadcast-
+    joined into the scene view, so the reference's documented example
+
+        filter(regex(str(?wikidata_entity), 'www.wikidata.org')
+               && ?sex_label = 'male' && ?date < '1970-01-01')
+
+    becomes the WHERE fragment
+
+        wikidata_entity LIKE '%www.wikidata.org%'
+        AND gender = 'male' AND birth_date < DATE '1970-01-01'
+
+    Live federation stays out of scope (SURVEY.md §2.8); the dim table
+    is built offline exactly like the thumbnail catalog."""
+    sv = spark.table(view)
+    if attributes is not None:
+        sv = sv.join(
+            F.broadcast(attributes.withColumnRenamed("uri", "entity")),
+            "entity",
+            "left",
+        )
+    return (
+        sv.where(where_sql)
+        .select("title", "link", "entity", "start", "finish")
+        .distinct()
     )
