@@ -559,12 +559,19 @@ list_distinct(CASE WHEN len(toks) >= 3 THEN
   ELSE [] END)
 """
 
+# mirrors jaccard_pairs' document-frequency cap (max_df=10000):
+# shingles above the cap leave the representation on BOTH engines
 ORACLE_JACCARD = f"""
-WITH sh AS (
+WITH raw AS (
   SELECT doc_id AS id, {_DUCK_SHINGLES} AS s
   FROM (SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks
         FROM documents)
-  WHERE len(toks) > 0)
+  WHERE len(toks) > 0),
+exploded AS (SELECT id, unnest(s) AS shingle FROM raw),
+keep AS (SELECT shingle FROM exploded GROUP BY shingle
+         HAVING count(*) <= 10000),
+sh AS (SELECT id, list(e.shingle) AS s
+       FROM exploded e JOIN keep USING (shingle) GROUP BY id)
 SELECT a.id AS id_a, b.id AS id_b,
   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
@@ -616,9 +623,13 @@ WITH sh AS (
 sig AS (SELECT id, s, {sig_cols} FROM sh),
 bucketed AS (
   SELECT id, s, unnest([{band_exprs}]) AS bucket FROM sig),
+-- mirrors minhash_lsh_pairs' bucket-size cap (max_bucket_size=5000)
+keepb AS (SELECT bucket FROM bucketed GROUP BY bucket
+          HAVING count(*) <= 5000),
+capped AS (SELECT b.* FROM bucketed b JOIN keepb USING (bucket)),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
-  FROM bucketed a JOIN bucketed b
+  FROM capped a JOIN capped b
     ON a.bucket = b.bucket AND a.id < b.id)
 SELECT id_a, id_b,
   round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)

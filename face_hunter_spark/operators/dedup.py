@@ -31,7 +31,7 @@ All built-in expressions; no Python workers anywhere.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from .text import doc_fingerprint, shingles, tokens
 from .util import ensure_parallelism
@@ -81,12 +81,32 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """All pairs with n-gram Jaccard >= threshold, via inverted-index
     join: explode shingles, equi-join on shingle, count common per pair.
-    J = common / (|A| + |B| - common)."""
+    J = common / (|A| + |B| - common).
+
+    ``max_df`` is the document-frequency cap: a shingle occurring in
+    more than max_df docs (boilerplate / stop-shingles) is dropped from
+    the representation BEFORE the self-join — without it one hot
+    shingle contributes O(df^2) candidate rows and the join goes
+    quadratic on skewed corpora.  Jaccard is then computed over the
+    capped shingle sets on both sides (standard near-dup practice; the
+    DuckDB oracle mirrors the cap so results stay exact).  The df
+    window and the inverted-index self-join hash on the same key, so
+    the cap reuses the join's exchange rather than adding one.
+    """
     s = _shingled(df, text_col, id_col, n).where(F.col("n_sh") > 0)
-    inv = s.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    inv = s.select("id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        wdf = Window.partitionBy("shingle")
+        inv = inv.withColumn("_df", F.count(F.lit(1)).over(wdf)).where(
+            F.col("_df") <= max_df
+        ).drop("_df")
+    # set sizes AFTER the cap, so J is consistent on both sides
+    wid = Window.partitionBy("id")
+    inv = inv.withColumn("n_sh", F.count(F.lit(1)).over(wid))
     a = inv.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"), "shingle")
     b = inv.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle")
     return (
@@ -175,22 +195,40 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 5_000,
 ) -> DataFrame:
     """Candidate pairs from LSH band-bucket collisions, verified with
     exact Jaccard on the shingle arrays.  rows_per_band = num_hashes //
-    bands; P(candidate) = 1-(1-J^r)^b — tune (b, r) to the threshold."""
+    bands; P(candidate) = 1-(1-J^r)^b — tune (b, r) to the threshold.
+
+    Scale shape (the part that matters at 100 TB):
+
+    * the band-bucket self-join carries ONLY (id, bucket) — the shingle
+      arrays do NOT ride through the candidate exchange (at bands=4 and
+      ~1 KB of hashes per doc that is a ~400x shuffle-byte reduction on
+      the widest stage).  Arrays are fetched afterwards by joining the
+      deduped candidate ids back against the shingled docs; the shingle
+      hashing reruns only for docs that actually appear in a candidate
+      pair (AQE broadcasts the candidate set when small, making the
+      fetch a map-side join with zero extra exchange).
+    * ``max_bucket_size`` drops degenerate buckets (thousands of
+      near-identical boilerplate docs hashing to one band value) whose
+      membership exceeds the cap — a b-member bucket contributes
+      O(b^2) candidate pairs, so one hot bucket otherwise goes
+      quadratic.  The DuckDB oracle mirrors the cap, so results stay
+      exact at any scale.
+    """
     assert num_hashes % bands == 0
     r = num_hashes // bands
     s = _shingled(df, text_col, id_col, n).where(F.col("n_sh") > 0)
     hashed = s.select(
         "id", shingle_hashes(F.col("sh")).alias("sh")
     )
-    sig = hashed.withColumn(
-        "sig", minhash_signature_int(F.col("sh"), num_hashes)
+    sig = hashed.select(
+        "id", minhash_signature_int(F.col("sh"), num_hashes).alias("sig")
     )
     bucketed = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -205,22 +243,32 @@ def minhash_lsh_pairs(
             )
         ).alias("bucket"),
     )
-    a = bucketed.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "bucket"
-    )
-    b_ = bucketed.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "bucket"
-    )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("bucket")
+        bucketed = bucketed.withColumn(
+            "_bsz", F.count(F.lit(1)).over(wb)
+        ).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    a = bucketed.select(F.col("id").alias("id_a"), "bucket")
+    b_ = bucketed.select(F.col("id").alias("id_b"), "bucket")
     cand = (
         a.join(b_, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # array fetch AFTER candidate dedup: shingle arrays only for
+    # surviving pair members
+    pairs = cand.join(
+        hashed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        hashed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -260,10 +308,13 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 5_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 x 8-bit bands (pigeonhole:
     hamming <= 3 over 32 bits guarantees >= 1 identical band), verify
-    with bit_count(a XOR b) <= max_hamming."""
+    with bit_count(a XOR b) <= max_hamming.  ``max_bucket_size`` drops
+    degenerate band buckets before the self-join (same quadratic-bucket
+    guard as minhash_lsh_pairs)."""
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash32(F.col(text_col)).alias("simhash")
     )
@@ -283,6 +334,11 @@ def simhash_pairs(
             )
         ).alias("band"),
     )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band")
+        banded = banded.withColumn(
+            "_bsz", F.count(F.lit(1)).over(wb)
+        ).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "band")
     b_ = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "band")
     return (
@@ -303,26 +359,62 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    strategy: str | None = None,
+    lsh_bands: int = 8,
+    lsh_rows_per_band: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Pairs with cosine similarity >= threshold.  Exact but blocked:
-    with block_col, only within-block pairs are compared (caller
-    provides a cheap blocking key, e.g. an LSH bucket or a label);
-    without it this is the O(n^2) small-corpus fallback."""
+    """Pairs with cosine similarity >= threshold.
+
+    Blocking strategy (the scale knob):
+    * ``block_col`` given -> exact within caller-provided blocks (a
+      label, a shard key, a coarse cluster id).
+    * no block_col -> random-hyperplane LSH blocking by DEFAULT
+      (strategy='lsh'): candidates restricted to band-bucket
+      collisions, then exact cosine verify.  Approximate (a pair at
+      >= threshold with no shared bucket is missed — recall grows with
+      lsh_bands), but shuffle stays O(N * bands) instead of O(N^2).
+    * ``strategy='exact'`` opts into the O(n^2) crossJoin — the
+      small-corpus / oracle-parity fallback, never the default.
+    """
+    if strategy is None:
+        strategy = "block" if block_col else "lsh"
+    if strategy == "block" and not block_col:
+        raise ValueError("strategy='block' requires block_col")
     e = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        *( [F.col(block_col).alias("blk")] if strategy == "block" else [] ),
     )
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                 *( [F.col("blk")] if block_col else [] ))
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                 *( [F.col("blk")] if block_col else [] ))
-    joined = a.join(b, "blk") if block_col else a.crossJoin(b)
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a_, x: a_ + x * x))  # noqa: E731
+    if strategy == "lsh":
+        from .linking import lsh_signature_udf
+
+        if dim is None:
+            dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+        sig = lsh_signature_udf(lsh_bands, lsh_rows_per_band, dim=dim)
+        e = e.withColumn("blk", F.explode(sig(F.col("v").cast("array<float>"))))
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "blk")
+        joined = (
+            a.join(b, "blk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    elif strategy == "block":
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "blk")
+        joined = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
+    elif strategy == "exact":
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        raise ValueError(strategy)
     return (
-        joined.where(F.col("id_a") < F.col("id_b"))
+        joined
         .withColumn("cosine", dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -84,3 +84,47 @@ def test_salted_agg_matches_plain(spark):
         .collect()
     }
     assert got == want
+
+
+def test_salted_agg_default_salt_partitioning_invariant(spark):
+    """The default (whole-row hash) salt must assign each row the same
+    bucket regardless of input partitioning — assert the PARTIAL stage
+    (key, salt, partial aggregates) is identical for a 2-partition and
+    a 17-partition layout of the same data."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["hot"] * 300 + ["cold%d" % i for i in range(60)],
+            "v": list(range(360)),
+        }
+    )
+
+    def partial_counts(n_parts):
+        df = spark.createDataFrame(pdf).repartition(n_parts)
+        salt = F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(8)
+        )
+        return {
+            (r.k, r.s): (r.n, r.total)
+            for r in df.withColumn("s", salt)
+            .groupBy("k", "s")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+            .collect()
+        }
+
+    assert partial_counts(2) == partial_counts(17)
+    # and the merged result still matches the plain groupBy
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.k: (r.n, r.total)
+        for r in salted_agg(
+            df, keys=["k"], aggs={"n": ("count", "v"), "total": ("sum", "v")},
+            salt_buckets=8,
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.total)
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+        ).collect()
+    }
+    assert got == want

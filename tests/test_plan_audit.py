@@ -119,6 +119,38 @@ def test_minhash_candidate_join_is_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def formatted_plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_minhash_candidate_exchange_carries_no_arrays(spark):
+    """The widest stage of minhash LSH is the band-bucket exchange; the
+    shingle-hash arrays must NOT ride through it (they are fetched per
+    surviving candidate pair afterwards).  Assert every exchange that
+    hash-partitions on the bucket key inputs only scalar columns."""
+    from face_hunter_spark.operators import dedup
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(dedup.minhash_lsh_pairs(df, threshold=0.9))
+    checked = 0
+    for block in plan.split("\n("):
+        if "Exchange" not in block.splitlines()[0]:
+            continue
+        if "hashpartitioning(bucket" not in block:
+            continue
+        checked += 1
+        input_lines = [ln for ln in block.splitlines()
+                       if ln.startswith("Input")]
+        for ln in input_lines:
+            assert "sh#" not in ln and "sh_a#" not in ln and "sh_b#" not in ln, (
+                f"array column crosses the bucket exchange: {ln}"
+            )
+    assert checked >= 1, "expected at least one bucket exchange in the plan"
+
+
 def test_islands_scene_variant_is_pure_jvm(spark):
     """The Spark-native scene variant must compile to window+agg only —
     zero Python workers in the plan."""

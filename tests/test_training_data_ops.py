@@ -96,6 +96,57 @@ def test_embedding_near_dups(spark, embeddings):
         assert r.cosine >= 0.99
 
 
+def test_embedding_near_dup_lsh_default_vs_exact(spark):
+    """Default (no block_col) is LSH blocking, not a crossJoin: the
+    plan must contain no cartesian product, found pairs must be a
+    subset of the exact pairs, and planted near-identical vectors (for
+    which bucket collision is near-certain) must be found."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 64)).astype(np.float32)
+    # plant 5 near-dup pairs: vec i and vec 40+i nearly identical
+    dups = base[:5] + rng.standard_normal((5, 64)).astype(np.float32) * 0.01
+    mat = np.vstack([base, dups])
+    pdf = pd.DataFrame({
+        "vec_id": list(range(len(mat))),
+        "embedding": [v.tolist() for v in mat],
+    })
+    df = spark.createDataFrame(pdf)
+    approx_df = dedup.embedding_near_dup_pairs(df, threshold=0.95)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    approx = {(r.id_a, r.id_b) for r in approx_df.collect()}
+    exact = {(r.id_a, r.id_b) for r in dedup.embedding_near_dup_pairs(
+        df, threshold=0.95, strategy="exact").collect()}
+    assert approx <= exact
+    planted = {(i, 40 + i) for i in range(5)}
+    assert planted <= exact
+    assert len(approx & planted) >= 4  # near-identical vectors collide
+
+
+def test_dedup_caps_drop_degenerate_groups(spark):
+    """A boilerplate corpus (many identical docs) stops producing
+    quadratic candidates once the df / bucket caps bind."""
+    import pandas as pd
+
+    rows = [{"doc_id": i, "text": "exactly the same boilerplate text "
+                                  "repeated in every document body"}
+            for i in range(12)]
+    rows.append({"doc_id": 99, "text": "one unique document about spark "
+                                       "plans and shuffle exchanges"})
+    corpus = spark.createDataFrame(pd.DataFrame(rows))
+    # uncapped: all 12C2=66 boilerplate pairs
+    assert dedup.jaccard_pairs(corpus, threshold=0.9, max_df=None).count() == 66
+    assert dedup.minhash_lsh_pairs(
+        corpus, threshold=0.9, max_bucket_size=None).count() == 66
+    # capped below the group size: the degenerate group disappears
+    assert dedup.jaccard_pairs(corpus, threshold=0.9, max_df=5).count() == 0
+    assert dedup.minhash_lsh_pairs(
+        corpus, threshold=0.9, max_bucket_size=5).count() == 0
+    assert dedup.simhash_pairs(corpus, max_bucket_size=5).count() == 0
+
+
 def test_cosine_topk_exact_vs_fast(spark, embeddings):
     qs = embeddings.select(F.col("vec_id").alias("q_id"), "embedding").limit(30)
     corpus = embeddings.select(F.col("vec_id").alias("c_id"), "embedding")
