@@ -139,6 +139,69 @@ def _q_scene_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact oracle for the quirk-faithful kernel ON THIS INPUT: every
+# frame's cleaned label list has length 1 (a singleton event_type, or
+# the unique positional sentinel for a NULL-value frame), so the
+# kernel's close condition ("no frame in the window matches the open
+# scene's cardinality") can never fire — the FIRST run of 3 equal
+# consecutive labels opens the document's single scene, which closes at
+# the last frame; a run completing on the last frame is dropped
+# (operators/scenes.py:60-113).  That degenerate form is plain
+# window-function SQL.  The kernel's full behavior (multi-face frames,
+# real cardinality changes) is pytest-verified against the reference
+# goldens (tests/test_scene_extraction.py).
+ORACLE_SCENE_EXTRACTION = """
+WITH frames AS (
+  SELECT cast(user_id AS VARCHAR) AS doc_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - 1 AS f,
+         CASE WHEN value IS NULL THEN NULL ELSE event_type END AS lab
+  FROM events),
+ctx AS (
+  SELECT doc_id, f, lab,
+         lag(lab, 1) OVER w AS lab1,
+         lag(lab, 2) OVER w AS lab2,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM frames
+  WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+opens AS (
+  SELECT doc_id, min(f) AS f_open,
+         arg_min(lab, f) AS lab, any_value(n) AS n
+  FROM ctx
+  WHERE f >= 2 AND lab IS NOT NULL AND lab = lab1 AND lab = lab2
+  GROUP BY doc_id)
+SELECT doc_id, 0 AS scene_idx, lab AS entities,
+       (f_open - 2) * 1000.0 AS start_ms,
+       (n - 1) * 1000.0 AS end_ms
+FROM opens WHERE f_open < n - 1
+"""
+
+
+def _oracle_multimodal() -> str:
+    """The fake codec is deterministic pure hashing over a synthetic
+    fixture (no sf dependence) — regenerate the expected rows with the
+    same hashlib math and emit them as a VALUES literal."""
+    import hashlib
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(48):
+        kind = kinds[i % 3]
+        content = hashlib.sha256(f"media/{i}".encode()).digest() * (4 + i % 7)
+        h = hashlib.md5(content).digest()
+        rows.append(
+            f"('m{i:04d}', '{kind}', {160 + h[0] * 4}, {90 + h[1] * 4}, "
+            f"{len(content)}, true)"
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT media_id, kind, width::INTEGER AS width, height::INTEGER AS height,
+       n_bytes::INTEGER AS n_bytes, ok
+FROM (VALUES
+  {values}) t(media_id, kind, width, height, n_bytes, ok)
+"""
+
+
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from face_hunter_spark.operators.similarity import ann_lsh_topk
 
@@ -335,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # §2 gap-closers (group-concat, max_by, balancing, union,
         # video-level accuracy, islands scenes)
         "scene_islands": DQ.q_scene_islands,
+        "n3_video_blocks": DQ.q_n3_video_blocks,
         "group_concat_brands": DQ.q_group_concat_brands,
         "argmax_event_per_user": DQ.q_argmax_event_per_user,
         "balanced_event_sample": DQ.q_balanced_event_sample,
@@ -387,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": DQ.ORACLE_NEAR_DUP,
         "connected_components": ORACLE_CC,
         "scene_islands": DQ.ORACLE_ISLANDS,
+        "n3_video_blocks": DQ.ORACLE_N3_VIDEO,
         "group_concat_brands": DQ.ORACLE_GROUP_CONCAT,
         "argmax_event_per_user": DQ.ORACLE_ARGMAX,
         "balanced_event_sample": DQ.ORACLE_BALANCED,
@@ -394,7 +459,13 @@ def oracle_sql() -> dict[str, str]:
         "video_level_accuracy": DQ.ORACLE_VIDEO_ACC,
         "threshold_sweep": DQ.ORACLE_THRESHOLD_SWEEP,
         "span_roundtrip": ORACLE_SPAN_ROUNDTRIP,
-        # rows-only (approximate / sequential-UDF / synthetic-input):
-        # scene_extraction, ann_lsh_topk, ivf_topk, multimodal_decode,
-        # kg_triples_by_pred, kg_scene_search
+        "scene_extraction": ORACLE_SCENE_EXTRACTION,
+        "multimodal_decode": _oracle_multimodal(),
+        # rows-only (approximate physical strategies whose exact output
+        # depends on numpy hyperplane/centroid draws DuckDB cannot
+        # regenerate): ann_lsh_topk, ivf_topk — both carry pytest
+        # recall gates vs the exact brute-force join instead
+        # (tests/test_training_data_ops.py).  kg_triples_by_pred and
+        # kg_scene_search gain Python-regenerated expected-output
+        # oracles below.
     }

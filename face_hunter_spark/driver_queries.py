@@ -997,6 +997,34 @@ GROUP BY doc_id, island, ents
 """
 
 
+def q_n3_video_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n3 export projection (memory_store.py:48-59 / models/
+    example_graph:624-626): the per-video Turtle block as pure string
+    formatting — exact oracle since the block is deterministic text."""
+    from .operators.rdf import n3_blocks
+    from .operators.triples import video_triples
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.format_string("vid_%05d", F.col("doc_id").cast("int")).alias("doc_id")
+    )
+    return (
+        n3_blocks(video_triples(docs))
+        .select("subj", "block")
+        .orderBy("subj")
+    )
+
+
+ORACLE_N3_VIDEO = """
+SELECT 'http://face-hunter.org/resource/' || d AS subj,
+       '<http://face-hunter.org/resource/' || d || '> a mpeg7:Video ;'
+       || chr(10) || '    dc:identifier "http://www.youtube.com/watch?v='
+       || d || '" ;' || chr(10) || '    dc:title "' || d || '" .' AS block
+FROM (SELECT printf('vid_%05d', doc_id::INT) AS d FROM documents)
+ORDER BY subj
+"""
+
+
 def q_group_concat_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-concat (knowledge_graphs.py:135 ' / '.join of alternate
     names per entity): sorted names per brand as one string."""

@@ -1,0 +1,173 @@
+"""n3/Turtle export — the reference's interchange artifact
+(src/knowledge_graph/memory_store.py:48-59 serializes the rdflib graph
+as ``format='n3'``; models/example_graph is the committed example).
+
+The writer is a distributed string-formatting plan (format_string /
+collect_list — zero Python workers): one block per subject, scene
+blocks first then video blocks, predicates in the reference
+serializer's observed order, literals typed with ``^^xsd:...``.  The
+final document assembly (prefix header + ordered blocks) necessarily
+runs on the driver because an n3 file IS one text artifact; at 10^12
+docs you write ``blocks`` partitioned by doc_bucket as sharded n3 part
+files instead and concatenate lazily on read (each block is
+self-contained after the shared header).
+
+Only the reference's core vocabulary is exported (graph.py:70-117);
+the additive alias predicates (hunter:hasScene, sdo:depicts) and
+lineage columns stay in the parquet tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..schemas import NS
+
+N3_PREFIXES = """@prefix dc: <http://purl.org/dc/elements/1.1/> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+@prefix mpeg7: <http://purl.org/ontology/mpeg7/> .
+@prefix temporal: <http://swrl.stanford.edu/ontologies/builtins/3.3/temporal.owl> .
+@prefix video: <http://purl.org/ontology/video/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+"""
+
+# prefixed name + within-block position, mirroring the reference
+# serializer's predicate order (models/example_graph:8-15, 624-626)
+_PRED_FORMAT: dict[str, tuple[int, str]] = {
+    NS["video_scene_from"]: (1, "video:sceneFrom"),
+    NS["video_temporal_segment_of"]: (2, "video:temporalSegmentOf"),
+    NS["temporal_duration"]: (3, "temporal:duration"),
+    NS["temporal_has_finish"]: (4, "temporal:hasFinishTime"),
+    NS["temporal_has_start"]: (5, "temporal:hasStartTime"),
+    NS["foaf_depicts"]: (6, "foaf:depicts"),
+    NS["dc_identifier"]: (1, "dc:identifier"),
+    NS["dc_title"]: (2, "dc:title"),
+}
+
+_TYPE_PREFIXED = {
+    NS["mpeg7_video"]: "mpeg7:Video",
+    NS["video_scene"]: "video:Scene",
+}
+
+_DT_PREFIXED = {
+    NS["xsd_datetime"]: "xsd:dateTime",
+    NS["xsd_duration"]: "xsd:duration",
+}
+
+
+def _map_lit(mapping: dict[str, str]):
+    m = [x for kv in mapping.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    return F.create_map(*m)
+
+
+def n3_blocks(triples: DataFrame) -> DataFrame:
+    """Triples -> one row per subject: (subj, is_video, block).  Pure
+    built-in expressions; one shuffle on subj."""
+    pred_rank = _map_lit({p: str(r) for p, (r, _) in _PRED_FORMAT.items()})
+    pred_name = _map_lit({p: n for p, (_, n) in _PRED_FORMAT.items()})
+    type_name = _map_lit(_TYPE_PREFIXED)
+    dt_name = _map_lit(_DT_PREFIXED)
+
+    core = triples.where(
+        F.col("pred").isin(
+            NS["rdf_type"], *list(_PRED_FORMAT)
+        )
+    ).select("subj", "pred", "obj", "obj_is_literal", "obj_datatype")
+
+    is_type = F.col("pred") == NS["rdf_type"]
+    obj_fmt = F.when(
+        is_type, type_name[F.col("obj")]
+    ).when(
+        F.col("obj_is_literal"),
+        F.concat(
+            F.lit('"'), F.col("obj"), F.lit('"'),
+            F.coalesce(
+                F.concat(F.lit("^^"), dt_name[F.col("obj_datatype")]),
+                F.lit(""),
+            ),
+        ),
+    ).otherwise(F.format_string("<%s>", F.col("obj")))
+
+    line = F.when(
+        is_type, F.concat(F.lit("a "), obj_fmt)
+    ).otherwise(F.format_string("%s %s", pred_name[F.col("pred")], obj_fmt))
+    # sort key: 'a' first (rank 0), then the reference predicate order,
+    # then the object for deterministic multi-depicts ordering
+    rank = F.when(is_type, F.lit("0")).otherwise(pred_rank[F.col("pred")])
+
+    grouped = (
+        core.select(
+            "subj",
+            F.struct(
+                rank.alias("rank"), F.col("obj").alias("o"), line.alias("line")
+            ).alias("entry"),
+            F.when(is_type & (F.col("obj") == NS["mpeg7_video"]), 1)
+            .otherwise(0)
+            .alias("vid_flag"),
+        )
+        .groupBy("subj")
+        .agg(
+            F.array_sort(F.collect_set("entry")).alias("entries"),
+            F.max("vid_flag").alias("is_video"),
+        )
+    )
+    block = F.concat(
+        F.format_string("<%s> ", F.col("subj")),
+        F.array_join(
+            F.transform("entries", lambda e: e["line"]), " ;\n    "
+        ),
+        F.lit(" ."),
+    )
+    return grouped.select(
+        "subj", F.col("is_video").cast("boolean").alias("is_video"),
+        block.alias("block"),
+    )
+
+
+def triples_to_n3(triples: DataFrame) -> str:
+    """Full n3 document: prefix header, scene blocks (sorted by subj),
+    then video blocks (sorted by subj).  Driver-side assembly — see the
+    module docstring for the sharded form at scale."""
+    rows = (
+        n3_blocks(triples)
+        .orderBy("is_video", "subj")
+        .select("block")
+        .collect()
+    )
+    return N3_PREFIXES + "\n" + "\n\n".join(r.block for r in rows) + "\n\n"
+
+
+def parse_n3(text: str) -> set[tuple[str, str, str]]:
+    """Minimal n3 reader for round-trip tests: returns (subj, pred_uri,
+    obj) triples with literals unquoted and prefixed names expanded.
+    Handles exactly the subset the writer emits (one predicate-object
+    pair per line, no comma lists)."""
+    prefixes: dict[str, str] = {}
+    out: set[tuple[str, str, str]] = set()
+    subj = None
+    rev_pred = {name: uri for uri, (_, name) in _PRED_FORMAT.items()}
+    rev_type = {name: uri for uri, name in _TYPE_PREFIXED.items()}
+    for raw in text.splitlines():
+        s = raw.strip()
+        if not s:
+            continue
+        if s.startswith("@prefix"):
+            _, pfx, uri, _ = s.split(None, 3)
+            prefixes[pfx.rstrip(":")] = uri.strip("<>")
+            continue
+        if s.startswith("<") and "> " in s:
+            subj, s = s[1:].split("> ", 1)
+        for part in [s.rstrip(" .;")]:
+            if part.startswith("a "):
+                pred, obj = NS["rdf_type"], rev_type[part[2:].strip()]
+            else:
+                pname, obj = part.split(None, 1)
+                pred = rev_pred[pname]
+                obj = obj.strip()
+                if obj.startswith("<"):
+                    obj = obj.strip("<>")
+                else:
+                    obj = obj.split("^^")[0].strip('"')
+            out.add((subj, pred, obj))
+    return out
