@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from face_hunter_spark import driver_oracle as _DO  # noqa: E402
 from face_hunter_spark import driver_queries as DQ  # noqa: E402
 
 
@@ -346,10 +347,43 @@ def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         triples.unpersist()
 
 
+def _q_kg_videos_by_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship user query (graph.py:194-244 docstring
+    example): videos whose scenes depict entities filtered on
+    attributes fetched via service{} federation — male, born before
+    1970, wikidata-linked.  Batch analogue: the synth entity-attribute
+    dim table broadcast-joined onto scene_view, the FILTER(...) as a
+    SQL WHERE fragment."""
+    from face_hunter_spark import query as Q, synth
+
+    triples = _kg_pipeline(spark, sf_dir).persist()
+    try:
+        Q.register_views(spark, triples)
+        attrs = spark.createDataFrame(
+            synth.make_entity_attributes_pdf(n_entities=N_ENTITIES,
+                                             distractors=3)
+        )
+        result = Q.get_videos_with_filters(
+            spark,
+            "wikidata_entity LIKE '%www.wikidata.org%' "
+            "AND gender = 'male' AND birth_date < '1970-01-01'",
+            attributes=attrs,
+        ).orderBy("link", "start", "entity")
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        triples.unpersist()
+
+
 def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pipeline, rolled up per predicate (stable counts)."""
+    """Full pipeline, distinct triples rolled up per predicate.  Exact
+    oracle: driver_oracle regenerates the expected per-doc triple sets
+    sequentially in pure Python (reference-semantics model, no shared
+    operator code) and ships them to DuckDB as a VALUES join."""
     return (
         _kg_pipeline(spark, sf_dir)
+        .select("subj", "pred", "obj")
+        .distinct()
         .groupBy("pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("pred")
@@ -406,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_level_accuracy": DQ.q_video_level_accuracy,
         "threshold_sweep": DQ.q_threshold_sweep,
         "kg_scene_search": _q_kg_scene_search,
+        "kg_videos_by_attribute": _q_kg_videos_by_attribute,
         # graph / pipeline / UDF ops (rows-only where noted in oracle_sql)
         "connected_components": _q_connected_components,
         "scene_extraction": _q_scene_extraction,
@@ -461,6 +496,9 @@ def oracle_sql() -> dict[str, str]:
         "span_roundtrip": ORACLE_SPAN_ROUNDTRIP,
         "scene_extraction": ORACLE_SCENE_EXTRACTION,
         "multimodal_decode": _oracle_multimodal(),
+        "kg_triples_by_pred": _DO.sql_kg_triples_by_pred(),
+        "kg_scene_search": _DO.sql_kg_scene_search(),
+        "kg_videos_by_attribute": _DO.sql_kg_videos_by_attribute(),
         # rows-only (approximate physical strategies whose exact output
         # depends on numpy hyperplane/centroid draws DuckDB cannot
         # regenerate): ann_lsh_topk, ivf_topk — both carry pytest

@@ -153,6 +153,36 @@ def make_entity_catalog_pdf(
     return pd.DataFrame(rows)
 
 
+def make_entity_attributes_pdf(
+    n_entities: int = N_ENTITIES, distractors: int = DISTRACTOR_ENTITIES
+) -> pd.DataFrame:
+    """Offline entity-attribute dim table — the batch analogue of the
+    reference's live ``service{}`` federation blocks (graph.py:205-215:
+    dbo:birthDate from DBpedia, P21 gender label from Wikidata,
+    owl:sameAs linking the two).  Keyed by the SAME preferred URI the
+    depicts triples carry (DBpedia when present, else Wikidata —
+    mirroring make_entity_catalog_pdf's 1-in-9 wikidata-only slice), so
+    it broadcast-joins straight onto scene_view.entity.  Dates/genders
+    are deterministic hash draws; dates stay ISO strings so lexical
+    comparison == date comparison."""
+    rows = []
+    for i, label in enumerate(fv.entity_names(n_entities + distractors)):
+        preferred = wikidata_uri(label) if i % 9 == 8 else dbpedia_uri(label)
+        h = fv._h("attr/" + label)
+        rows.append(
+            {
+                "entity": preferred,
+                "wikidata_entity": wikidata_uri(label),
+                "name": label,
+                "birth_date": f"{1940 + h % 55:04d}-"
+                              f"{1 + (h >> 8) % 12:02d}-"
+                              f"{1 + (h >> 16) % 28:02d}",
+                "gender": "male" if h % 2 == 0 else "female",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def documents_df(spark, n_docs: int, n_entities: int = N_ENTITIES):
     from .schemas import DOCUMENTS
 

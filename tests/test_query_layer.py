@@ -80,3 +80,33 @@ def test_videos_with_filters(spark, kg):
         .select("subj").distinct().count()
     )
     assert direct >= len({r.start for r in rows})
+
+
+def test_videos_with_attribute_filters(spark, kg):
+    """The reference's get_videos_with_filters docstring example
+    (graph.py:199-217): filter scenes on entity attributes fetched via
+    service{} federation — male, born before 1970, wikidata-linked —
+    over the offline attribute dim table."""
+    attrs_pdf = synth.make_entity_attributes_pdf(n_entities=N_ENT,
+                                                 distractors=2)
+    attrs = spark.createDataFrame(attrs_pdf)
+    df = query.get_videos_with_filters(
+        spark,
+        "wikidata_entity LIKE '%www.wikidata.org%' "
+        "AND gender = 'male' AND birth_date < '1970-01-01'",
+        attributes=attrs,
+    )
+    rows = df.collect()
+    assert rows, "some depicted entity should pass the example filter"
+    allowed = set(
+        attrs_pdf[(attrs_pdf.gender == "male")
+                  & (attrs_pdf.birth_date < "1970-01-01")]["entity"]
+    )
+    assert {r.entity for r in rows} <= allowed
+    # cross-check one entity against the unfiltered per-entity view
+    ent = rows[0].entity
+    plain = query.get_videos_with_filters(spark, f"entity = '{ent}'")
+    assert {(r.title, r.link, r.start, r.finish) for r in rows
+            if r.entity == ent} == {
+        (r.title, r.link, r.start, r.finish) for r in plain.collect()
+    }
