@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_name_catalog": DQ.q_union_name_catalog,
         "video_level_accuracy": DQ.q_video_level_accuracy,
         "threshold_sweep": DQ.q_threshold_sweep,
+        "distance_tuning_dataset": DQ.q_distance_tuning_dataset,
         "kg_scene_search": _q_kg_scene_search,
         "kg_videos_by_attribute": _q_kg_videos_by_attribute,
         # graph / pipeline / UDF ops (rows-only where noted in oracle_sql)
@@ -493,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
         "union_name_catalog": DQ.ORACLE_UNION,
         "video_level_accuracy": DQ.ORACLE_VIDEO_ACC,
         "threshold_sweep": DQ.ORACLE_THRESHOLD_SWEEP,
+        "distance_tuning_dataset": DQ.ORACLE_DISTANCE_TUNING,
         "span_roundtrip": ORACLE_SPAN_ROUNDTRIP,
         "scene_extraction": ORACLE_SCENE_EXTRACTION,
         "multimodal_decode": _oracle_multimodal(),

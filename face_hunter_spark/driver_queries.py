@@ -1240,6 +1240,100 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distance_tuning_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's distance-tuning dataset builder
+    (distance_tuning.py:85-177) as one relational plan: labeled
+    thumbnail/frame pairs (identical = same label), the larger class
+    deterministically downsampled to the smaller (reference balances
+    with seeded .sample; here: first-N by pair id, reproducible on both
+    engines), and all THREE reference distance metrics per pair —
+    cosine distance (1 - cos), euclidean, and euclidean_l2 (distance of
+    the L2-normalized vectors)."""
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings").where(F.col("vec_id") < 120).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+                   F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
+                   F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sq = lambda c: c * c  # noqa: E731
+    na, nb = nrm(F.col("va")), nrm(F.col("vb"))
+    euclid = F.sqrt(F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: sq(x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            "ia", "ib",
+            (F.col("la") == F.col("lb")).cast("int").alias("identical"),
+            (F.lit(1.0) - dot / (na * nb)).alias("cos_d"),
+            euclid.alias("euc_d"),
+            # ||a/|a| - b/|b||^2 = 2 - 2 cos  (expanded form: one pass,
+            # no per-element renormalized arrays)
+            F.sqrt(F.greatest(F.lit(0.0),
+                              F.lit(2.0) - 2.0 * dot / (na * nb))
+                   ).alias("l2_d"),
+        )
+    )
+    min_n = pairs.groupBy("identical").count().agg(
+        F.min("count").alias("min_n")
+    )
+    w = Window.partitionBy("identical").orderBy("ia", "ib")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(min_n))
+        .where(F.col("rn") <= F.col("min_n"))
+        .select(
+            "ia", "ib", "identical",
+            F.round("cos_d", 6).alias("cosine_distance"),
+            F.round("euc_d", 6).alias("euclidean_distance"),
+            F.round("l2_d", 6).alias("euclidean_l2_distance"),
+        )
+        .orderBy("identical", "ia", "ib")
+    )
+
+
+ORACLE_DISTANCE_TUNING = """
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 120),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         CAST(a.label = b.label AS INT) AS identical,
+         list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * b.v[i])) AS dot,
+         sqrt(list_sum(list_transform(a.v, x -> x * x))) AS na,
+         sqrt(list_sum(list_transform(b.v, x -> x * x))) AS nb,
+         sqrt(list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))) AS euc_d
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+scored AS (
+  SELECT ia, ib, identical,
+         1.0 - dot / (na * nb) AS cos_d, euc_d,
+         sqrt(greatest(0.0, 2.0 - 2.0 * dot / (na * nb))) AS l2_d,
+         row_number() OVER (PARTITION BY identical ORDER BY ia, ib) AS rn
+  FROM pairs),
+min_n AS (
+  SELECT min(n) AS min_n FROM (
+    SELECT count(*) AS n FROM pairs GROUP BY identical))
+SELECT ia, ib, identical,
+       round(cos_d, 6) AS cosine_distance,
+       round(euc_d, 6) AS euclidean_distance,
+       round(l2_d, 6) AS euclidean_l2_distance
+FROM scored, min_n WHERE rn <= min_n
+ORDER BY identical, ia, ib
+"""
+
+
 ORACLE_THRESHOLD_SWEEP = """
 WITH emb AS (
   SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 200),

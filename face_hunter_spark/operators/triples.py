@@ -69,10 +69,16 @@ def _t(subj, pred, obj, literal=False, datatype=None):
 
 def video_triples(documents: DataFrame) -> DataFrame:
     """3 triples per doc (insert_video, graph.py:70-82).  dc:title uses
-    the doc_id (the reference titles come from the downloaded filename,
-    which our documents don't carry)."""
+    the documents table's ``title`` column when present (the reference
+    stores the downloaded video title, hunter.py:103); corpora without
+    one (or with NULL titles) fall back to the doc_id."""
     v = F.concat(F.lit(HOME_URI), F.col("doc_id"))
     url = F.format_string("http://www.youtube.com/watch?v=%s", F.col("doc_id"))
+    title = (
+        F.coalesce(F.col("title"), F.col("doc_id"))
+        if "title" in documents.columns
+        else F.col("doc_id")
+    )
     return (
         documents.select(
             "doc_id",
@@ -80,7 +86,7 @@ def video_triples(documents: DataFrame) -> DataFrame:
                 F.array(
                     _t(v, NS["rdf_type"], F.lit(NS["mpeg7_video"])),
                     _t(v, NS["dc_identifier"], url, literal=True),
-                    _t(v, NS["dc_title"], F.col("doc_id"), literal=True),
+                    _t(v, NS["dc_title"], title, literal=True),
                 )
             ).alias("t"),
         )

@@ -124,6 +124,33 @@ def test_idempotent_rerun(spark, corpus, tmp_path):
     assert lineage.where(F.col("run_id") == stats3["run_id"]).count() > 0
 
 
+def test_titled_corpus_emits_real_titles(spark, corpus):
+    """A documents table carrying a ``title`` column emits it as the
+    dc:title literal (hunter.py:103 stores the downloaded title);
+    corpora without one keep the doc_id fallback."""
+    titled = corpus["docs"].withColumn(
+        "title",
+        F.when(
+            F.col("doc_id") == "vid_00000", F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("Title of "), F.col("doc_id"))),
+    )
+    from face_hunter_spark.operators.triples import video_triples
+
+    titles = {
+        r.doc_id: r.obj
+        for r in video_triples(titled)
+        .where(F.col("pred") == NS["dc_title"]).collect()
+    }
+    assert titles["vid_00001"] == "Title of vid_00001"
+    assert titles["vid_00000"] == "vid_00000"  # NULL -> doc_id fallback
+    plain = {
+        r.doc_id: r.obj
+        for r in video_triples(corpus["docs"])
+        .where(F.col("pred") == NS["dc_title"]).collect()
+    }
+    assert all(v == k for k, v in plain.items())
+
+
 def test_span_roundtrip_invariant(spark, corpus):
     """BASELINE.json per-row invariant: explode -> reassemble preserves
     (kind, text, media_ref, order) per document exactly."""
