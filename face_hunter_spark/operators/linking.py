@@ -332,83 +332,169 @@ def lsh_gallery_payload(
 ):
     """Driver-side build of the broadcastable LSH gallery: (labels,
     matrix, norms, hyperplanes, bucket->gallery-indices dict, bands,
-    rows_per_band).  One tiny G x planes matmul."""
+    rows_per_band).  One tiny G x planes matmul.  The bucket index is a
+    CSR triple (sorted unique bucket keys, member offsets, concatenated
+    gallery indices) so the executor-side lookup is one vectorized
+    searchsorted over a whole Arrow batch — no per-face dict probes."""
     assert rows_per_band <= 24, "bucket packing supports rows_per_band <= 24"
     labels, mat, norms = _gallery_arrays(gallery_pdf)
     planes = _hyperplanes(bands * rows_per_band, mat.shape[1])
     gbits = (mat @ planes.T) > 0
-    buckets: dict[int, np.ndarray] = {}
+    all_keys = np.empty((gbits.shape[0], bands), dtype=np.int64)
     for b in range(bands):
         chunk = gbits[:, b * rows_per_band : (b + 1) * rows_per_band]
         val = np.zeros(gbits.shape[0], dtype=np.int64)
         for j in range(chunk.shape[1]):
             val = (val << 1) | chunk[:, j]
-        keys = (b << 24) | val
-        for g_idx, key in enumerate(keys):
-            buckets.setdefault(int(key), []).append(g_idx)
+        all_keys[:, b] = (b << 24) | val
+    # CSR: sort (key, gallery_idx) pairs, then unique keys + offsets
+    flat_keys = all_keys.T.ravel()  # band-major; gallery idx repeats per band
+    g_idx = np.tile(np.arange(gbits.shape[0], dtype=np.int64), bands)
+    order = np.lexsort((g_idx, flat_keys))
+    sorted_keys = flat_keys[order]
+    members = g_idx[order]
+    uniq_keys, starts = np.unique(sorted_keys, return_index=True)
+    offsets = np.append(starts, len(sorted_keys)).astype(np.int64)
     return (
         labels, mat, norms, planes,
-        {key: np.asarray(v, dtype=np.int64) for key, v in buckets.items()},
+        (uniq_keys, offsets, members),
         bands, rows_per_band,
     )
+
+
+def _gather_candidates(keys: np.ndarray, csr):
+    """Vectorized multi-bucket gather: (n, bands) int keys + CSR bucket
+    index -> (face_of_candidate, gallery_of_candidate) flat arrays.
+    One searchsorted over the whole batch; the multi-slice gather is
+    the standard repeat/cumsum trick — zero Python loops.  Candidates
+    are NOT dedup'd across bands (duplicates cost a few extra einsum
+    rows but cannot change an argmin)."""
+    uniq_keys, offsets, members = csr
+    n, bands_ = keys.shape
+    flat = keys.ravel()
+    pos = np.searchsorted(uniq_keys, flat)
+    pos_c = np.minimum(pos, len(uniq_keys) - 1)
+    valid = (uniq_keys[pos_c] == flat) if len(uniq_keys) else np.zeros(
+        len(flat), dtype=bool
+    )
+    starts = offsets[pos_c[valid]]
+    lens = (offsets[pos_c[valid] + 1] - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    base = np.repeat(starts, lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    flat_g = members[base + within]
+    face_of_band = np.repeat(np.arange(n, dtype=np.int64), bands_)[valid]
+    rep = np.repeat(face_of_band, lens)
+    return rep, flat_g
 
 
 def lsh_score_batch(
     q: np.ndarray, payload, distance_threshold: float, k: int = 1
 ):
     """Score one batch of query embeddings against the broadcast LSH
-    gallery payload: signature matmul -> bucket candidate lookup ->
-    flattened einsum -> per-face top-k/threshold/vote.  Returns
-    (labels object array, float32 distances); faces with no surviving
-    candidate get 'unknown'/NaN.  Shared by link_lsh_fused and the
-    fully-fused vision stage (vision.detect_embed_link matcher='lsh').
-    """
-    labels, mat, norms, planes, buckets, bands_, rpb = payload
+    gallery payload.  Returns (labels object array, float32 distances);
+    faces with no surviving candidate get 'unknown'/NaN.  Shared by
+    link_lsh_fused and the fully-fused vision stage
+    (vision.detect_embed_link matcher='lsh').
+
+    k=1 (the reference default) runs as BUCKETED GEMM: per band, sort
+    faces by bucket key, then ONE BLAS matmul per occupied bucket
+    (queries-in-bucket x bucket-members) with a scatter-min across
+    bands.  The Python loop is bounded by the bucket space
+    (bands * 2^rows_per_band), NOT the face count — a flattened
+    gather/einsum over the candidate union is ~100x slower at batch
+    scale because clustered galleries make candidate lists long and
+    fancy-indexed row gathers dominate.  Ties resolve nearest-first
+    then lowest gallery index (bucket members are stored ascending, so
+    argmin's first-occurrence rule gives the in-bucket tie, and the
+    scatter-min compares (distance, gallery) lexicographically).
+    k>1 keeps the gather path + per-face majority vote (test/tuning
+    scale only)."""
+    labels, mat, norms, planes, csr, bands_, rpb = payload
+    uniq_keys, offsets, members = csr
+    n = len(q)
+    out_lab = np.full(n, UNKNOWN, dtype=object)
+    out_dist = np.full(n, np.nan, dtype=np.float32)
+    if n == 0 or not len(uniq_keys):
+        return out_lab, out_dist
     qn = np.linalg.norm(q, axis=1)
     bits = (q @ planes.T) > 0
-    out_lab = np.full(len(q), UNKNOWN, dtype=object)
-    out_dist = np.full(len(q), np.nan, dtype=np.float32)
     # vectorized band keys: (n, bands*rpb) bits -> (n, bands) ints
     weights = (1 << np.arange(rpb - 1, -1, -1)).astype(np.int64)
     band_ids = (np.arange(bands_, dtype=np.int64) << 24).reshape(1, -1)
-    keys = bits.reshape(len(q), bands_, rpb).astype(np.int64) @ weights
+    keys = bits.reshape(n, bands_, rpb).astype(np.int64) @ weights
     keys = keys | band_ids
-    cand_list = []
-    for row in keys:
-        ids = [h for h in (buckets.get(int(key)) for key in row)
-               if h is not None]
-        cand_list.append(
-            np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
-        )
-    lens = np.fromiter((len(c) for c in cand_list), dtype=np.int64,
-                       count=len(q))
-    if lens.sum():
-        flat_g = np.concatenate([c for c in cand_list if len(c)])
-        rep = np.repeat(np.arange(len(q)), lens)
-        dots = np.einsum("ij,ij->i", q[rep], mat[flat_g])
-        d = 1.0 - dots / (qn[rep] * norms[flat_g])
-        # per-face selection: top-k by distance, majority vote among
-        # thresholded, ties nearest-first then lowest gallery index
-        off = 0
-        for i in range(len(q)):
-            n_c = lens[i]
-            if n_c == 0:
+    if k == 1:
+        qnorm = (q / qn[:, None]).astype(np.float32)
+        matn = (mat / norms[:, None]).astype(np.float32)
+        best_d = np.full(n, np.inf)
+        best_g = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        for b in range(bands_):
+            kb = keys[:, b]
+            order = np.argsort(kb, kind="stable")
+            ks = kb[order]
+            pos = np.searchsorted(uniq_keys, ks)
+            pos_c = np.minimum(pos, len(uniq_keys) - 1)
+            valid = uniq_keys[pos_c] == ks
+            runs = np.flatnonzero(np.diff(ks, prepend=ks[0] - 1))
+            for ri, start in enumerate(runs):
+                if not valid[start]:
+                    continue
+                end = runs[ri + 1] if ri + 1 < len(runs) else n
+                p = pos_c[start]
+                gsub = members[offsets[p]:offsets[p + 1]]
+                faces = order[start:end]
+                d = 1.0 - qnorm[faces] @ matn[gsub].T  # (m, g)
+                loc = np.argmin(d, axis=1)  # first occurrence = lowest g
+                ld = d[np.arange(len(faces)), loc]
+                lg = gsub[loc]
+                upd = (ld < best_d[faces]) | (
+                    (ld == best_d[faces]) & (lg < best_g[faces])
+                )
+                bf = faces[upd]
+                best_d[bf] = ld[upd]
+                best_g[bf] = lg[upd]
+        keep = np.isfinite(best_d) & (best_d < distance_threshold)
+        out_lab[keep] = labels[best_g[keep]]
+        out_dist[keep] = best_d[keep].astype(np.float32)
+        return out_lab, out_dist
+    rep, flat_g = _gather_candidates(keys, csr)
+    if not len(rep):
+        return out_lab, out_dist
+    dots = np.einsum("ij,ij->i", q[rep], mat[flat_g])
+    d = 1.0 - dots / (qn[rep] * norms[flat_g])
+    # k > 1: per-face top-k + majority vote (duplicates across bands
+    # must not double-vote -> dedup gallery ids per face first)
+    order = np.lexsort((flat_g, d, rep))
+    rs, gs, ds = rep[order], flat_g[order], d[order]
+    boundaries = np.flatnonzero(np.diff(rs, prepend=-1))
+    for bi, start in enumerate(boundaries):
+        end = boundaries[bi + 1] if bi + 1 < len(boundaries) else len(rs)
+        i = rs[start]
+        seen: set[int] = set()
+        kept = []
+        for j in range(start, end):
+            if gs[j] in seen:
                 continue
-            ds = d[off:off + n_c]
-            gs = flat_g[off:off + n_c]
-            off += n_c
-            order = np.lexsort((gs, ds))[:k]
-            kept = [j for j in order if ds[j] < distance_threshold]
-            if not kept:
-                continue
-            if k == 1 or len(kept) == 1:
-                best = kept[0]
-            else:
-                votes: dict[str, int] = {}
-                for j in kept:
-                    votes[labels[gs[j]]] = votes.get(labels[gs[j]], 0) + 1
-                top = max(votes.values())
-                best = next(j for j in kept if votes[labels[gs[j]]] == top)
-            out_lab[i] = labels[gs[best]]
-            out_dist[i] = ds[best]
+            seen.add(gs[j])
+            if ds[j] < distance_threshold:
+                kept.append(j)
+            if len(seen) >= k:
+                break
+        if not kept:
+            continue
+        if len(kept) == 1:
+            best = kept[0]
+        else:
+            votes: dict[str, int] = {}
+            for j in kept:
+                votes[labels[gs[j]]] = votes.get(labels[gs[j]], 0) + 1
+            top = max(votes.values())
+            best = next(j for j in kept if votes[labels[gs[j]]] == top)
+        out_lab[i] = labels[gs[best]]
+        out_dist[i] = ds[best]
     return out_lab, out_dist

@@ -60,8 +60,10 @@ def test_query_matches_oracle(spark, name):
     )
     assert len(spark_rows) >= 0  # smoke: query ran
     if name not in ORACLES:
-        # rows-only contract: non-empty and stable schema
-        # (span_roundtrip graduated to an exact oracle)
+        # rows-only contract: non-empty and stable schema.  As of
+        # round 2 only the two approximate-ANN queries remain here
+        # (their exact output depends on numpy hyperplane/centroid
+        # draws DuckDB cannot regenerate; recall gates cover them).
         assert len(pdf.columns) > 0
         assert len(spark_rows) > 0, f"{name} returned no rows"
         return
