@@ -120,22 +120,31 @@ def headline_queries(spark, sf_dir):
     }
 
 
-def run_suite() -> dict:
+def run_suite(repeats: int = 2) -> dict:
+    """Each query runs `repeats` times; the MIN is recorded.  The host
+    is shared with co-tenant load (observed 1-30 load average from
+    outside the cgroup), so a single cold measurement mixes scheduler
+    contention into the number; min-of-2 is the least-interference
+    estimate and also absorbs first-run JIT/codegen warmup."""
     spark = build(f"local[{CPUS}]", shuffle=max(int(CPUS) * 2, 8))
     timings: dict[str, float] = {}
     nd = n_docs(spark, SF_DIR)
     kg_sec = None
     for name, fn in headline_queries(spark, SF_DIR).items():
-        t0 = time.monotonic()
-        fn()
-        dt = round(time.monotonic() - t0, 3)
-        timings[name] = dt
+        best = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            fn()
+            dt = round(time.monotonic() - t0, 3)
+            best = dt if best is None or dt < best else best
+        timings[name] = best
         if name == "kg_link_pipeline":
-            kg_sec = dt
+            kg_sec = best
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "headline suite wall time (KG link pipeline + operator suite)",
+        "metric": "headline suite wall time (KG link pipeline + operator "
+                  f"suite; min of {repeats} runs per query)",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -243,7 +252,15 @@ def run_scaling(masters=(8, 32), replicas: int = 128, repeats: int = 3) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        res = run_scaling()
+        # SPARK_GRAFT_SCALING_MASTERS="2,8" picks the N/4N pair; the
+        # shared host reliably provides 8 cores but not 32 (co-tenant
+        # load spikes) — see BASELINE.md measurement notes
+        masters = tuple(
+            int(x) for x in os.environ.get(
+                "SPARK_GRAFT_SCALING_MASTERS", "8,32"
+            ).split(",")
+        )
+        res = run_scaling(masters=masters)
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_SCALING.json"), "w") as f:
             json.dump(res, f, indent=1)

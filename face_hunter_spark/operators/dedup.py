@@ -256,14 +256,29 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # array fetch AFTER candidate dedup: shingle arrays only for
-    # surviving pair members
-    pairs = cand.join(
-        hashed.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
-        "id_a",
-    ).join(
-        hashed.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
-        "id_b",
+    # array fetch AFTER candidate dedup, as ONE melt-join: both pair
+    # sides join `hashed` in a single plan reference, so the shingle
+    # subtree (the md5-dominant map work) is evaluated once here
+    # instead of once per side; the pair groupBy then re-widens.  The
+    # only exchange carrying arrays is sized by surviving candidates.
+    melted = cand.select(
+        "id_a", "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("id")),
+                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("id")),
+            )
+        ).alias("m"),
+    ).select("id_a", "id_b", "m.side", "m.id")
+    pairs = (
+        melted.join(hashed, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("side") == "a", F.col("sh")),
+                    ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("side") == "b", F.col("sh")),
+                    ignorenulls=True).alias("sh_b"),
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
