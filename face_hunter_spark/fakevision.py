@@ -63,11 +63,11 @@ def run_length(doc_id: str) -> int:
     return 3 + _h("runlen/" + doc_id) % 5  # 3..7 frames per scene run
 
 
-def frame_faces(doc_id: str, frame_no: int, n_entities: int) -> list[tuple[str, int]]:
-    """True faces in a frame: list of (kind, entity_id) where kind is
-    'entity' or 'unknown'.  Constant within a run of ``run_length``
-    frames; deterministic in (doc_id, frame_no) alone."""
-    run_id = frame_no // run_length(doc_id)
+@lru_cache(maxsize=1_000_000)
+def run_faces(doc_id: str, run_id: int, n_entities: int) -> tuple[tuple[str, int], ...]:
+    """Faces of one run (see frame_faces).  Cached: every frame of a
+    run shares its face set, so the md5 draws happen once per run, not
+    once per frame — the vision stage loops over millions of frames."""
     r = _h(f"run/{doc_id}/{run_id}")
     n_faces = (0, 1, 1, 1, 2)[r % 5]
     faces = []
@@ -77,7 +77,14 @@ def frame_faces(doc_id: str, frame_no: int, n_entities: int) -> list[tuple[str, 
             faces.append(("unknown", -1))
         else:
             faces.append(("entity", rf % n_entities))
-    return faces
+    return tuple(faces)
+
+
+def frame_faces(doc_id: str, frame_no: int, n_entities: int) -> list[tuple[str, int]]:
+    """True faces in a frame: list of (kind, entity_id) where kind is
+    'entity' or 'unknown'.  Constant within a run of ``run_length``
+    frames; deterministic in (doc_id, frame_no) alone."""
+    return list(run_faces(doc_id, frame_no // run_length(doc_id), n_entities))
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -96,21 +103,30 @@ def noise_block(seeds: np.ndarray, dim: int = EMBED_DIM) -> np.ndarray:
     (n,) uint64 -> (n, dim) float32.  Counter-based (SplitMix64 +
     Box-Muller) so it is fully numpy-vectorized and independent of
     batching/partition order — per-face Generator construction was the
-    vision stage's hot spot."""
+    vision stage's hot spot.
+
+    The whole transform runs in float32 (24-bit uniforms; the output is
+    float32 anyway) and derives sin from cos via sqrt(1-c^2) with the
+    half-period sign — one transcendental saved and half the memory
+    traffic; this kernel is the single largest CPU cost of the vision
+    stage at replica scale."""
     seeds = seeds.astype(np.uint64).reshape(-1, 1)
     half = (dim + 1) // 2
     ctr = np.arange(half, dtype=np.uint64).reshape(1, -1)
     a = _splitmix64(seeds + ctr * np.uint64(2))
     b = _splitmix64(seeds + ctr * np.uint64(2) + np.uint64(1))
+    one = np.float32(1.0)
     # uniform in (0,1]; avoid log(0)
-    u1 = (a >> np.uint64(11)).astype(np.float64) / float(1 << 53) + 1e-300
-    u2 = (b >> np.uint64(11)).astype(np.float64) / float(1 << 53)
-    r = np.sqrt(-2.0 * np.log(u1))
-    z0 = r * np.cos(2.0 * np.pi * u2)
-    z1 = r * np.sin(2.0 * np.pi * u2)
+    u1 = (a >> np.uint64(40)).astype(np.float32) / np.float32(1 << 24)
+    u1 += np.float32(1e-30)
+    u2 = (b >> np.uint64(40)).astype(np.float32) / np.float32(1 << 24)
+    r = np.sqrt(np.float32(-2.0) * np.log(u1))
+    c = np.cos(np.float32(2.0 * np.pi) * u2)
+    s = np.sqrt(np.maximum(np.float32(0.0), one - c * c))
+    np.copysign(s, np.float32(0.5) - u2, out=s)  # sin(2*pi*u) >= 0 iff u <= 0.5
     out = np.empty((seeds.shape[0], half * 2), dtype=np.float32)
-    out[:, 0::2] = z0
-    out[:, 1::2] = z1
+    out[:, 0::2] = r * c
+    out[:, 1::2] = r * s
     return out[:, :dim]
 
 

@@ -147,29 +147,56 @@ def detect_embed_link(
             matn = (mat / norms[:, None]).T  # (512, G), pre-normalized
         else:
             from .linking import lsh_score_batch
+        rl_cache: dict[str, int] = {}
         for pdf in batches:
-            docs, frames, tss, idxs, seeds, ents = [], [], [], [], [], []
-            for doc_id, frame_no, ts_ms in zip(
-                pdf["doc_id"], pdf["frame_no"], pdf["ts_ms"]
-            ):
-                faces = fv.frame_faces(doc_id, int(frame_no), n_entities)
-                if not faces:
-                    docs.append(doc_id); frames.append(frame_no)
-                    tss.append(ts_ms); idxs.append(None)
-                    seeds.append(0); ents.append(-2)  # -2 = no face
+            docs_in = pdf["doc_id"].to_numpy()
+            fnos = pdf["frame_no"].to_numpy()
+            tss = pdf["ts_ms"].to_numpy()
+            nrow = len(docs_in)
+            if nrow == 0:
+                continue
+            # per-frame face sets: one cached lookup per frame (the md5
+            # draws happen once per RUN via fv.run_faces), then all row
+            # replication is numpy repeat — no per-row list appends
+            face_lists = []
+            counts = np.empty(nrow, dtype=np.int64)
+            for i in range(nrow):
+                d = docs_in[i]
+                rl = rl_cache.get(d)
+                if rl is None:
+                    rl = fv.run_length(d)
+                    rl_cache[d] = rl
+                fl = fv.run_faces(d, int(fnos[i]) // rl, n_entities)
+                face_lists.append(fl)
+                counts[i] = len(fl)
+            out_counts = np.maximum(counts, 1)  # empty frame -> sentinel row
+            total = int(out_counts.sum())
+            rep = np.repeat(np.arange(nrow), out_counts)
+            offs = np.cumsum(out_counts) - out_counts
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                offs, out_counts
+            )
+            has_face = np.repeat(counts > 0, out_counts)
+            # seeds/entities per face row: md5 per (doc, frame, face) is
+            # the irreducible per-face work (the encoder key)
+            seeds = np.zeros(total, dtype=np.uint64)
+            ents = np.full(total, -2, dtype=np.int64)
+            pos = 0
+            for i in range(nrow):
+                fl = face_lists[i]
+                if not fl:
+                    pos += 1
                     continue
-                for j, (kind, ent) in enumerate(faces):
-                    docs.append(doc_id); frames.append(frame_no)
-                    tss.append(ts_ms); idxs.append(j)
-                    seeds.append(fv.face_seed(doc_id, int(frame_no), j))
-                    ents.append(-1 if kind == "unknown" else ent)
-            ents_arr = np.asarray(ents, dtype=np.int64)
-            has_face = ents_arr >= -1
-            out_labels = np.full(len(docs), None, dtype=object)
+                d = docs_in[i]
+                f = int(fnos[i])
+                for j, (kind, ent) in enumerate(fl):
+                    seeds[pos] = fv.face_seed(d, f, j)
+                    ents[pos] = -1 if kind == "unknown" else ent
+                    pos += 1
+            out_labels = np.full(total, None, dtype=object)
             if has_face.any():
                 emb = fv.embed_faces_batch(
-                    np.asarray(seeds, dtype=np.uint64)[has_face],
-                    ents_arr[has_face], n_entities,
+                    seeds[has_face], ents[has_face], n_entities
                 )
                 if matcher == "bruteforce":
                     qn = np.linalg.norm(emb, axis=1, keepdims=True)
@@ -185,10 +212,12 @@ def detect_embed_link(
                     )
                     out_labels[has_face] = lab
             yield pd.DataFrame({
-                "doc_id": pd.Series(docs, dtype=object),
-                "frame_no": pd.array(frames, dtype="int32"),
-                "ts_ms": pd.array(tss, dtype="float64"),
-                "face_idx": pd.array(idxs, dtype="Int32"),
+                "doc_id": pd.Series(docs_in[rep], dtype=object),
+                "frame_no": pd.array(fnos[rep], dtype="int32"),
+                "ts_ms": pd.array(tss[rep], dtype="float64"),
+                "face_idx": pd.arrays.IntegerArray(
+                    within.astype(np.int32), mask=~has_face
+                ),
                 "label": pd.Series(out_labels, dtype=object),
             })
 
