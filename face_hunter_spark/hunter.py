@@ -163,6 +163,26 @@ class SparkHunter:
             attributes=attributes,
         )
 
+    def export_n3(self, path: str) -> int:
+        """The reference's ``commit()`` artifact (memory_store.py:48-59
+        serializes the rdflib graph as n3): write the committed triple
+        table as one n3 document.  Returns the number of subject
+        blocks written; 0 (no file) before any link() commit.  At
+        10^12 docs write ``rdf.n3_blocks`` partitioned by doc_bucket as
+        sharded part files instead — see operators/rdf.py."""
+        if not self.catalog.exists("triples"):
+            return 0
+        from .operators import rdf
+
+        triples = self.catalog.read(self.spark, "triples")
+        text = rdf.triples_to_n3(triples)
+        with open(path, "w") as f:
+            f.write(text)
+        return sum(
+            1 for b in text.split("\n\n")
+            if b and not b.startswith("@prefix")
+        )
+
     # ------------------------------------------------------ evaluation
 
     def evaluate(self, documents: DataFrame) -> dict:

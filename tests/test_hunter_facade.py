@@ -53,6 +53,24 @@ def test_hunter_end_to_end(spark, tmp_path):
     assert ev["frame_metrics"]["precision"] > 0.9
     assert ev["video_accuracy"] > 0.9
 
+    # n3 export (the reference's commit() artifact): round-trips to the
+    # committed core triples
+    from face_hunter_spark.operators import rdf
+    from tests.test_n3_export import CORE_PREDS
+
+    out = str(tmp_path / "graph.n3")
+    n_blocks = h.export_n3(out)
+    assert n_blocks > 20
+    with open(out) as f:
+        parsed = rdf.parse_n3(f.read())
+    committed = h.catalog.read(spark, "triples")
+    want = {
+        (r.subj, r.pred, r.obj)
+        for r in committed.where(F.col("pred").isin(*CORE_PREDS))
+        .select("subj", "pred", "obj").distinct().collect()
+    }
+    assert parsed == want
+
 
 def test_hunter_unknown_label_returns_none(spark, tmp_path):
     h = SparkHunter(spark, str(tmp_path / "kg"), n_entities=N_ENT)
