@@ -375,6 +375,30 @@ def _q_kg_videos_by_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
         triples.unpersist()
 
 
+def _q_kg_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Zipf-hot-entity rollup (north_rule: salted repartitioning +
+    two-stage aggregation) over REAL pipeline output: distinct depicts
+    triples -> salted per-entity scene counts.  Exact oracle from the
+    driver_oracle expected scenes."""
+    from face_hunter_spark.operators.skew import salted_agg
+    from face_hunter_spark.schemas import NS
+
+    depicts = (
+        _kg_pipeline(spark, sf_dir)
+        .where(F.col("pred") == NS["foaf_depicts"])
+        .select("subj", "obj")
+        .distinct()
+    )
+    return (
+        salted_agg(
+            depicts, keys=["obj"], aggs={"n_scenes": ("count", "subj")},
+            salt_buckets=16,
+        )
+        .select(F.col("obj").alias("entity_uri"), "n_scenes")
+        .orderBy(F.desc("n_scenes"), "entity_uri")
+    )
+
+
 def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline, distinct triples rolled up per predicate.  Exact
     oracle: driver_oracle regenerates the expected per-doc triple sets
@@ -442,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_tuning_dataset": DQ.q_distance_tuning_dataset,
         "kg_scene_search": _q_kg_scene_search,
         "kg_videos_by_attribute": _q_kg_videos_by_attribute,
+        "kg_entity_mentions": _q_kg_entity_mentions,
         # graph / pipeline / UDF ops (rows-only where noted in oracle_sql)
         "connected_components": _q_connected_components,
         "scene_extraction": _q_scene_extraction,
@@ -501,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_by_pred": _DO.sql_kg_triples_by_pred(),
         "kg_scene_search": _DO.sql_kg_scene_search(),
         "kg_videos_by_attribute": _DO.sql_kg_videos_by_attribute(),
+        "kg_entity_mentions": _DO.sql_kg_entity_mentions(),
         # rows-only (approximate physical strategies whose exact output
         # depends on numpy hyperplane/centroid draws DuckDB cannot
         # regenerate): ann_lsh_topk, ivf_topk — both carry pytest

@@ -268,6 +268,22 @@ ORDER BY link, start, p.entity
 """
 
 
+def sql_kg_entity_mentions() -> str:
+    """Per-entity distinct-scene depicts counts — the salted rollup's
+    expected output."""
+    return f"""
+WITH scenes(orig_id, scene_idx, start_str, finish_str, entity) AS (VALUES
+  {_values_scenes()}),
+present AS (
+  SELECT DISTINCT s.orig_id, s.scene_idx, s.entity
+  FROM scenes s JOIN documents d ON s.orig_id = d.doc_id
+  WHERE s.entity IS NOT NULL AND {_GUARD})
+SELECT entity AS entity_uri, count(*)::BIGINT AS n_scenes
+FROM present GROUP BY entity
+ORDER BY n_scenes DESC, entity_uri
+"""
+
+
 def sql_kg_scene_search() -> str:
     return f"""
 WITH scenes(orig_id, scene_idx, start_str, finish_str, entity) AS (VALUES

@@ -38,6 +38,10 @@ def main() -> int:
                     choices=["bruteforce", "lsh", "lsh_shuffle"],
                     default="bruteforce")
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--export-n3", default=None, metavar="PATH",
+                    help="after the commit, also write the full triple "
+                         "table as one n3 document (the reference "
+                         "store's interchange artifact)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -86,6 +90,14 @@ def main() -> int:
         strategy=args.strategy,
         gallery_df=gallery_df,
     )
+    if args.export_n3:
+        from face_hunter_spark.operators import rdf
+
+        cat = ParquetCatalog(args.catalog_root)
+        text = rdf.triples_to_n3(cat.read(spark, "triples"))
+        with open(args.export_n3, "w") as f:
+            f.write(text)
+        stats["n3_path"] = args.export_n3
     print(json.dumps(stats))
     spark.stop()
     return 0
