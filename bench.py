@@ -206,7 +206,7 @@ SCALING_JOBS = {
 }
 
 
-def run_scaling(masters=(8, 32), replicas: int = 128, repeats: int = 3) -> dict:
+def run_scaling(masters=(2, 8), replicas: int = 128, repeats: int = 3) -> dict:
     """Same jobs, identical input, two parallelism levels (BASELINE.json
     two-cluster-size rule evidenced as N vs 4N local cores).  The host
     is shared/contended, so take the MIN over `repeats` runs (least-
@@ -252,12 +252,16 @@ def run_scaling(masters=(8, 32), replicas: int = 128, repeats: int = 3) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        # SPARK_GRAFT_SCALING_MASTERS="2,8" picks the N/4N pair; the
-        # shared host reliably provides 8 cores but not 32 (co-tenant
-        # load spikes) — see BASELINE.md measurement notes
+        # SPARK_GRAFT_SCALING_MASTERS="8,32" picks a different N/4N
+        # pair; the default is 2,8 — the ratio this shared host can
+        # actually provide (co-tenant load spikes starve local[32]; see
+        # BASELINE.md measurement notes) and the pair the committed
+        # BENCH_SCALING.json was produced with, so a plain rerun
+        # reproduces the artifact instead of overwriting it with
+        # contended numbers
         masters = tuple(
             int(x) for x in os.environ.get(
-                "SPARK_GRAFT_SCALING_MASTERS", "8,32"
+                "SPARK_GRAFT_SCALING_MASTERS", "2,8"
             ).split(",")
         )
         res = run_scaling(masters=masters)

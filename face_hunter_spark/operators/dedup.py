@@ -408,7 +408,13 @@ def embedding_near_dup_pairs(
         from .linking import lsh_signature_udf
 
         if dim is None:
-            dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+            # eager one-row probe (documented): needed to size the
+            # hyperplanes; pass dim explicitly to keep the plan lazy
+            row = df.select(F.size(vec_col).alias("d")).first()
+            if row is None:  # empty corpus -> empty result, any dim
+                dim = 1
+            else:
+                dim = row["d"]
         sig = lsh_signature_udf(lsh_bands, lsh_rows_per_band, dim=dim)
         e = e.withColumn("blk", F.explode(sig(F.col("v").cast("array<float>"))))
         a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "blk")

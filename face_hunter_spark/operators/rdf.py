@@ -76,12 +76,19 @@ def n3_blocks(triples: DataFrame) -> DataFrame:
     ).select("subj", "pred", "obj", "obj_is_literal", "obj_datatype")
 
     is_type = F.col("pred") == NS["rdf_type"]
+    # Turtle string escaping (backslash first, then quote and control
+    # chars) — real titles flow into dc:title, and an unescaped quote
+    # would make the artifact unparseable by rdflib
+    lit = F.col("obj")
+    for raw, esc in [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")]:
+        lit = F.replace(lit, F.lit(raw), F.lit(esc))
     obj_fmt = F.when(
         is_type, type_name[F.col("obj")]
     ).when(
         F.col("obj_is_literal"),
         F.concat(
-            F.lit('"'), F.col("obj"), F.lit('"'),
+            F.lit('"'), lit, F.lit('"'),
             F.coalesce(
                 F.concat(F.lit("^^"), dt_name[F.col("obj_datatype")]),
                 F.lit(""),
@@ -168,6 +175,27 @@ def parse_n3(text: str) -> set[tuple[str, str, str]]:
                 if obj.startswith("<"):
                     obj = obj.strip("<>")
                 else:
-                    obj = obj.split("^^")[0].strip('"')
+                    body = obj.split("^^")[0]
+                    # remove exactly ONE outer quote pair: .strip('"')
+                    # would also eat an escaped quote at the end of the
+                    # literal
+                    if body.startswith('"') and body.endswith('"'):
+                        body = body[1:-1]
+                    obj = _unescape(body)
             out.add((subj, pred, obj))
     return out
+
+
+def _unescape(s: str) -> str:
+    """Inverse of the writer's literal escaping."""
+    out = []
+    i = 0
+    table = {"\\": "\\", '"': '"', "n": "\n", "r": "\r", "t": "\t"}
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s) and s[i + 1] in table:
+            out.append(table[s[i + 1]])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)

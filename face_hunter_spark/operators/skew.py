@@ -50,10 +50,20 @@ def salted_agg(
     elif salt_source:
         salt = F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets))
     else:
-        salt = F.pmod(
-            F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
-            F.lit(salt_buckets),
-        )
+        # xxhash64 rejects MapType inputs — hash the hashable columns
+        # only (salt quality is unaffected; identical projections just
+        # share a bucket), and fall back to the seeded random salt for
+        # the degenerate all-map schema
+        hashable = [
+            c for c, t in df.dtypes if not t.startswith("map")
+        ]
+        if hashable:
+            salt = F.pmod(
+                F.xxhash64(F.struct(*[F.col(c) for c in hashable])),
+                F.lit(salt_buckets),
+            )
+        else:
+            salt = (F.rand(seed=42) * salt_buckets).cast("int")
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

@@ -128,3 +128,19 @@ def test_salted_agg_default_salt_partitioning_invariant(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_salted_agg_tolerates_map_columns(spark):
+    """xxhash64 rejects MapType; the default salt must skip map columns
+    instead of failing analysis."""
+    df = spark.createDataFrame(
+        [("a", 1, {"x": 1}), ("a", 2, {"y": 2}), ("b", 3, {"z": 3})],
+        "k string, v int, props map<string,int>",
+    )
+    got = {
+        r.k: r.total
+        for r in salted_agg(
+            df, keys=["k"], aggs={"total": ("sum", "v")}, salt_buckets=4
+        ).collect()
+    }
+    assert got == {"a": 3, "b": 3}

@@ -76,6 +76,51 @@ def test_n3_block_shape(spark, triples):
     assert kinds == sorted(kinds, key=lambda k: k == "v")
 
 
+def test_n3_literal_escaping_roundtrip(spark):
+    """Real titles can carry quotes/backslashes/newlines; the writer
+    must escape them (rdflib would reject the artifact otherwise) and
+    the parser must invert the escaping exactly."""
+    import pandas as pd
+
+    from face_hunter_spark.operators.triples import video_triples
+
+    nasty = [
+        'He said "hello" ; and left.',
+        "back\\slash and\nnewline\tand tab",
+        'ends with a quote "',
+        "plain title",
+    ]
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [f"vid_{i:05d}" for i in range(len(nasty))],
+        "spans": [[] for _ in nasty],
+        "title": nasty,
+    }), "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, title string")
+    triples = video_triples(docs).withColumn(
+        "obj_datatype", F.lit(None).cast("string")
+    )
+    text = rdf.triples_to_n3(triples)
+    assert '\\"hello\\"' in text and "\\n" in text
+    # no raw newline inside any quoted literal
+    for ln in text.splitlines():
+        if 'dc:title "' in ln:
+            assert ln.count('"') >= 2 and not ln.endswith('\\')
+    parsed = rdf.parse_n3(text)
+    got_titles = {o for _, p, o in parsed if p == NS["dc_title"]}
+    assert got_titles == set(nasty)
+
+
+def test_empty_near_dup_corpus_returns_empty(spark):
+    """LSH-default near-dup on an empty DataFrame must not crash at
+    plan-construction time."""
+    from face_hunter_spark.operators import dedup
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert dedup.embedding_near_dup_pairs(empty, threshold=0.9).count() == 0
+
+
 @requires_reference
 def test_n3_header_matches_reference():
     with open("/root/reference/models/example_graph") as f:
