@@ -204,7 +204,13 @@ FROM (VALUES
 
 
 def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from face_hunter_spark.operators.similarity import ann_lsh_topk
+    """Approximate LSH top-k in the EXPRESSION-SIGNATURE form
+    (hyperplane literals + float64 HOF dots), which is bit-reproducible
+    in DuckDB — so even the ANN query is exact-oracle-checked,
+    bucketing included.  The numpy/GEMM forms (ann_lsh_topk,
+    link_lsh_fused) are the production path and carry pytest recall
+    gates instead (float32 BLAS sign bits are not engine-portable)."""
+    from face_hunter_spark.operators.similarity import ann_lsh_topk_expr
 
     DQ.load_views(spark, sf_dir)
     emb = spark.table("embeddings")
@@ -214,13 +220,28 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("label") < 5).select(
         F.col("vec_id").alias("c_id"), "embedding"
     )
-    return ann_lsh_topk(qs, corpus, k=3, bands=24, rows_per_band=3, dim=64).select(
+    return ann_lsh_topk_expr(
+        qs, corpus, k=3, bands=24, rows_per_band=3, dim=64
+    ).select(
         "q_id", "rank", "c_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _oracle_ann_lsh() -> str:
+    from face_hunter_spark.operators.similarity import lsh_expr_oracle_sql
+
+    return lsh_expr_oracle_sql(
+        bands=24, rows_per_band=3, dim=64, k=3,
+        q_filter="label >= 5", c_filter="label < 5",
     )
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from face_hunter_spark.operators.similarity import ivf_topk
+    """IVF-flat in the expression form (md5-ordered sample centroids,
+    HOF float64 cosines) — exactly reproduced by the DuckDB oracle,
+    cell assignment included.  The pandas-UDF ivf_topk keeps the
+    pytest recall gate as the production path."""
+    from face_hunter_spark.operators.similarity import ivf_topk_expr
 
     DQ.load_views(spark, sf_dir)
     emb = spark.table("embeddings")
@@ -230,8 +251,17 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("label") < 5).select(
         F.col("vec_id").alias("c_id"), "embedding"
     )
-    return ivf_topk(qs, corpus, k=3, n_cells=8, n_probe=3).select(
+    return ivf_topk_expr(qs, corpus, k=3, n_cells=8, n_probe=3).select(
         "q_id", "rank", "c_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def _oracle_ivf() -> str:
+    from face_hunter_spark.operators.similarity import ivf_expr_oracle_sql
+
+    return ivf_expr_oracle_sql(
+        n_cells=8, n_probe=3, k=3,
+        q_filter="label >= 5", c_filter="label < 5",
     )
 
 
@@ -527,11 +557,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_scene_search": _DO.sql_kg_scene_search(),
         "kg_videos_by_attribute": _DO.sql_kg_videos_by_attribute(),
         "kg_entity_mentions": _DO.sql_kg_entity_mentions(),
-        # rows-only (approximate physical strategies whose exact output
-        # depends on numpy hyperplane/centroid draws DuckDB cannot
-        # regenerate): ann_lsh_topk, ivf_topk — both carry pytest
-        # recall gates vs the exact brute-force join instead
-        # (tests/test_training_data_ops.py).  kg_triples_by_pred and
-        # kg_scene_search gain Python-regenerated expected-output
-        # oracles below.
+        "ann_lsh_topk": _oracle_ann_lsh(),
+        "ivf_topk": _oracle_ivf(),
+        # Every queries() entry has an exact oracle.  The pipeline
+        # queries check against driver_oracle's Python-regenerated
+        # expected output; the two ANN queries run in their
+        # expression-signature forms, whose bucketing/centroid math is
+        # bit-reproducible in DuckDB (the numpy/GEMM production forms
+        # carry pytest recall gates instead).
     }

@@ -61,9 +61,8 @@ def test_query_matches_oracle(spark, name):
     assert len(spark_rows) >= 0  # smoke: query ran
     if name not in ORACLES:
         # rows-only contract: non-empty and stable schema.  As of
-        # round 2 only the two approximate-ANN queries remain here
-        # (their exact output depends on numpy hyperplane/centroid
-        # draws DuckDB cannot regenerate; recall gates cover them).
+        # round 2 every query carries an exact oracle, so this branch
+        # should not trigger; it remains for future additions.
         assert len(pdf.columns) > 0
         assert len(spark_rows) > 0, f"{name} returned no rows"
         return

@@ -172,6 +172,23 @@ def test_ann_lsh_recall(spark, embeddings):
     assert recall >= 0.8, recall
 
 
+def test_expr_ann_variants_recall(spark, embeddings):
+    """The expression-signature ANN forms (the exactly-oracle-checkable
+    variants) must hit the same recall bars as the numpy forms."""
+    qs = embeddings.select(F.col("vec_id").alias("q_id"), "embedding").limit(50)
+    corpus = embeddings.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {(r.q_id, r.c_id) for r in
+             similarity.cosine_topk(qs, corpus, k=3).collect()}
+    lsh = {(r.q_id, r.c_id) for r in
+           similarity.ann_lsh_topk_expr(qs, corpus, k=3, bands=24,
+                                        rows_per_band=3, dim=64).collect()}
+    assert len(exact & lsh) / len(exact) >= 0.8
+    ivf = {(r.q_id, r.c_id) for r in
+           similarity.ivf_topk_expr(qs, corpus, k=3, n_cells=8,
+                                    n_probe=4).collect()}
+    assert len(exact & ivf) / len(exact) >= 0.7
+
+
 def test_ivf_recall(spark, embeddings):
     qs = embeddings.select(F.col("vec_id").alias("q_id"), "embedding").limit(50)
     corpus = embeddings.select(F.col("vec_id").alias("c_id"), "embedding")
