@@ -7,10 +7,12 @@ ONE JSON line:
    "queries": {...}, "sf": ..., "docs_per_sec": ..., ...}
 
 Scaling evidence (BASELINE.json: efficiency >= 0.8 between N and 4N):
-``python bench.py --scaling`` runs the KG pipeline at local[8] and
-local[32] on identical input and reports throughput at both plus
-efficiency = (T_8 / T_32) / 4.  Results land in BENCH_SCALING.json and
-are summarized in BASELINE.md.
+``python bench.py --scaling`` runs both KG pipeline strategies at
+local[2] and local[8] (the default N/4N pair — the core ratio the
+shared host can actually provide; override with
+SPARK_GRAFT_SCALING_MASTERS="8,32") on identical input and reports
+throughput at both plus efficiency = (T_N / T_4N) / 4.  Results land
+in BENCH_SCALING.json and are summarized in BASELINE.md.
 """
 
 from __future__ import annotations

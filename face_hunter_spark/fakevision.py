@@ -63,7 +63,10 @@ def run_length(doc_id: str) -> int:
     return 3 + _h("runlen/" + doc_id) % 5  # 3..7 frames per scene run
 
 
-@lru_cache(maxsize=1_000_000)
+# access is partition-local (all frames of a doc sit in one task), so a
+# modest cache keeps the hit rate while bounding long-lived reused
+# Python workers to a few MB
+@lru_cache(maxsize=65_536)
 def run_faces(doc_id: str, run_id: int, n_entities: int) -> tuple[tuple[str, int], ...]:
     """Faces of one run (see frame_faces).  Cached: every frame of a
     run shares its face set, so the md5 draws happen once per run, not

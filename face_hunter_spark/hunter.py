@@ -175,13 +175,10 @@ class SparkHunter:
         from .operators import rdf
 
         triples = self.catalog.read(self.spark, "triples")
-        text = rdf.triples_to_n3(triples)
+        text, n_blocks = rdf.n3_document(triples)
         with open(path, "w") as f:
             f.write(text)
-        return sum(
-            1 for b in text.split("\n\n")
-            if b and not b.startswith("@prefix")
-        )
+        return n_blocks
 
     # ------------------------------------------------------ evaluation
 

@@ -132,17 +132,23 @@ def n3_blocks(triples: DataFrame) -> DataFrame:
     )
 
 
-def triples_to_n3(triples: DataFrame) -> str:
-    """Full n3 document: prefix header, scene blocks (sorted by subj),
-    then video blocks (sorted by subj).  Driver-side assembly — see the
-    module docstring for the sharded form at scale."""
+def n3_document(triples: DataFrame) -> tuple[str, int]:
+    """Full n3 document + subject-block count: prefix header, scene
+    blocks (sorted by subj), then video blocks (sorted by subj).
+    Driver-side assembly — see the module docstring for the sharded
+    form at scale."""
     rows = (
         n3_blocks(triples)
         .orderBy("is_video", "subj")
         .select("block")
         .collect()
     )
-    return N3_PREFIXES + "\n" + "\n\n".join(r.block for r in rows) + "\n\n"
+    text = N3_PREFIXES + "\n" + "\n\n".join(r.block for r in rows) + "\n\n"
+    return text, len(rows)
+
+
+def triples_to_n3(triples: DataFrame) -> str:
+    return n3_document(triples)[0]
 
 
 def parse_n3(text: str) -> set[tuple[str, str, str]]:
@@ -174,14 +180,22 @@ def parse_n3(text: str) -> set[tuple[str, str, str]]:
                 obj = obj.strip()
                 if obj.startswith("<"):
                     obj = obj.strip("<>")
+                elif obj.startswith('"'):
+                    # scan to the closing UNESCAPED quote — splitting at
+                    # the first '^^' would truncate a literal whose text
+                    # itself contains '^^'; the datatype suffix only
+                    # ever follows the closing quote
+                    i = 1
+                    while i < len(obj):
+                        if obj[i] == "\\":
+                            i += 2
+                            continue
+                        if obj[i] == '"':
+                            break
+                        i += 1
+                    obj = _unescape(obj[1:i])
                 else:
-                    body = obj.split("^^")[0]
-                    # remove exactly ONE outer quote pair: .strip('"')
-                    # would also eat an escaped quote at the end of the
-                    # literal
-                    if body.startswith('"') and body.endswith('"'):
-                        body = body[1:-1]
-                    obj = _unescape(body)
+                    obj = _unescape(obj.split("^^")[0])
             out.add((subj, pred, obj))
     return out
 

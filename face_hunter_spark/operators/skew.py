@@ -50,12 +50,12 @@ def salted_agg(
     elif salt_source:
         salt = F.pmod(F.xxhash64(salt_source), F.lit(salt_buckets))
     else:
-        # xxhash64 rejects MapType inputs — hash the hashable columns
-        # only (salt quality is unaffected; identical projections just
-        # share a bucket), and fall back to the seeded random salt for
-        # the degenerate all-map schema
+        # xxhash64 rejects MapType inputs at ANY nesting depth — hash
+        # the map-free columns only (salt quality is unaffected;
+        # identical projections just share a bucket), and fall back to
+        # the seeded random salt for the degenerate all-map schema
         hashable = [
-            c for c, t in df.dtypes if not t.startswith("map")
+            c for c, t in df.dtypes if "map" not in t
         ]
         if hashable:
             salt = F.pmod(

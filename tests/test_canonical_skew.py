@@ -131,11 +131,14 @@ def test_salted_agg_default_salt_partitioning_invariant(spark):
 
 
 def test_salted_agg_tolerates_map_columns(spark):
-    """xxhash64 rejects MapType; the default salt must skip map columns
-    instead of failing analysis."""
+    """xxhash64 rejects MapType at any nesting depth; the default salt
+    must skip map-bearing columns instead of failing analysis."""
     df = spark.createDataFrame(
-        [("a", 1, {"x": 1}), ("a", 2, {"y": 2}), ("b", 3, {"z": 3})],
-        "k string, v int, props map<string,int>",
+        [("a", 1, {"x": 1}, [{"m": 1}]),
+         ("a", 2, {"y": 2}, [{"m": 2}]),
+         ("b", 3, {"z": 3}, [])],
+        "k string, v int, props map<string,int>, "
+        "tags array<map<string,int>>",
     )
     got = {
         r.k: r.total

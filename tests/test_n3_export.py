@@ -88,6 +88,7 @@ def test_n3_literal_escaping_roundtrip(spark):
         'He said "hello" ; and left.',
         "back\\slash and\nnewline\tand tab",
         'ends with a quote "',
+        "caret^^caret must not read as a datatype marker",
         "plain title",
     ]
     docs = spark.createDataFrame(pd.DataFrame({
@@ -108,17 +109,6 @@ def test_n3_literal_escaping_roundtrip(spark):
     parsed = rdf.parse_n3(text)
     got_titles = {o for _, p, o in parsed if p == NS["dc_title"]}
     assert got_titles == set(nasty)
-
-
-def test_empty_near_dup_corpus_returns_empty(spark):
-    """LSH-default near-dup on an empty DataFrame must not crash at
-    plan-construction time."""
-    from face_hunter_spark.operators import dedup
-
-    empty = spark.createDataFrame(
-        [], "vec_id long, embedding array<float>"
-    )
-    assert dedup.embedding_near_dup_pairs(empty, threshold=0.9).count() == 0
 
 
 @requires_reference

@@ -125,6 +125,15 @@ def test_embedding_near_dup_lsh_default_vs_exact(spark):
     assert len(approx & planted) >= 4  # near-identical vectors collide
 
 
+def test_empty_near_dup_corpus_returns_empty(spark):
+    """LSH-default near-dup on an empty DataFrame must not crash at
+    plan-construction time."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    assert dedup.embedding_near_dup_pairs(empty, threshold=0.9).count() == 0
+
+
 def test_dedup_caps_drop_degenerate_groups(spark):
     """A boilerplate corpus (many identical docs) stops producing
     quadratic candidates once the df / bucket caps bind."""
