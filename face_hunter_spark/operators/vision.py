@@ -117,10 +117,14 @@ def detect_embed_link(
     * 'bruteforce' — one BLAS matmul vs the whole gallery matrix;
       ``gallery_arrays`` is an sc.broadcast of
       linking._gallery_arrays output.
-    * 'lsh' — LSH band buckets prune candidates, gathered einsum
-      scores only them (the north_star join, fully fused);
+    * 'lsh' — LSH band buckets prune candidates, one BLAS matmul per
+      occupied bucket (the north_star join, fully fused);
       ``gallery_arrays`` is an sc.broadcast of
       linking.lsh_gallery_payload output.
+    * 'hnsw' — per-executor HNSW graph (the reference's nmslib
+      default, approximate_k_nearest_neighbors.py:37-62), built lazily
+      once per Python worker from an sc.broadcast of
+      linking._gallery_arrays output.
 
     Semantically identical to detect_embed_faces |> link_bruteforce /
     link_lsh_fused (parity-tested); use the two-stage ops when the
@@ -145,8 +149,13 @@ def detect_embed_link(
         if matcher == "bruteforce":
             labels, mat, norms = gallery_arrays.value
             matn = (mat / norms[:, None]).T  # (512, G), pre-normalized
-        else:
+        elif matcher == "lsh":
             from .linking import lsh_score_batch
+        elif matcher == "hnsw":
+            from .hnsw import executor_index, hnsw_score_batch
+            h_labels, h_idx = executor_index(gallery_arrays)
+        else:
+            raise ValueError(matcher)
         rl_cache: dict[str, int] = {}
         for pdf in batches:
             docs_in = pdf["doc_id"].to_numpy()
@@ -206,9 +215,14 @@ def detect_embed_link(
                     out_labels[has_face] = np.where(
                         bestd < distance_threshold, labels[best], "unknown"
                     )
-                else:
+                elif matcher == "lsh":
                     lab, _ = lsh_score_batch(
                         emb, gallery_arrays.value, distance_threshold
+                    )
+                    out_labels[has_face] = lab
+                else:
+                    lab, _ = hnsw_score_batch(
+                        emb, h_labels, h_idx, distance_threshold
                     )
                     out_labels[has_face] = lab
             yield pd.DataFrame({

@@ -77,6 +77,19 @@ def link_documents(
             media, bc, distance_threshold, n_entities=n_entities,
             matcher="lsh",
         )
+    elif strategy == "hnsw":
+        # per-executor graph index over the broadcast gallery — the
+        # reference's default ANN algorithm ('appr'), built once per
+        # Python worker like the reference builds nmslib per process
+        from pyspark.sql import SparkSession
+
+        bc = SparkSession.getActiveSession().sparkContext.broadcast(
+            linking._gallery_arrays(gallery_pdf)
+        )
+        linked = vision.detect_embed_link(
+            media, bc, distance_threshold, n_entities=n_entities,
+            matcher="hnsw",
+        )
     elif strategy == "lsh_shuffle":
         # relational candidate join — the beyond-broadcast-gallery form
         assert gallery_df is not None
