@@ -76,6 +76,28 @@ def kg_pipeline_lsh_df(spark, sf_dir):
     )
 
 
+def kg_pipeline_hnsw_df(spark, sf_dir):
+    """Same pipeline, per-executor HNSW matcher (the reference's
+    'appr' default algorithm)."""
+    import __spark_entry__ as em
+    from face_hunter_spark import synth
+    from face_hunter_spark.pipeline import link_documents
+    from face_hunter_spark.schemas import ENTITY_CATALOG
+
+    docs = em._interleaved_documents(spark, sf_dir)
+    gallery_pdf = synth.make_gallery_pdf(
+        n_entities=em.N_ENTITIES, thumbs_per_entity=8, distractors=3
+    )
+    catalog = spark.createDataFrame(
+        synth.make_entity_catalog_pdf(n_entities=em.N_ENTITIES, distractors=3),
+        ENTITY_CATALOG,
+    )
+    return link_documents(
+        docs, gallery_pdf, catalog, n_entities=em.N_ENTITIES,
+        strategy="hnsw",
+    )
+
+
 def n_docs(spark, sf_dir) -> int:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
@@ -99,6 +121,9 @@ def headline_queries(spark, sf_dir):
     return {
         "kg_link_pipeline": lambda: _count(kg_pipeline_df(spark, sf_dir)),
         "kg_link_pipeline_lsh": lambda: _count(kg_pipeline_lsh_df(spark, sf_dir)),
+        "kg_link_pipeline_hnsw": lambda: _count(
+            kg_pipeline_hnsw_df(spark, sf_dir)
+        ),
         "pricing_summary": lambda: _count(DQ.q_pricing_summary(spark, sf_dir)),
         "star_join_revenue": lambda: _count(DQ.q_star_join_revenue(spark, sf_dir)),
         "sessionize_events": lambda: _count(DQ.q_sessionize_events(spark, sf_dir)),
