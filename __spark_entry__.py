@@ -294,6 +294,32 @@ GROUP BY node ORDER BY uri
 """
 
 
+def _q_largest_face_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection geometry + one_face largest-face selection (reference
+    face_recognition.py:176-192, :367-371) as a driver-checkable query:
+    the kept (max-box-height) face per frame with milli-pixel height
+    and micro confidence — exact VALUES oracle regenerated by
+    driver_oracle.expected_face_geometry_rows."""
+    from face_hunter_spark.operators.spans import media_frames
+    from face_hunter_spark.operators.vision import detect_embed_faces
+
+    media = media_frames(_interleaved_documents(spark, sf_dir))
+    faces = detect_embed_faces(media, n_entities=N_ENTITIES, one_face=True)
+    return (
+        faces.where(F.col("face_idx").isNotNull())
+        .select(
+            "doc_id",
+            "frame_no",
+            "face_idx",
+            F.floor(F.element_at("box", 4).cast("double") * 1000)
+            .cast("long").alias("height_milli"),
+            F.floor(F.col("confidence").cast("double") * 100000)
+            .cast("long").alias("conf_micro"),
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from face_hunter_spark.operators import multimodal
 
@@ -505,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "span_roundtrip": _q_span_roundtrip,
         "kg_triples_by_pred": _q_kg_triples,
+        "largest_face_geometry": _q_largest_face_geometry,
     }
 
 
@@ -554,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "scene_extraction": ORACLE_SCENE_EXTRACTION,
         "multimodal_decode": _oracle_multimodal(),
         "kg_triples_by_pred": _DO.sql_kg_triples_by_pred(),
+        "largest_face_geometry": _DO.sql_largest_face_geometry(),
         "kg_scene_search": _DO.sql_kg_scene_search(),
         "kg_videos_by_attribute": _DO.sql_kg_videos_by_attribute(),
         "kg_entity_mentions": _DO.sql_kg_entity_mentions(),

@@ -310,3 +310,49 @@ out AS (
 SELECT title, link, co_entity, start, finish
 FROM out ORDER BY link, start, co_entity
 """
+
+
+@lru_cache(maxsize=1)
+def expected_face_geometry_rows() -> list[tuple]:
+    """one_face largest-face selection + detection geometry, expected
+    per frame-with-faces: (orig_id, frame_no, kept face_idx,
+    floor(box_height*1000), floor(confidence*100000)).  Regenerated
+    sequentially from fakevision (same math the Spark stage runs,
+    independent of partitioning/batching)."""
+    import math
+
+    rows: list[tuple] = []
+    for oid in range(MAX_ORIG_ID):
+        doc_id = f"vid_{oid:05d}"
+        for f in range(n_frames_for(oid)):
+            faces = fv.frame_faces(doc_id, f, N_ENTITIES)
+            if not faces:
+                continue
+            geoms = [fv.face_geometry(doc_id, f, j)
+                     for j in range(len(faces))]
+            j = int(np.argmax([g[0][3] for g in geoms]))
+            box, conf = geoms[j]
+            rows.append((
+                oid, f, j,
+                math.floor(float(box[3]) * 1000.0),
+                math.floor(float(conf) * 100000.0),
+            ))
+    return rows
+
+
+def sql_largest_face_geometry() -> str:
+    vals = ",\n  ".join(
+        f"({o}, {f}, {j}, {h}, {c})"
+        for o, f, j, h, c in expected_face_geometry_rows()
+    )
+    return f"""
+WITH geo(orig_id, frame_no, face_idx, height_milli, conf_micro) AS (VALUES
+  {vals})
+SELECT printf('vid_%05d', g.orig_id::INT) AS doc_id,
+       g.frame_no::INT AS frame_no, g.face_idx::INT AS face_idx,
+       g.height_milli::BIGINT AS height_milli,
+       g.conf_micro::BIGINT AS conf_micro
+FROM geo g JOIN documents d ON g.orig_id = d.doc_id
+WHERE {_GUARD}
+ORDER BY doc_id, frame_no
+"""

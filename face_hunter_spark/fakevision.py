@@ -137,6 +137,63 @@ def face_seed(doc_id: str, frame_no: int, face_idx: int) -> int:
     return _h(f"emb/{doc_id}/{frame_no}/{face_idx}")
 
 
+# counter offset for geometry draws; noise_block consumes counters
+# 0..2*ceil(dim/2), so geometry values live in a disjoint counter range
+_GEOM_CTR = 1 << 20
+# counter offset for crop pixels (disjoint from both ranges above)
+_CROP_CTR = 1 << 21
+
+
+def face_crops_batch(seeds: np.ndarray,
+                     hw: tuple[int, int] = (112, 112)) -> np.ndarray:
+    """Deterministic aligned-face crops for a BATCH of face seeds:
+    (n,) uint64 -> (n, h, w, 3) float32 in [0,1).  Stands in for the
+    decode+detect+align pixel pipeline whose output a production
+    encoder consumes (facial_preprocessing.py:7-60 affine alignment +
+    /255 normalization; ArcFace input is 112x112x3).  Same SplitMix64
+    counter scheme as the embeddings, on a disjoint counter range."""
+    h, w = hw
+    dim = h * w * 3
+    s = seeds.astype(np.uint64).reshape(-1, 1)
+    c = np.arange(dim, dtype=np.uint64).reshape(1, -1) + np.uint64(_CROP_CTR)
+    px = (_splitmix64(s + c) >> np.uint64(40)).astype(np.float32) \
+        / np.float32(1 << 24)
+    return px.reshape(len(s), h, w, 3)
+
+
+def face_geometry_batch(seeds: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic detector geometry for a BATCH of face seeds:
+    (n,) uint64 -> (boxes (n, 4) float32 [x, y, w, h], confidence (n,)
+    float32).  The reference's MTCNN output carries box + confidence
+    per face (face_recognition.py:176-192) and uses box HEIGHT for
+    largest-face selection in one_face mode (:367-371); the fake
+    detector draws them from the same SplitMix64 counter stream as the
+    embeddings so geometry is reproducible anywhere the face is
+    (Spark stage, sequential oracle, driver VALUES literal).
+    Frame coordinate space mirrors the img_width=500 resize
+    (config.yaml:12): x in [0,400), y in [0,200), w,h in [40,160)."""
+    s = seeds.astype(np.uint64).reshape(-1, 1)
+    c = (np.arange(5, dtype=np.uint64) + np.uint64(_GEOM_CTR)).reshape(1, -1)
+    u = (_splitmix64(s + c) >> np.uint64(40)).astype(np.float32) \
+        / np.float32(1 << 24)
+    boxes = np.empty((len(s), 4), dtype=np.float32)
+    boxes[:, 0] = u[:, 0] * 400.0
+    boxes[:, 1] = u[:, 1] * 200.0
+    boxes[:, 2] = 40.0 + u[:, 2] * 120.0
+    boxes[:, 3] = 40.0 + u[:, 3] * 120.0
+    conf = (np.float32(0.90) + u[:, 4] * np.float32(0.0999)).astype(np.float32)
+    return boxes, conf
+
+
+def face_geometry(doc_id: str, frame_no: int,
+                  face_idx: int) -> tuple[np.ndarray, float]:
+    """Single-face wrapper over face_geometry_batch (oracle path)."""
+    b, c = face_geometry_batch(
+        np.array([face_seed(doc_id, frame_no, face_idx)], dtype=np.uint64)
+    )
+    return b[0], float(c[0])
+
+
 def face_embedding(
     doc_id: str, frame_no: int, face_idx: int, kind: str, entity_id: int,
     n_entities: int,

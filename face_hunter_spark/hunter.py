@@ -45,6 +45,7 @@ class SparkHunter:
         strategy: str = "bruteforce",
         distance_threshold: float = 0.6,
         frame_threshold: int = 3,
+        one_face: bool = False,
     ):
         self.spark = spark
         self.catalog = ParquetCatalog(catalog_root)
@@ -65,6 +66,8 @@ class SparkHunter:
         self.strategy = strategy
         self.distance_threshold = distance_threshold
         self.frame_threshold = frame_threshold
+        # reference one_face mode: link only the largest face per frame
+        self.one_face = one_face
         self._canon = canonical_map(self.entity_catalog).cache()
         # instance-scoped temp-view names: two SparkHunter handles on
         # one SparkSession must not clobber each other's views between
@@ -90,6 +93,7 @@ class SparkHunter:
             strategy=self.strategy,
             distance_threshold=self.distance_threshold,
             frame_threshold=self.frame_threshold,
+            one_face=self.one_face,
         )
         self._refresh_views()
         return stats
@@ -163,18 +167,57 @@ class SparkHunter:
             attributes=attributes,
         )
 
-    def export_n3(self, path: str) -> int:
+    def sql(self, query: str) -> DataFrame | None:
+        """Raw graph-pattern queries — the analogue of the reference's
+        ``/api/query`` raw-SPARQL-fragment support (api/api.py:81-97 →
+        graph.py:194-244, where the user's ``query`` string is spliced
+        into the SELECT template as additional triple patterns).  Here
+        the user writes Spark SQL over two placeholder views —
+        ``{triples}`` (the raw subj/pred/obj table, obj_canonical
+        included) and ``{scene_view}`` (the wide per-scene pivot) —
+        and every new SPARQL triple pattern becomes one self-join on
+        ``{triples}``.
+
+        The reference's docstring fragment
+
+            ?scene foaf:depicts ?entity .
+            ?video dc:title ?title
+
+        translates to
+
+            SELECT sv.title, t.obj AS entity
+            FROM {scene_view} sv
+            JOIN {triples} t
+              ON t.subj = sv.scene
+             AND t.pred = 'http://xmlns.com/foaf/0.1/depicts'
+
+        (the dc:title pattern is already pivoted into the view).
+        Views are instance-scoped, so two handles on one SparkSession
+        can't read each other's state.  None before any link()
+        commit."""
+        if not self.catalog.exists("triples"):
+            return None
+        self._refresh_views()
+        return self.spark.sql(query.format(
+            triples="triples" + self._view_suffix,
+            scene_view="scene_view" + self._view_suffix,
+        ))
+
+    def export_n3(self, path: str, sharded: bool = False) -> int:
         """The reference's ``commit()`` artifact (memory_store.py:48-59
         serializes the rdflib graph as n3): write the committed triple
         table as one n3 document.  Returns the number of subject
-        blocks written; 0 (no file) before any link() commit.  At
-        10^12 docs write ``rdf.n3_blocks`` partitioned by doc_bucket as
-        sharded part files instead — see operators/rdf.py."""
+        blocks written; 0 (no file) before any link() commit.
+        ``sharded=True`` writes doc_bucket-partitioned part files from
+        the executors instead (the 10^12-doc form — nothing assembles
+        on the driver; see rdf.export_n3_sharded)."""
         if not self.catalog.exists("triples"):
             return 0
         from .operators import rdf
 
         triples = self.catalog.read(self.spark, "triples")
+        if sharded:
+            return rdf.export_n3_sharded(triples, path)
         text, n_blocks = rdf.n3_document(triples)
         with open(path, "w") as f:
             f.write(text)

@@ -336,8 +336,20 @@ def lsh_gallery_payload(
     CSR triple (sorted unique bucket keys, member offsets, concatenated
     gallery indices) so the executor-side lookup is one vectorized
     searchsorted over a whole Arrow batch — no per-face dict probes."""
+    return lsh_payload_from_arrays(
+        *_gallery_arrays(gallery_pdf), bands=bands,
+        rows_per_band=rows_per_band,
+    )
+
+
+def lsh_payload_from_arrays(
+    labels, mat, norms, bands: int = 8, rows_per_band: int = 6
+):
+    """lsh_gallery_payload for callers that already hold the gallery as
+    (labels, matrix, norms) arrays — e.g. a gallery synthesized in bulk
+    (scripts/hnsw_crossover.py) where a row-wise pandas embedding
+    column would dominate the build."""
     assert rows_per_band <= 24, "bucket packing supports rows_per_band <= 24"
-    labels, mat, norms = _gallery_arrays(gallery_pdf)
     planes = _hyperplanes(bands * rows_per_band, mat.shape[1])
     gbits = (mat @ planes.T) > 0
     all_keys = np.empty((gbits.shape[0], bands), dtype=np.int64)

@@ -61,9 +61,11 @@ def _map_lit(mapping: dict[str, str]):
     return F.create_map(*m)
 
 
-def n3_blocks(triples: DataFrame) -> DataFrame:
-    """Triples -> one row per subject: (subj, is_video, block).  Pure
-    built-in expressions; one shuffle on subj."""
+def n3_blocks(triples: DataFrame, keep_bucket: bool = False) -> DataFrame:
+    """Triples -> one row per subject: (subj, is_video, block)
+    (+ doc_bucket when ``keep_bucket`` — a subject's triples are
+    doc-local so the bucket is constant per subject).  Pure built-in
+    expressions; one shuffle on subj."""
     pred_rank = _map_lit({p: str(r) for p, (r, _) in _PRED_FORMAT.items()})
     pred_name = _map_lit({p: n for p, (_, n) in _PRED_FORMAT.items()})
     type_name = _map_lit(_TYPE_PREFIXED)
@@ -73,7 +75,10 @@ def n3_blocks(triples: DataFrame) -> DataFrame:
         F.col("pred").isin(
             NS["rdf_type"], *list(_PRED_FORMAT)
         )
-    ).select("subj", "pred", "obj", "obj_is_literal", "obj_datatype")
+    ).select(
+        "subj", "pred", "obj", "obj_is_literal", "obj_datatype",
+        *(["doc_bucket"] if keep_bucket else []),
+    )
 
     is_type = F.col("pred") == NS["rdf_type"]
     # Turtle string escaping (backslash first, then quote and control
@@ -112,11 +117,14 @@ def n3_blocks(triples: DataFrame) -> DataFrame:
             F.when(is_type & (F.col("obj") == NS["mpeg7_video"]), 1)
             .otherwise(0)
             .alias("vid_flag"),
+            *(["doc_bucket"] if keep_bucket else []),
         )
         .groupBy("subj")
         .agg(
             F.array_sort(F.collect_set("entry")).alias("entries"),
             F.max("vid_flag").alias("is_video"),
+            *([F.min("doc_bucket").alias("doc_bucket")]
+              if keep_bucket else []),
         )
     )
     block = F.concat(
@@ -129,6 +137,7 @@ def n3_blocks(triples: DataFrame) -> DataFrame:
     return grouped.select(
         "subj", F.col("is_video").cast("boolean").alias("is_video"),
         block.alias("block"),
+        *(["doc_bucket"] if keep_bucket else []),
     )
 
 
@@ -149,6 +158,59 @@ def n3_document(triples: DataFrame) -> tuple[str, int]:
 
 def triples_to_n3(triples: DataFrame) -> str:
     return n3_document(triples)[0]
+
+
+def export_n3_sharded(triples: DataFrame, path: str) -> int:
+    """The 10^12-doc form of the n3 sink (module docstring): blocks are
+    written as doc_bucket-partitioned text part files by the EXECUTORS
+    — nothing ever assembles on the driver — plus one shared
+    ``_prefixes.n3`` header the reader prepends.  Every block is
+    self-contained after the header, so shards concatenate in any
+    order into a valid document.  Input must carry ``doc_bucket``
+    (i.e. the committed triples table).  Returns the subject-block
+    count; ``read_n3_sharded`` is the lazy-concatenation reader."""
+    import os
+
+    blocks = n3_blocks(triples, keep_bucket=True).persist()
+    try:
+        n = blocks.count()
+        (
+            blocks
+            # one task per bucket -> one part file per bucket dir;
+            # within a shard keep the driver writer's order (scene
+            # blocks then video blocks, each sorted by subj)
+            .repartition("doc_bucket")
+            .sortWithinPartitions("doc_bucket", "is_video", "subj")
+            .select(
+                "doc_bucket",
+                F.concat(F.col("block"), F.lit("\n")).alias("value"),
+            )
+            .write.partitionBy("doc_bucket")
+            .mode("overwrite")
+            .text(path)
+        )
+    finally:
+        blocks.unpersist()
+    with open(os.path.join(path, "_prefixes.n3"), "w") as f:
+        f.write(N3_PREFIXES)
+    return n
+
+
+def read_n3_sharded(path: str) -> set[tuple[str, str, str]]:
+    """Reader for export_n3_sharded output: header + all bucket part
+    files concatenated through parse_n3 (lazy local reader for
+    tests/tools; at scale the shards are the unit of consumption)."""
+    import os
+
+    parts = [open(os.path.join(path, "_prefixes.n3")).read()]
+    for root, _dirs, files in sorted(os.walk(path)):
+        if "doc_bucket=" not in root:
+            continue
+        for fname in sorted(files):
+            if fname.startswith("part-"):
+                with open(os.path.join(root, fname)) as f:
+                    parts.append(f.read())
+    return parse_n3("\n".join(parts))
 
 
 def parse_n3(text: str) -> set[tuple[str, str, str]]:

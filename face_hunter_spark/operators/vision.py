@@ -33,36 +33,94 @@ from pyspark.sql import DataFrame
 from .. import fakevision as fv
 from ..schemas import FACES
 
-_ENCODERS = {}
+EMBED_DIM = 512
+
+# name -> zero-arg factory returning a batch encoder.  The CONTRACT a
+# production (ONNX/TensorRT) encoder must satisfy — pinned by
+# tests/test_encoder_contract.py:
+#   * factory() is called lazily, AT MOST ONCE PER PYTHON WORKER
+#     (per-executor singleton, like the reference's once-per-process
+#     model build at api/flask_api.py:40-45);
+#   * the instance has encode_batch(crops) with crops float32
+#     (n, H, W, 3) aligned faces in [0,1) and returns float32
+#     (n, 512) embeddings — the flatten-across-frames batch call of
+#     face_recognition.py:206-220.
+# The factory is captured in the mapInPandas closure at plan-build
+# time (cloudpickle), so registration on the driver reaches every
+# worker without relying on module-level state being replayed there.
+_ENCODER_FACTORIES: dict = {}
+_ENCODER_INSTANCES: dict = {}
+_ENCODER_BUILD_COUNTS: dict = {}
 
 
-def _get_encoder(name: str):
-    """Per-executor lazy singleton (the reference builds MTCNN/ArcFace
-    once per process, api/flask_api.py:40-45).  Keyed registry so tests
-    can plug alternatives."""
-    if name not in _ENCODERS:
-        if name == "hash":
-            _ENCODERS[name] = fv.face_embedding
-        else:
-            raise NotImplementedError(
-                f"encoder '{name}' needs model weights not present in this "
-                "container; plug an ONNX session here with the same signature"
-            )
-    return _ENCODERS[name]
+def register_encoder(name: str, factory) -> None:
+    """Register a production encoder factory under ``name`` (see the
+    contract above).  ``encoder=name`` on the vision stages then builds
+    it lazily once per Python worker."""
+    _ENCODER_FACTORIES[name] = factory
+
+
+def _resolve_encoder(name: str):
+    """Driver-side resolution: None for the built-in deterministic
+    'hash' path, else the registered factory (loud error otherwise)."""
+    if name == "hash":
+        return None
+    factory = _ENCODER_FACTORIES.get(name)
+    if factory is None:
+        raise NotImplementedError(
+            f"encoder '{name}' is not registered; production deployments "
+            "register_encoder(name, factory) with an ONNX session exposing "
+            "encode_batch((n,H,W,3) float32) -> (n,512) float32"
+        )
+    return factory
+
+
+def _encoder_instance(name: str, factory):
+    """Worker-side per-process singleton (contract: factory called at
+    most once per Python worker)."""
+    enc = _ENCODER_INSTANCES.get(name)
+    if enc is None:
+        enc = factory()
+        _ENCODER_INSTANCES[name] = enc
+        _ENCODER_BUILD_COUNTS[name] = _ENCODER_BUILD_COUNTS.get(name, 0) + 1
+    return enc
+
+
+def _encode_with(enc, seeds: np.ndarray) -> np.ndarray:
+    """Decode crops for ``seeds`` and run the registered encoder,
+    validating the output contract loudly."""
+    crops = fv.face_crops_batch(seeds)
+    emb = np.asarray(enc.encode_batch(crops))
+    if emb.shape != (len(seeds), EMBED_DIM) or emb.dtype != np.float32:
+        raise ValueError(
+            f"encoder contract violated: expected float32 "
+            f"({len(seeds)}, {EMBED_DIM}), got {emb.dtype} {emb.shape}"
+        )
+    return emb
 
 
 def detect_embed_faces(
-    media: DataFrame, n_entities: int = 54, encoder: str = "hash"
+    media: DataFrame, n_entities: int = 54, encoder: str = "hash",
+    one_face: bool = False,
 ) -> DataFrame:
-    """(doc_id, frame_no, ts_ms, media_ref) -> FACES rows.
+    """(doc_id, frame_no, ts_ms, media_ref) -> FACES rows (with the
+    reference's detection geometry: box [x,y,w,h] + confidence,
+    face_recognition.py:176-192).
 
-    One Python stage; everything inside is numpy over the whole batch.
+    ``one_face`` keeps only the largest face (max box HEIGHT) per
+    frame — the reference's one_face selection at
+    face_recognition.py:367-371; ties -> lowest face_idx (np.argmax
+    first-occurrence).  One Python stage; numpy over the whole batch.
     """
 
+    factory = _resolve_encoder(encoder)   # loud driver-side error
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        embed = _get_encoder(encoder)
+        enc = None if factory is None else _encoder_instance(encoder, factory)
         for pdf in batches:
-            out_doc, out_frame, out_ts, out_idx, out_emb = [], [], [], [], []
+            out_doc, out_frame, out_ts, out_idx = [], [], [], []
+            out_box, out_conf, out_emb = [], [], []
+            pending: list[tuple[int, int]] = []  # (out row, face seed)
             for doc_id, frame_no, ts_ms in zip(
                 pdf["doc_id"], pdf["frame_no"], pdf["ts_ms"]
             ):
@@ -72,24 +130,56 @@ def detect_embed_faces(
                     out_frame.append(frame_no)
                     out_ts.append(ts_ms)
                     out_idx.append(None)
+                    out_box.append(None)
+                    out_conf.append(None)
                     out_emb.append(None)
                     continue
-                for j, (kind, ent) in enumerate(faces):
+                geoms = [
+                    fv.face_geometry(doc_id, int(frame_no), j)
+                    for j in range(len(faces))
+                ]
+                keep = range(len(faces))
+                if one_face and len(faces) > 1:
+                    keep = [int(np.argmax([g[0][3] for g in geoms]))]
+                for j in keep:
+                    kind, ent = faces[j]
+                    box, conf = geoms[j]
                     out_doc.append(doc_id)
                     out_frame.append(frame_no)
                     out_ts.append(ts_ms)
                     out_idx.append(j)
-                    out_emb.append(
-                        embed(doc_id, int(frame_no), j, kind, ent, n_entities)
-                        .astype(np.float32)
-                        .tolist()
-                    )
+                    out_box.append([float(x) for x in box])
+                    out_conf.append(conf)
+                    if enc is None:
+                        out_emb.append(
+                            fv.face_embedding(
+                                doc_id, int(frame_no), j, kind, ent,
+                                n_entities,
+                            ).astype(np.float32).tolist()
+                        )
+                    else:
+                        pending.append(
+                            (len(out_emb),
+                             fv.face_seed(doc_id, int(frame_no), j))
+                        )
+                        out_emb.append(None)
+            if pending:
+                # ONE batched encoder call for all faces of the Arrow
+                # batch — the reference's flatten-across-frames predict
+                # (face_recognition.py:206-220)
+                emb = _encode_with(
+                    enc, np.array([s for _, s in pending], dtype=np.uint64)
+                )
+                for (pos, _), vec in zip(pending, emb):
+                    out_emb[pos] = vec.tolist()
             yield pd.DataFrame(
                 {
                     "doc_id": out_doc,
                     "frame_no": pd.array(out_frame, dtype="int32"),
                     "ts_ms": pd.array(out_ts, dtype="float64"),
                     "face_idx": pd.array(out_idx, dtype="Int32"),
+                    "box": out_box,
+                    "confidence": pd.array(out_conf, dtype="Float32"),
                     "embedding": out_emb,
                 }
             )
@@ -106,6 +196,7 @@ def detect_embed_link(
     n_entities: int = 54,
     encoder: str = "hash",
     matcher: str = "bruteforce",
+    one_face: bool = False,
 ) -> DataFrame:
     """FUSED vision + linking in one Python stage: decode, embed
     (vectorized batch), and match against the broadcast gallery —
@@ -130,8 +221,7 @@ def detect_embed_link(
     link_lsh_fused (parity-tested); use the two-stage ops when the
     embeddings themselves are wanted downstream.
     """
-    if encoder != "hash":
-        _get_encoder(encoder)  # raises the explicit stub error
+    factory = _resolve_encoder(encoder)   # loud driver-side error
 
     from pyspark.sql.types import (
         DoubleType, IntegerType, StringType, StructField, StructType,
@@ -146,6 +236,7 @@ def detect_embed_link(
     ])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        enc = None if factory is None else _encoder_instance(encoder, factory)
         if matcher == "bruteforce":
             labels, mat, norms = gallery_arrays.value
             matn = (mat / norms[:, None]).T  # (512, G), pre-normalized
@@ -202,10 +293,32 @@ def detect_embed_link(
                     seeds[pos] = fv.face_seed(d, f, j)
                     ents[pos] = -1 if kind == "unknown" else ent
                     pos += 1
+            if one_face:
+                # largest-face selection (reference one_face,
+                # face_recognition.py:367-371): keep the max-box-height
+                # face per frame BEFORE embedding; ties -> lowest
+                # face_idx.  All segment math is numpy ufunc.at.
+                boxes_all, _ = fv.face_geometry_batch(seeds)
+                h = np.where(has_face, boxes_all[:, 3], -1.0)
+                best_h = np.full(nrow, -np.inf, dtype=np.float64)
+                np.maximum.at(best_h, rep, h)
+                elig = has_face & (h >= best_h[rep])
+                min_within = np.full(nrow, 1 << 30, dtype=np.int64)
+                if elig.any():
+                    np.minimum.at(min_within, rep[elig], within[elig])
+                keep = ~has_face | (elig & (within == min_within[rep]))
+                rep, within = rep[keep], within[keep]
+                has_face = has_face[keep]
+                seeds, ents = seeds[keep], ents[keep]
+                total = len(rep)
             out_labels = np.full(total, None, dtype=object)
             if has_face.any():
-                emb = fv.embed_faces_batch(
-                    seeds[has_face], ents[has_face], n_entities
+                emb = (
+                    fv.embed_faces_batch(
+                        seeds[has_face], ents[has_face], n_entities
+                    )
+                    if enc is None
+                    else _encode_with(enc, seeds[has_face])
                 )
                 if matcher == "bruteforce":
                     qn = np.linalg.norm(emb, axis=1, keepdims=True)

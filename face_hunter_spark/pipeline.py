@@ -44,8 +44,15 @@ def link_documents(
     n_entities: int = 54,
     strategy: str = "bruteforce",
     gallery_df: DataFrame | None = None,
+    one_face: bool = False,
+    encoder: str = "hash",
 ) -> DataFrame:
-    """documents -> un-partitioned triples DataFrame (pure transform)."""
+    """documents -> un-partitioned triples DataFrame (pure transform).
+
+    ``one_face`` links only the largest detected face per frame (the
+    reference's one_face mode, face_recognition.py:367-371); ``encoder``
+    names a registered production encoder (vision.register_encoder),
+    default the deterministic test encoder."""
     from .operators import vision
     from .operators.util import ensure_parallelism
 
@@ -62,7 +69,8 @@ def link_documents(
             linking._gallery_arrays(gallery_pdf)
         )
         linked = vision.detect_embed_link(
-            media, bc, distance_threshold, n_entities=n_entities
+            media, bc, distance_threshold, n_entities=n_entities,
+            one_face=one_face, encoder=encoder,
         )
     elif strategy == "lsh":
         # fully-fused broadcast-gallery LSH: decode+embed+bucket+score
@@ -75,7 +83,7 @@ def link_documents(
         )
         linked = vision.detect_embed_link(
             media, bc, distance_threshold, n_entities=n_entities,
-            matcher="lsh",
+            matcher="lsh", one_face=one_face, encoder=encoder,
         )
     elif strategy == "hnsw":
         # per-executor graph index over the broadcast gallery — the
@@ -88,12 +96,15 @@ def link_documents(
         )
         linked = vision.detect_embed_link(
             media, bc, distance_threshold, n_entities=n_entities,
-            matcher="hnsw",
+            matcher="hnsw", one_face=one_face, encoder=encoder,
         )
     elif strategy == "lsh_shuffle":
         # relational candidate join — the beyond-broadcast-gallery form
         assert gallery_df is not None
-        faces = vision.detect_embed_faces(media, n_entities=n_entities)
+        faces = vision.detect_embed_faces(
+            media, n_entities=n_entities, one_face=one_face,
+            encoder=encoder,
+        )
         linked = linking.link_lsh(faces, gallery_df, distance_threshold)
     else:
         raise ValueError(strategy)

@@ -30,9 +30,12 @@ def recognize_doc(
     doc_spans: list[dict], doc_id: str, n_entities: int,
     gallery_labels: np.ndarray, gallery_mat: np.ndarray,
     distance_threshold: float = 0.6,
+    one_face: bool = False,
 ) -> tuple[list[list[str]], list[float]]:
     """Frame-wise predictions + timestamps for one document, in span
-    order — the reference's recognize_video output IR."""
+    order — the reference's recognize_video output IR.  ``one_face``
+    keeps only the largest-box-height face per frame before linking
+    (face_recognition.py:367-371; ties -> first occurrence)."""
     gnorm = np.linalg.norm(gallery_mat, axis=1)
     frame_preds: list[list[str]] = []
     timestamps: list[float] = []
@@ -40,9 +43,15 @@ def recognize_doc(
         if span["kind"] != "media":
             continue
         _, frame_no = fv.parse_media_ref(span["media_ref"])
-        faces = fv.frame_faces(doc_id, frame_no, n_entities)
+        faces = list(enumerate(fv.frame_faces(doc_id, frame_no, n_entities)))
+        if one_face and len(faces) > 1:
+            heights = [
+                fv.face_geometry(doc_id, frame_no, j)[0][3]
+                for j, _ in faces
+            ]
+            faces = [faces[int(np.argmax(heights))]]
         labels = []
-        for j, (kind, ent) in enumerate(faces):
+        for j, (kind, ent) in faces:
             q = fv.face_embedding(doc_id, frame_no, j, kind, ent, n_entities)
             cos = (gallery_mat @ q) / (gnorm * np.linalg.norm(q))
             dist = 1.0 - cos
@@ -125,6 +134,7 @@ def oracle_triples(
     n_entities: int,
     distance_threshold: float = 0.6,
     frame_threshold: int = 3,
+    one_face: bool = False,
 ) -> set[tuple[str, str, str]]:
     """Full sequential reference-semantics run over a pandas corpus."""
     g = gallery_pdf.sort_values("gallery_id")
@@ -144,7 +154,7 @@ def oracle_triples(
         doc_id = row["doc_id"]
         preds, ts = recognize_doc(
             list(row["spans"]), doc_id, n_entities, glabels, gmat,
-            distance_threshold,
+            distance_threshold, one_face=one_face,
         )
         scn = scenes_reference_style(preds, ts, frame_threshold)
         all_triples |= triples_for_doc(doc_id, scn, uri_by_name)

@@ -65,13 +65,18 @@ ENTITY_CATALOG = StructType(
 
 # One row per detected face (vision stage output).  face_idx is the
 # within-frame face ordinal (reference keeps per-frame face lists
-# ordered by detector output, face_recognition.py:176-192).
+# ordered by detector output, face_recognition.py:176-192); box/
+# confidence mirror the reference's detection dict ({box, confidence,
+# keypoints} at :176-192 — box = [x, y, w, h], height drives one_face
+# largest-face selection at :367-371).
 FACES = StructType(
     [
         StructField("doc_id", StringType(), False),
         StructField("frame_no", IntegerType(), False),
         StructField("ts_ms", DoubleType(), False),
         StructField("face_idx", IntegerType(), True),    # null => empty frame marker
+        StructField("box", ArrayType(FloatType()), True),  # [x, y, w, h]
+        StructField("confidence", FloatType(), True),
         StructField("embedding", ArrayType(FloatType()), True),
     ]
 )

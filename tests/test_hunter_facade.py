@@ -76,3 +76,49 @@ def test_hunter_unknown_label_returns_none(spark, tmp_path):
     h = SparkHunter(spark, str(tmp_path / "kg"), n_entities=N_ENT)
     h.link(synth.documents_df(spark, 4, N_ENT))
     assert h.search("No Such Person") is None
+
+
+def test_raw_graph_pattern_sql(spark, tmp_path):
+    """SparkHunter.sql: user-supplied SQL adding NEW triple patterns
+    (the reference's /api/query raw-fragment path, graph.py:194-244) —
+    here a join on the doc-level sdo:depicts predicate, which the
+    scene_view does not expose."""
+    from face_hunter_spark.schemas import NS
+
+    h = SparkHunter(spark, str(tmp_path / "kg"), n_entities=N_ENT,
+                    gallery_pdf=synth.make_gallery_pdf(
+                        n_entities=N_ENT, thumbs_per_entity=5, distractors=2),
+                    entity_catalog=synth.entity_catalog_df(
+                        spark, n_entities=N_ENT, distractors=2))
+    assert h.sql("SELECT 1") is None  # guard before any commit
+    docs = synth.documents_df(spark, 20, N_ENT)
+    h.link(docs)
+
+    got = h.sql(f"""
+        SELECT DISTINCT sv.title, dd.obj AS doc_entity_qid
+        FROM {{scene_view}} sv
+        JOIN {{triples}} dd
+          ON dd.subj = sv.video
+         AND dd.pred = '{NS["sdo_depicts"]}'
+        ORDER BY title, doc_entity_qid
+    """).collect()
+    assert got
+
+    # equivalent DataFrame derivation from the committed table
+    t = h.catalog.read(spark, "triples")
+    videos = (
+        t.where(F.col("pred") == NS["video_scene_from"])
+        .select(F.col("obj").alias("video")).distinct()
+    )
+    want = (
+        t.where(F.col("pred") == NS["sdo_depicts"])
+        .join(videos, F.col("subj") == F.col("video"))
+        .select(
+            F.element_at(F.split("subj", "/"), -1).alias("title"),
+            F.col("obj").alias("doc_entity_qid"),
+        )
+        .distinct().orderBy("title", "doc_entity_qid").collect()
+    )
+    assert [(r.title, r.doc_entity_qid) for r in got] == [
+        (r.title, r.doc_entity_qid) for r in want
+    ]

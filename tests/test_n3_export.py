@@ -144,3 +144,22 @@ def test_parse_reference_artifact():
     # scene URI shape: <video>#t=H:MM:SS,H:MM:SS
     assert all(re.search(r"#t=\d+:\d\d:\d\d,\d+:\d\d:\d\d$", s)
                for s in scenes)
+
+
+def test_sharded_export_roundtrip(spark, triples, tmp_path):
+    """export_n3_sharded (the 10^12-doc sink form): doc_bucket part
+    files + shared header re-parse to exactly the triple set of the
+    driver-assembled document."""
+    from face_hunter_spark.operators import triples as T
+
+    bucketed = T.with_partitioning(triples, run_id="n3test")
+    out = str(tmp_path / "n3_shards")
+    n = rdf.export_n3_sharded(bucketed, out)
+    assert n > 0
+    import os
+
+    shards = [d for d in os.listdir(out) if d.startswith("doc_bucket=")]
+    assert len(shards) >= 2, shards  # real sharding, not one bucket
+    got = rdf.read_n3_sharded(out)
+    want = rdf.parse_n3(rdf.triples_to_n3(triples))
+    assert got == want

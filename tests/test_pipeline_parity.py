@@ -163,3 +163,67 @@ def test_span_roundtrip_invariant(spark, corpus):
     round_ = {r.doc_id: [(s.kind, s.text, s.media_ref) for s in r.spans]
               for r in back.collect()}
     assert orig == round_
+
+
+def test_one_face_parity(spark, corpus):
+    """one_face mode (largest box height per frame, reference
+    face_recognition.py:367-371) is bit-exact vs the oracle's one_face
+    path AND actually changes the emitted triples on multi-face
+    frames."""
+    got = spark_triple_set(
+        link_documents(
+            corpus["docs"], corpus["gallery_pdf"], corpus["catalog"],
+            n_entities=N_ENTITIES, one_face=True,
+        )
+    )
+    expected = oracle_triples(
+        corpus["docs_pdf"], corpus["gallery_pdf"], corpus["catalog_pdf"],
+        n_entities=N_ENTITIES, one_face=True,
+    )
+    p, r = precision_recall(got, expected)
+    assert p >= 0.95 and r >= 0.95, (p, r, len(got), len(expected))
+    assert got == expected
+    all_faces = oracle_triples(
+        corpus["docs_pdf"], corpus["gallery_pdf"], corpus["catalog_pdf"],
+        n_entities=N_ENTITIES,
+    )
+    # the corpus plants 2-face frames (fakevision run_faces), so
+    # dropping the smaller face must change scene signatures somewhere
+    assert got != all_faces
+
+
+def test_face_geometry_columns(spark, corpus):
+    """FACES rows carry the reference's detection geometry: box
+    [x,y,w,h] + confidence (face_recognition.py:176-192), null on
+    empty-frame sentinel rows; one_face keeps exactly one face per
+    frame that has any."""
+    from face_hunter_spark.operators.spans import media_frames
+    from face_hunter_spark.operators.vision import detect_embed_faces
+
+    media = media_frames(corpus["docs"])
+    faces = detect_embed_faces(media, n_entities=N_ENTITIES).cache()
+    try:
+        real = faces.where(F.col("face_idx").isNotNull())
+        assert real.where(
+            F.col("box").isNull() | (F.size("box") != 4)
+            | F.col("confidence").isNull()
+        ).count() == 0
+        assert real.where(
+            (F.element_at("box", 4) < 40) | (F.element_at("box", 4) >= 160)
+            | (F.col("confidence") < 0.9) | (F.col("confidence") > 1.0)
+        ).count() == 0
+        sentinel = faces.where(F.col("face_idx").isNull())
+        assert sentinel.where(F.col("box").isNotNull()).count() == 0
+        multi = (
+            real.groupBy("doc_id", "frame_no")
+            .count().where(F.col("count") > 1).count()
+        )
+        assert multi > 0  # corpus really has multi-face frames
+    finally:
+        faces.unpersist()
+    one = detect_embed_faces(media, n_entities=N_ENTITIES, one_face=True)
+    per_frame = (
+        one.where(F.col("face_idx").isNotNull())
+        .groupBy("doc_id", "frame_no").count()
+    )
+    assert per_frame.where(F.col("count") != 1).count() == 0
