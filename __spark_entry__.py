@@ -279,6 +279,21 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).orderBy("uri")
 
 
+def _q_connected_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component labeling through the large-star/small-star
+    contraction variant (the O(log^2 n) scale path for high-diameter
+    graphs) — exact against the same recursive-CTE oracle."""
+    from face_hunter_spark.operators.canonical import connected_components
+
+    DQ.load_views(spark, sf_dir)
+    edges = spark.sql("""
+        SELECT format_string('c%05d', c_custkey) AS uri_a,
+               format_string('hub%02d', c_nationkey) AS uri_b
+        FROM customer WHERE c_custkey < 500
+    """)
+    return connected_components(edges, algorithm="bigstar").orderBy("uri")
+
+
 ORACLE_CC = """
 WITH RECURSIVE edges AS (
   SELECT printf('c%05d', c_custkey) AS a, printf('hub%02d', c_nationkey) AS b
@@ -532,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_roundtrip": _q_span_roundtrip,
         "kg_triples_by_pred": _q_kg_triples,
         "largest_face_geometry": _q_largest_face_geometry,
+        "connected_components_bigstar": _q_connected_components_bigstar,
     }
 
 
@@ -568,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_top3": DQ.ORACLE_KNN3,
         "embedding_near_dups": DQ.ORACLE_NEAR_DUP,
         "connected_components": ORACLE_CC,
+        "connected_components_bigstar": ORACLE_CC,
         "scene_islands": DQ.ORACLE_ISLANDS,
         "n3_video_blocks": DQ.ORACLE_N3_VIDEO,
         "group_concat_brands": DQ.ORACLE_GROUP_CONCAT,

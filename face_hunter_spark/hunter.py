@@ -69,6 +69,9 @@ class SparkHunter:
         # reference one_face mode: link only the largest face per frame
         self.one_face = one_face
         self._canon = canonical_map(self.entity_catalog).cache()
+        # cached label -> URI map: label searches probe this tiny df
+        # instead of re-scanning the catalog per lookup
+        self._label_map = Q.label_uri_map(self.entity_catalog).cache()
         # instance-scoped temp-view names: two SparkHunter handles on
         # one SparkSession must not clobber each other's views between
         # a refresh and a later read of a returned lazy DataFrame
@@ -136,6 +139,7 @@ class SparkHunter:
             self.spark, identifier,
             entity_catalog=self.entity_catalog, canon=self._canon,
             view="scene_view" + self._view_suffix,
+            label_map=self._label_map,
         )
 
     def scenes_of(self, doc_id: str) -> DataFrame | None:

@@ -96,6 +96,13 @@ def jaccard_pairs(
     DuckDB oracle mirrors the cap so results stay exact).  The df
     window and the inverted-index self-join hash on the same key, so
     the cap reuses the join's exchange rather than adding one.
+
+    RETURN CONTRACT: with the default cap, ``jaccard`` is the Jaccard
+    of the df-capped shingle sets — on corpora containing shingles
+    with df > max_df this differs from textbook Jaccard (deliberately:
+    the on-by-default cap is what makes the operator safe at corpus
+    scale).  Pass ``max_df=None`` for exact textbook Jaccard on small
+    corpora (ADVICE r2).
     """
     s = _shingled(df, text_col, id_col, n).where(F.col("n_sh") > 0)
     inv = s.select("id", F.explode("sh").alias("shingle"))
@@ -391,9 +398,24 @@ def embedding_near_dup_pairs(
       lsh_bands), but shuffle stays O(N * bands) instead of O(N^2).
     * ``strategy='exact'`` opts into the O(n^2) crossJoin — the
       small-corpus / oracle-parity fallback, never the default.
+
+    When neither ``block_col`` nor ``strategy`` is given, a one-time
+    warning flags the approximate default (recall < 1 vs exact) so
+    library callers opt in knowingly (ADVICE r2).
     """
     if strategy is None:
         strategy = "block" if block_col else "lsh"
+        if strategy == "lsh":
+            import warnings
+
+            warnings.warn(
+                "embedding_near_dup_pairs defaults to APPROXIMATE LSH "
+                "blocking without block_col (pairs sharing no band "
+                "bucket are missed; recall grows with lsh_bands) — "
+                "pass strategy='exact' for the O(n^2) exact scan or "
+                "strategy='lsh' to silence this",
+                stacklevel=2,
+            )
     if strategy == "block" and not block_col:
         raise ValueError("strategy='block' requires block_col")
     e = df.select(

@@ -376,18 +376,22 @@ def executor_index(gallery_arrays, M: int = 15,
 
 
 def hnsw_score_batch(q: np.ndarray, labels: np.ndarray, idx: HNSWIndex,
-                     distance_threshold: float, k: int = 1):
+                     distance_threshold: float, k: int = 1,
+                     ef: int | None = None):
     """Batch scoring with link-semantics identical to the other
     matchers: top-k by distance, majority vote among thresholded
     neighbors (ties -> nearest first), else 'unknown'.  k=1 (the
     reference default, config.yaml:19) is the fully-vectorized path;
-    an empty gallery returns all-'unknown' like lsh_score_batch."""
+    an empty gallery returns all-'unknown' like lsh_score_batch.
+    ``ef`` tunes the beam width (default = ef_construction, nmslib's
+    default; smaller trades label accuracy for throughput — measured
+    in BASELINE.md's crossover table)."""
     n = len(q)
     out_lab = np.full(n, "unknown", dtype=object)
     out_d = np.full(n, np.nan, dtype=np.float32)
     if n == 0 or idx is None or len(idx.mat) == 0:
         return out_lab, out_d
-    ids, ds = idx.search_batch(q, k=k)
+    ids, ds = idx.search_batch(q, k=k, ef=ef)
     if k == 1:
         hit = (ids[:, 0] >= 0) & (ds[:, 0] < distance_threshold)
         out_lab[hit] = labels[ids[hit, 0]]

@@ -88,12 +88,27 @@ def get_scenes_from_video(
     )
 
 
+def label_uri_map(entity_catalog: DataFrame) -> DataFrame:
+    """(name, uri) with the reference's DBpedia-preferred resolution
+    (get_uri_from_csv, knowledge_graphs.py:387-408; preference at
+    graph.py:111-114).  Cache this once per catalog (SparkHunter does)
+    so repeated label lookups probe a tiny cached map instead of
+    re-scanning + collecting the catalog per search."""
+    return entity_catalog.groupBy("name").agg(
+        F.coalesce(
+            F.min(F.when(F.col("source_kg") == "dbpedia", F.col("entity"))),
+            F.min(F.when(F.col("source_kg") == "wikidata", F.col("entity"))),
+        ).alias("uri")
+    )
+
+
 def get_scenes_with_entity(
     spark: SparkSession,
     identifier: str,
     entity_catalog: DataFrame | None = None,
     canon: DataFrame | None = None,
     view: str = "scene_view",
+    label_map: DataFrame | None = None,
 ) -> DataFrame | None:
     """graph.py:153-192: distinct (title, link, co-occurring entity,
     start, finish) for all scenes depicting the given entity.
@@ -101,20 +116,18 @@ def get_scenes_with_entity(
     identifier may be a DBpedia URI, a Wikidata URI (resolved through
     the canonical map — the batch analogue of the live owl:sameAs
     lookup at knowledge_graphs.py:306-336), or a plain label (resolved
-    through the catalog like get_uri_from_csv)."""
+    through ``label_map`` / the catalog like get_uri_from_csv; the
+    None-for-unknown-label contract mirrors hunter.py:153-187)."""
     uri = identifier
     if not identifier.startswith("http://"):
-        if entity_catalog is None:
+        if label_map is None:
+            if entity_catalog is None:
+                return None
+            label_map = label_uri_map(entity_catalog)
+        row = label_map.where(F.col("name") == identifier).first()
+        if row is None or row.uri is None:
             return None
-        hits = (
-            entity_catalog.where(F.col("name") == identifier)
-            .select("entity", "source_kg")
-            .collect()
-        )
-        by_kg = {r.source_kg: r.entity for r in hits}
-        uri = by_kg.get("dbpedia") or by_kg.get("wikidata")
-        if uri is None:
-            return None
+        uri = row.uri
     sv = spark.table(view)
     if "canonical_entity" in sv.columns and canon is not None:
         target = canon.where(F.col("uri") == uri).select("canonical")

@@ -147,3 +147,44 @@ def test_salted_agg_tolerates_map_columns(spark):
         ).collect()
     }
     assert got == {"a": 3, "b": 3}
+
+
+def test_bigstar_matches_hashmin_on_random_graphs(spark):
+    """Large-star/small-star CC (the O(log^2 n) scale variant) labels
+    every node identically to hash-min propagation on seeded random
+    graphs of varied density."""
+    import numpy as np
+
+    for seed, n_nodes, n_edges in [(1, 40, 25), (2, 60, 80), (3, 30, 45)]:
+        rng = np.random.default_rng(seed)
+        pairs = {
+            (f"n{a:03d}", f"n{b:03d}")
+            for a, b in rng.integers(0, n_nodes, (n_edges, 2))
+            if a != b
+        }
+        edges = spark.createDataFrame(
+            sorted(pairs), ["uri_a", "uri_b"]
+        )
+        hm = {r.uri: r.component
+              for r in connected_components(edges).collect()}
+        bs = {r.uri: r.component
+              for r in connected_components(
+                  edges, algorithm="bigstar").collect()}
+        assert bs == hm, (seed, {k: (bs.get(k), hm.get(k))
+                                 for k in set(bs) ^ set(hm) or hm
+                                 if bs.get(k) != hm.get(k)})
+
+
+def test_bigstar_path_graph_bounded_rounds(spark):
+    """A 1,000-node path has diameter 999 — hash-min would need ~999
+    rounds; large-star/small-star must label it min-reachable within
+    its default iteration budget (O(log^2 n) rounds)."""
+    n = 1000
+    edges = spark.createDataFrame(
+        [(f"p{i:04d}", f"p{i+1:04d}") for i in range(n - 1)],
+        ["uri_a", "uri_b"],
+    )
+    got = {r.uri: r.component
+           for r in connected_components(edges, algorithm="bigstar")
+           .collect()}
+    assert got == {f"p{i:04d}": "p0000" for i in range(n)}

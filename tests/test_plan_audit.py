@@ -178,3 +178,33 @@ def test_packed_scene_stage_fans_out(spark):
     # explicit-count round-robin repartition feeds the Python stage
     assert "MapInPandas" in plan
     assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan
+
+
+def test_ensure_parallelism_skips_already_wide_input(spark):
+    """Partitioning-aware fan-out: an input already hash-partitioned
+    at or above the target width (on the requested key) passes through
+    with NO new Exchange; a narrow file scan still fans out."""
+    from face_hunter_spark.operators.util import ensure_parallelism
+
+    target = spark.sparkContext.defaultParallelism * 2
+    wide = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .repartition(target, "doc_id")
+    )
+    same = ensure_parallelism(wide, by="doc_id")
+    assert same is wide  # no plan change at all
+    assert plan_of(same).count("Exchange") == plan_of(wide).count("Exchange")
+
+    # wide but keyed differently than requested -> must still reshuffle
+    other = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .repartition(target, "text")
+    )
+    rekeyed = ensure_parallelism(other, by="doc_id")
+    assert rekeyed is not other
+
+    # narrow scan (UnknownPartitioning) -> fans out as before
+    narrow = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fanned = ensure_parallelism(narrow, by="doc_id")
+    assert fanned is not narrow
+    assert "Exchange hashpartitioning" in plan_of(fanned)

@@ -281,3 +281,22 @@ def test_lsh_score_batch_agrees_with_bruteforce(spark):
     assert agree >= 0.95, agree
     # noise queries must stay unknown under both
     assert all(x == "unknown" for x in lsh_lab[300:])
+
+
+def test_near_dup_default_warns_once(spark):
+    """The approximate-by-default blocking (no block_col, no strategy)
+    is opt-in-aware: a warning names the recall tradeoff; explicit
+    strategy silences it (ADVICE r2)."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.embedding_near_dup_pairs(df, threshold=0.9)
+        assert any("APPROXIMATE LSH" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.embedding_near_dup_pairs(df, threshold=0.9, strategy="lsh")
+        assert not any("APPROXIMATE LSH" in str(x.message) for x in w)
