@@ -94,7 +94,7 @@ def kg_pipeline_hnsw_df(spark, sf_dir):
     )
     return link_documents(
         docs, gallery_pdf, catalog, n_entities=em.N_ENTITIES,
-        strategy="hnsw",
+        strategy="hnsw", hnsw_prebuilt=True,
     )
 
 

@@ -46,6 +46,7 @@ def link_documents(
     gallery_df: DataFrame | None = None,
     one_face: bool = False,
     encoder: str = "hash",
+    hnsw_prebuilt: bool = False,
 ) -> DataFrame:
     """documents -> un-partitioned triples DataFrame (pure transform).
 
@@ -88,12 +89,22 @@ def link_documents(
     elif strategy == "hnsw":
         # per-executor graph index over the broadcast gallery — the
         # reference's default ANN algorithm ('appr'), built once per
-        # Python worker like the reference builds nmslib per process
+        # Python worker like the reference builds nmslib per process.
+        # hnsw_prebuilt builds ONCE on the driver and broadcasts the
+        # finished graph (the reference's saveIndex/loadIndex cache,
+        # approximate_k_nearest_neighbors.py:51-62) — the right shape
+        # for 100k+ galleries where a per-worker build would dominate.
         from pyspark.sql import SparkSession
 
-        bc = SparkSession.getActiveSession().sparkContext.broadcast(
-            linking._gallery_arrays(gallery_pdf)
-        )
+        if hnsw_prebuilt:
+            from .operators.hnsw import prebuilt_gallery_payload
+
+            payload = prebuilt_gallery_payload(
+                linking._gallery_arrays(gallery_pdf)
+            )
+        else:
+            payload = linking._gallery_arrays(gallery_pdf)
+        bc = SparkSession.getActiveSession().sparkContext.broadcast(payload)
         linked = vision.detect_embed_link(
             media, bc, distance_threshold, n_entities=n_entities,
             matcher="hnsw", one_face=one_face, encoder=encoder,

@@ -35,8 +35,14 @@ def main() -> int:
     ap.add_argument("--distance-threshold", type=float, default=0.6)
     ap.add_argument("--frame-threshold", type=int, default=3)
     ap.add_argument("--strategy",
-                    choices=["bruteforce", "lsh", "lsh_shuffle"],
+                    choices=["bruteforce", "lsh", "hnsw", "lsh_shuffle"],
                     default="bruteforce")
+    ap.add_argument("--one-face", action="store_true",
+                    help="link only the largest detected face per frame "
+                         "(the reference's one_face mode)")
+    ap.add_argument("--hnsw-prebuilt", action="store_true",
+                    help="with --strategy hnsw: build the graph once on "
+                         "the driver and broadcast it (loadIndex analogue)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--export-n3", default=None, metavar="PATH",
                     help="after the commit, also write the full triple "
@@ -89,14 +95,23 @@ def main() -> int:
         frame_threshold=args.frame_threshold,
         strategy=args.strategy,
         gallery_df=gallery_df,
+        one_face=args.one_face,
+        hnsw_prebuilt=args.hnsw_prebuilt,
     )
     if args.export_n3:
         from face_hunter_spark.operators import rdf
 
         cat = ParquetCatalog(args.catalog_root)
-        text = rdf.triples_to_n3(cat.read(spark, "triples"))
-        with open(args.export_n3, "w") as f:
-            f.write(text)
+        if args.export_n3.endswith("/"):
+            # trailing slash = sharded form: executor-written
+            # doc_bucket part files (the 10^12-doc sink)
+            rdf.export_n3_sharded(
+                cat.read(spark, "triples"), args.export_n3.rstrip("/")
+            )
+        else:
+            text = rdf.triples_to_n3(cat.read(spark, "triples"))
+            with open(args.export_n3, "w") as f:
+                f.write(text)
         stats["n3_path"] = args.export_n3
     print(json.dumps(stats))
     spark.stop()

@@ -103,3 +103,45 @@ def test_hnsw_pipeline_strategy_parity(spark):
     # clean corpus
     assert inter / len(hnsw) >= 0.95
     assert inter / len(brute) >= 0.95
+
+
+def test_prebuilt_payload_roundtrip(gallery):
+    """to_payload/from_payload (the reference's saveIndex/loadIndex
+    analogue): the reconstructed index answers every query identically
+    to the original — the broadcast-prebuilt path for big galleries."""
+    labels, mat, _ = gallery
+    idx = HNSWIndex(mat)
+    idx2 = HNSWIndex.from_payload(idx.to_payload())
+    rng = np.random.default_rng(9)
+    q = mat[rng.integers(0, len(mat), 50)] + rng.standard_normal(
+        (50, mat.shape[1])).astype(np.float32) * 0.04
+    a = idx.search_batch(q, k=3)
+    b = idx2.search_batch(q, k=3)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    la, da = hnsw_score_batch(q, labels, idx2, 0.6)
+    lb, db = hnsw_score_batch(q, labels, idx, 0.6)
+    assert list(la) == list(lb)
+
+
+def test_hnsw_prebuilt_pipeline_parity(spark):
+    """strategy='hnsw' with hnsw_prebuilt=True (driver-built broadcast
+    graph, the loadIndex analogue) emits exactly the worker-built
+    strategy's triples."""
+    from face_hunter_spark.pipeline import link_documents
+    from face_hunter_spark.schemas import ENTITY_CATALOG
+
+    docs = synth.documents_df(spark, 10, 8)
+    gal = synth.make_gallery_pdf(n_entities=8, thumbs_per_entity=5,
+                                 distractors=2)
+    cat = spark.createDataFrame(
+        synth.make_entity_catalog_pdf(n_entities=8, distractors=2),
+        ENTITY_CATALOG,
+    )
+
+    def tset(**kw):
+        df = link_documents(docs, gal, cat, n_entities=8,
+                            strategy="hnsw", **kw)
+        return {(r.subj, r.pred, r.obj)
+                for r in df.select("subj", "pred", "obj").collect()}
+
+    assert tset(hnsw_prebuilt=True) == tset()
