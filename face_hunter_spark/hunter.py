@@ -12,7 +12,12 @@ The reference API per entry point, and its equivalent here:
 | ``.search(entity)``                    | ``search(identifier)`` — label, DBpedia URI, or Wikidata URI (canonical-map resolved) |
 | ``graph.get_scenes_from_video``        | ``scenes_of(doc_id)`` |
 | ``graph.get_videos_with_filters``      | ``query(where_sql)`` |
+| ``/api/query`` raw SPARQL fragments    | ``sql(query)`` — SQL over {triples}/{scene_view} placeholders |
+| ``MemoryStore.commit`` n3 artifact     | ``export_n3(path[, sharded=True])`` |
 | ``cli.py run_detection`` (evaluation)  | ``evaluate(documents_df)`` |
+
+``serve.serve(hunter)`` wraps this handle with the reference's HTTP
+routes (api/api.py) for the serving path.
 
 The big shape change from the reference: ``Hunter`` is one-video-at-a-
 time driver state (one URL per instance, hunter.py:18-21); this facade
