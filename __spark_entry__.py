@@ -548,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples_by_pred": _q_kg_triples,
         "largest_face_geometry": _q_largest_face_geometry,
         "connected_components_bigstar": _q_connected_components_bigstar,
+        "minhash_dedup_survivors": DQ.q_minhash_dedup_survivors,
     }
 
 
@@ -585,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": DQ.ORACLE_NEAR_DUP,
         "connected_components": ORACLE_CC,
         "connected_components_bigstar": ORACLE_CC,
+        "minhash_dedup_survivors": DQ._oracle_minhash_dedup(),
         "scene_islands": DQ.ORACLE_ISLANDS,
         "n3_video_blocks": DQ.ORACLE_N3_VIDEO,
         "group_concat_brands": DQ.ORACLE_GROUP_CONCAT,

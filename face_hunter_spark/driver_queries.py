@@ -1360,3 +1360,37 @@ SELECT round(thr, 1) AS thr,
              / sum(match), 6) AS recall
 FROM grid GROUP BY thr
 """
+
+
+def q_minhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus dedup (dedup.dedup_corpus): MinHash+LSH pairs
+    -> transitive duplicate clusters (connected components) -> keep
+    each cluster's min-id representative.  The oracle composes the
+    signature-exact minhash SQL with a recursive-CTE component walk, so
+    bucketing, clustering, AND the surviving set are all checked."""
+    from .operators import dedup
+
+    load_views(spark, sf_dir)
+    survivors = dedup.dedup_corpus(
+        spark.table("documents"), threshold=0.9, num_hashes=12, bands=4
+    )
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
+def _oracle_minhash_dedup() -> str:
+    pairs_sql = _oracle_minhash().replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+walk(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, w.comp FROM sym s JOIN walk w ON s.b = w.node),
+lab AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+dupes AS (SELECT node FROM lab WHERE node <> comp)
+SELECT d.doc_id AS doc_id FROM documents d
+LEFT JOIN dupes ON d.doc_id = dupes.node
+WHERE dupes.node IS NULL
+ORDER BY d.doc_id
+"""

@@ -462,3 +462,61 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------- near-dup clustering
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                 id_b: str = "id_b",
+                 algorithm: str = "hashmin") -> DataFrame:
+    """Near-duplicate PAIRS -> (id, cluster_rep): connected components
+    over the pair graph (duplicate similarity is transitive in
+    practice: a~b and b~c should collapse to ONE kept document even
+    when (a, c) itself missed the similarity threshold).  The
+    representative is the cluster's min id; the CC ops are
+    type-generic, so numeric and string ids both work.
+    ``algorithm='bigstar'`` for long duplicate chains
+    (operators/canonical.py)."""
+    from .canonical import connected_components
+
+    edges = pairs.select(
+        F.col(id_a).alias("uri_a"), F.col(id_b).alias("uri_b")
+    )
+    cc = connected_components(edges, algorithm=algorithm)
+    return cc.select(
+        F.col("uri").alias("id"), F.col("component").alias("cluster_rep")
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    algorithm: str = "hashmin",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-level near-duplicate REMOVAL — the end-to-end training-
+    data op: MinHash+LSH pairs -> transitive clusters -> keep each
+    cluster's min-id representative, drop the rest.
+
+    Scale shape: the pair graph contains ONLY documents that collided
+    in some band bucket (a tiny fraction of the corpus), so the CC
+    loop runs on near-dup members alone; the final removal is one
+    left_anti join on the id (broadcastable whenever the duplicate set
+    is small relative to the corpus — the normal case).  Pass
+    ``pairs`` to reuse an already-computed pair table (e.g. Jaccard or
+    embedding near-dup pairs instead of MinHash)."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df, threshold=threshold, num_hashes=num_hashes, bands=bands,
+            text_col=text_col, id_col=id_col,
+        )
+    losers = (
+        dup_clusters(pairs, algorithm=algorithm)
+        .where(F.col("id") != F.col("cluster_rep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -300,3 +300,43 @@ def test_near_dup_default_warns_once(spark):
         warnings.simplefilter("always")
         dedup.embedding_near_dup_pairs(df, threshold=0.9, strategy="lsh")
         assert not any("APPROXIMATE LSH" in str(x.message) for x in w)
+
+
+def test_dedup_corpus_transitive_clusters(spark):
+    """End-to-end corpus dedup: planted near-identical chains collapse
+    to one representative each (transitively — a~b, b~c with a,c below
+    threshold still one cluster), distinct docs all survive."""
+    import pandas as pd
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill with great interest "
+            "in the unfolding chase across the yard")
+    rows = []
+    # cluster 0: docs 0,1,2 near-identical chain
+    rows.append((0, base))
+    rows.append((1, base.replace("lazy", "sleepy")))
+    rows.append((2, base.replace("lazy", "sleepy").replace("warm", "cold")))
+    # cluster 1: docs 10,11
+    other = ("completely different subject matter entirely about "
+             "spark physical plans shuffle exchanges and the adaptive "
+             "query execution engine rewriting joins at runtime daily")
+    rows.append((10, other))
+    rows.append((11, other.replace("daily", "nightly")))
+    # distinct docs
+    for i, txt in [(20, "unrelated short text about gardening tips and "
+                        "soil acidity for tomato plants in summer heat"),
+                   (21, "a treatise on medieval naval logistics and "
+                        "the provisioning of long sea voyages by sail")]:
+        rows.append((i, txt))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    survivors = {
+        r.doc_id
+        for r in dedup.dedup_corpus(df, threshold=0.5).collect()
+    }
+    assert survivors == {0, 10, 20, 21}
+    # clusters table shape
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.5)
+    cl = {(r.id, r.cluster_rep) for r in dedup.dup_clusters(pairs).collect()}
+    assert (1, 0) in cl and (2, 0) in cl and (11, 10) in cl
