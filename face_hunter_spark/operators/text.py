@@ -33,6 +33,18 @@ def tokens(col) -> Column:
     )
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable.  A column captured in a HOF lambda closure is
+    inlined by Catalyst and re-evaluated per array element — quadratic
+    when the capture is itself array-valued (e.g. a tokenization
+    referenced inside a per-index ``transform``).  Routing it through a
+    single-element ``transform`` turns every use into a lambda-variable
+    reference: one evaluation per row, O(1) per reference.  Measured
+    22x on word-shingling at 54 tokens/doc (5.6s -> 0.25s, sf0.1)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def token_count(col) -> Column:
     return F.size(tokens(col))
 
@@ -113,28 +125,38 @@ def doc_fingerprint(col) -> Column:
 def shingles(col, n: int = 3) -> Column:
     """Word n-gram shingles (distinct), the unit for minhash/jaccard.
     Built entirely from higher-order functions: slide an index window
-    over the token array."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(F.size(toks) >= n, F.array_distinct(
-        F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    over the token array.  The token array is ``_bind``-bound so the
+    sliding window references it O(1) — a direct closure capture would
+    re-run the tokenizing split per window (quadratic per doc)."""
+
+    def windows(toks):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.when(F.size(toks) >= n, F.array_distinct(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+            )
+        )).otherwise(
+            F.when(F.size(toks) > 0,
+                   F.array(F.concat_ws(" ", toks))).otherwise(F.array())
         )
-    )).otherwise(
-        F.when(F.size(toks) > 0,
-               F.array(F.concat_ws(" ", toks))).otherwise(F.array())
-    )
+
+    return _bind(tokens(col), windows)
 
 
 def rolling_fingerprint(col, n: int = 8) -> Column:
     """Winnowing-style document fingerprint: min md5 over character
     n-gram windows of the normalized text — robust to local edits
-    (an edit changes only the windows it overlaps)."""
-    norm = F.concat_ws(" ", tokens(col))
-    length = F.length(norm)
-    return F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1))),
-            lambda i: F.md5(norm.substr(i, F.lit(n))),
+    (an edit changes only the windows it overlaps).  The normalized
+    text is ``_bind``-bound: each character window slices a bound
+    variable instead of re-normalizing the document (quadratic)."""
+
+    def fp(norm):
+        length = F.length(norm)
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1))),
+                lambda i: F.md5(norm.substr(i, F.lit(n))),
+            )
         )
-    )
+
+    return _bind(F.concat_ws(" ", tokens(col)), fp)
