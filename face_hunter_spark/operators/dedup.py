@@ -33,7 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from .text import doc_fingerprint, shingles, tokens
+from .text import _bind, doc_fingerprint, shingles, tokens
 from .util import ensure_parallelism
 
 
@@ -306,8 +306,9 @@ def _tok_hash32(t) -> Column:
 def simhash32(text_col) -> Column:
     """32-bit SimHash of the token stream: bit b of the fingerprint is
     the sign of sum_t (+1/-1 by bit b of hash(t)).  Expressed as a
-    fold over the token array — no explode, no shuffle."""
-    hashes = F.transform(tokens(text_col), _tok_hash32)
+    fold over the token array — no explode, no shuffle.  The token-hash
+    array is ``_bind``-bound so the 32 per-bit folds share ONE
+    tokenize+md5 pass instead of re-evaluating it per bit."""
 
     def vote(b: int):
         # a real 2-arg lambda per bit (a default-arg binding would make
@@ -318,11 +319,16 @@ def simhash32(text_col) -> Column:
             ).cast("int")
         return merge
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), vote(b)) for b in range(32)]
-    out = F.lit(0).cast("long")
-    for b, v in enumerate(bit_votes):
-        out = out + F.when(v > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0))
-    return out
+    def fingerprint(hashes):
+        bit_votes = [F.aggregate(hashes, F.lit(0), vote(b))
+                     for b in range(32)]
+        out = F.lit(0).cast("long")
+        for b, v in enumerate(bit_votes):
+            out = out + F.when(v > 0, F.lit(2 ** b).cast("long")) \
+                .otherwise(F.lit(0))
+        return out
+
+    return _bind(F.transform(tokens(text_col), _tok_hash32), fingerprint)
 
 
 def simhash_pairs(

@@ -42,6 +42,7 @@ from .. import fakevision as _fv
 # queries per lockstep chunk are sized so the visited bitmap
 # (chunk x gallery) stays ~32 MB regardless of gallery size
 _VISITED_BUDGET = 32_000_000
+_CHUNK_CAP = 64
 
 
 class HNSWIndex:
@@ -295,7 +296,14 @@ class HNSWIndex:
         if B == 0 or n == 0:
             return out_ids, out_d
         qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-        chunk = max(1, _VISITED_BUDGET // n)
+        # Small chunks win at EVERY gallery size (measured sweep,
+        # uniform queries, 1 worker: 64 -> 275-303 q/s vs 78-188 at
+        # 512-4096 for n in {10k, 50k, 200k}): the (chunk x n) visited
+        # bitmap must stay cache-resident across beam rounds, and the
+        # per-round argsort/merge width grows with the chunk while the
+        # round count doesn't shrink.  The bitmap budget still bounds
+        # the chunk for galleries beyond ~500k rows.
+        chunk = max(1, min(_CHUNK_CAP, _VISITED_BUDGET // n))
         for s in range(0, B, chunk):
             ids, ds = self._search_chunk(qn[s:s + chunk], k, ef)
             out_ids[s:s + chunk] = ids

@@ -49,8 +49,7 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
-def stopword_ratio(col, lang: str = "en") -> Column:
-    toks = tokens(col)
+def _stopword_ratio_of(toks, lang: str) -> Column:
     hits = F.size(
         F.filter(
             toks,
@@ -60,38 +59,47 @@ def stopword_ratio(col, lang: str = "en") -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def stopword_ratio(col, lang: str = "en") -> Column:
+    return _bind(tokens(col), lambda toks: _stopword_ratio_of(toks, lang))
+
+
 def punct_ratio(col) -> Column:
     n = F.length(col)
     non_alnum = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
     return F.when(n > 0, non_alnum / n).otherwise(F.lit(0.0))
 
 
-def mean_token_len(col) -> Column:
-    toks = tokens(col)
+def _mean_token_len_of(toks) -> Column:
     total = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
     )
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def mean_token_len(col) -> Column:
+    return _bind(tokens(col), _mean_token_len_of)
+
+
 def quality_score(col) -> Column:
     """Composite quality heuristic in [0,1]: rewards stopword presence
     and sane token lengths, penalizes punctuation soup and very short
-    docs.  Weights are arbitrary but fixed (deterministic)."""
+    docs.  Weights are arbitrary but fixed (deterministic).  All
+    token-derived terms share ONE ``_bind``-bound tokenization (a naive
+    composition re-runs the split ~12x per row inside the scan)."""
     length_ok = F.least(F.length(col) / F.lit(200.0), F.lit(1.0))
-    sw = stopword_ratio(col, "en")
-    sw_ok = F.least(sw * 5.0, F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
-    tl = mean_token_len(col)
-    tl_ok = F.when((tl >= 2.5) & (tl <= 9.0), F.lit(1.0)).otherwise(F.lit(0.4))
-    return (
-        0.3 * length_ok + 0.3 * sw_ok + 0.2 * punct_ok + 0.2 * tl_ok
-    )
+
+    def tok_terms(toks):
+        sw_ok = F.least(_stopword_ratio_of(toks, "en") * 5.0, F.lit(1.0))
+        tl = _mean_token_len_of(toks)
+        tl_ok = F.when((tl >= 2.5) & (tl <= 9.0), F.lit(1.0)) \
+            .otherwise(F.lit(0.4))
+        return 0.3 * sw_ok + 0.2 * tl_ok
+
+    return 0.3 * length_ok + 0.2 * punct_ok + _bind(tokens(col), tok_terms)
 
 
-def lang_scores(col) -> dict[str, Column]:
-    toks = tokens(col)
-
+def _lang_scores_of(toks) -> dict[str, Column]:
     def hit(sw: list[str]):
         # closure, not a default arg: a 2-param lambda would be treated
         # as an (elem, index) HOF lambda by pyspark
@@ -103,17 +111,27 @@ def lang_scores(col) -> dict[str, Column]:
     }
 
 
+def lang_scores(col) -> dict[str, Column]:
+    toks = tokens(col)
+    return _lang_scores_of(toks)
+
+
 def lang_id(col) -> Column:
     """argmax of stopword hits; ties resolved by LANG_PRIORITY order;
-    zero hits everywhere -> 'und' (undetermined)."""
-    scores = lang_scores(col)
-    best = scores[LANG_PRIORITY[0]]
-    best_lang = F.lit(LANG_PRIORITY[0])
-    for lang in LANG_PRIORITY[1:]:
-        cond = scores[lang] > best
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best = F.when(cond, scores[lang]).otherwise(best)
-    return F.when(best > 0, best_lang).otherwise(F.lit("und"))
+    zero hits everywhere -> 'und' (undetermined).  One ``_bind``-bound
+    tokenization feeds all four language filters and the when-chain."""
+
+    def pick(toks):
+        scores = _lang_scores_of(toks)
+        best = scores[LANG_PRIORITY[0]]
+        best_lang = F.lit(LANG_PRIORITY[0])
+        for lang in LANG_PRIORITY[1:]:
+            cond = scores[lang] > best
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best = F.when(cond, scores[lang]).otherwise(best)
+        return F.when(best > 0, best_lang).otherwise(F.lit("und"))
+
+    return _bind(tokens(col), pick)
 
 
 def doc_fingerprint(col) -> Column:
