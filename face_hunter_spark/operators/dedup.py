@@ -250,17 +250,44 @@ def minhash_lsh_pairs(
             )
         ).alias("bucket"),
     )
+    # Candidate pairs WITHOUT a self-join: one groupBy(bucket) collects
+    # the (sorted) member ids, the size cap is a plain filter on the
+    # aggregate (no window pass), and the i<j combinations unfold from
+    # the id array with a pure HOF.  vs the former windowed self-join
+    # this runs ONE exchange instead of two subtree executions — Spark
+    # cannot ReusedExchange across self-join sides here because HOF
+    # lambda variables defeat plan canonicalization, so the shingle+
+    # signature subtree (the md5-dominant map work) would execute once
+    # PER SIDE.  Pair semantics are identical: members of a bucket are
+    # distinct ids, array_sort gives id_a < id_b, and the cross-band
+    # dropDuplicates stays.
+    grouped = (
+        bucketed.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     if max_bucket_size is not None:
-        wb = Window.partitionBy("bucket")
-        bucketed = bucketed.withColumn(
-            "_bsz", F.count(F.lit(1)).over(wb)
-        ).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-    a = bucketed.select(F.col("id").alias("id_a"), "bucket")
-    b_ = bucketed.select(F.col("id").alias("id_b"), "bucket")
+        grouped = grouped.where(F.size("ids") <= max_bucket_size)
     cand = (
-        a.join(b_, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "ids", i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("id_a"), y.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     # array fetch AFTER candidate dedup, as ONE melt-join: both pair
@@ -362,16 +389,43 @@ def simhash_pairs(
             )
         ).alias("band"),
     )
+    # Same no-self-join shape as minhash_lsh_pairs: collect the band's
+    # (id, simhash) members with one groupBy, cap with a plain filter,
+    # unfold i<j combinations via HOF — the simhash subtree executes
+    # once instead of once per join side (HOF lambdas defeat exchange
+    # reuse), and the window pass disappears.
+    grouped = (
+        banded.groupBy("band")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("id", "simhash"))
+        ).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
     if max_bucket_size is not None:
-        wb = Window.partitionBy("band")
-        banded = banded.withColumn(
-            "_bsz", F.count(F.lit(1)).over(wb)
-        ).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "band")
-    b_ = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "band")
+        grouped = grouped.where(F.size("ms") <= max_bucket_size)
     return (
-        a.join(b_, "band")
-        .where(F.col("id_a") < F.col("id_b"))
+        grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "ms", i + 2,
+                                F.greatest(F.size("ms") - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                y["id"].alias("id_b"),
+                                x["simhash"].alias("h_a"),
+                                y["simhash"].alias("h_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.h_a", "p.h_b")
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)
