@@ -98,6 +98,45 @@ def windowed_mention_counts(
     )
 
 
+def stream_dedup_documents(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-ingested duplicate documents with
+    state-store-backed ``dropDuplicatesWithinWatermark`` keyed on the
+    same 16-byte content fingerprint as the batch ``dedup_exact``
+    (operators/dedup.py) — a crawler re-fetching the same page within
+    the watermark horizon emits it once.
+
+    ``docs`` is a *streaming* DataFrame carrying ``text_col`` and an
+    event-time ``ts_col``; output is the input rows minus later
+    duplicates, with the ``fingerprint`` column attached (so downstream
+    batch dedup can pick up where the streaming horizon ends).
+
+    Scale: state is keyed by fingerprint and BOUNDED by the watermark —
+    entries older than the horizon are evicted, so state size tracks
+    the duplicate-arrival window, not corpus size.  This is the
+    streaming analogue of the batch exact-dedup groupBy: same
+    fingerprint, same keep-first semantics, but O(horizon) state
+    instead of an O(corpus) shuffle.  Cross-horizon duplicates are the
+    batch job's responsibility (the catalog anti-join already skips
+    re-linked docs — pipeline.py).
+
+    Plain ``dropDuplicates`` on a stream would keep every fingerprint
+    ever seen (unbounded state); the watermark variant is the only
+    shape that survives an unbounded corpus.
+    """
+    from .operators.text import doc_fingerprint
+
+    return (
+        docs.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 # --------------------------------------------------------------------------
 # custom stateful operator: incremental scene runs across micro-batches
 # --------------------------------------------------------------------------

@@ -188,3 +188,59 @@ def test_streaming_scene_runs_state_across_batches(spark, tmp_path):
         ("d1", 2, "C", B + 4000.0, B + 4000.0, 1),
         ("d2", 0, "A", B + 0.0, B + 0.0, 1),
     }
+
+
+@pytest.mark.slow
+def test_stream_dedup_documents(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): a
+    re-fetched document inside the watermark horizon is dropped even
+    across micro-batches; once the watermark passes the horizon the
+    fingerprint's state is evicted and the same content is re-emitted
+    (the batch catalog anti-join owns cross-horizon dedup)."""
+    src = str(tmp_path / "docs")
+    schema = "doc_id string, text string, ts timestamp"
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write([(f"d{i}", f"text {i}", f"2024-01-01 00:00:0{i}")
+           for i in range(5)])
+    stream_df = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming.stream_dedup_documents(stream_df, watermark="10 minutes")
+        .writeStream.format("memory").queryName("dedup_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # d5 re-fetches d0's exact content within the horizon ->
+        # dropped; d6 is fresh -> kept
+        write([("d5", "text 0", "2024-01-01 00:01:00"),
+               ("d6", "fresh content", "2024-01-01 00:01:01")])
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql(
+            "select doc_id from dedup_docs").collect()}
+        assert got == {"d0", "d1", "d2", "d3", "d4", "d6"}
+        # advance the watermark far past every horizon (00:01:01 ->
+        # next batch's watermark = 00:51; all state expires at ~00:10)
+        write([("d7", "advance", "2024-01-01 01:01:00")])
+        q.processAllAvailable()
+        # beyond the horizon the SAME content is re-emitted: streaming
+        # state is bounded by the watermark, not the corpus
+        write([("d8", "text 0", "2024-01-01 01:02:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select doc_id, fingerprint from dedup_docs").collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert ids == ["d0", "d1", "d2", "d3", "d4", "d6", "d7", "d8"]
+    # d8 carries d0's fingerprint (same content, re-admitted)
+    by_id = {r.doc_id: r.fingerprint for r in rows}
+    assert by_id["d8"] == by_id["d0"]
+    assert len(set(by_id.values())) == 7
