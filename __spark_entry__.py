@@ -381,6 +381,36 @@ SELECT count(*) AS n_docs, 0 AS n_mismatches FROM documents
 """
 
 
+def _q_jsonl_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion path (sources.read_interleaved_jsonl): the
+    deterministic escaping-hostile corpus written as line-delimited
+    JSON, read back with the explicit DOCUMENTS schema (no inference
+    pre-scan), and flattened with posexplode.  Oracle: the same corpus
+    regenerated in pure Python as a VALUES literal."""
+    import os
+    import tempfile
+
+    from face_hunter_spark import synth
+    from face_hunter_spark.sources import read_interleaved_jsonl
+
+    n = 64
+    path = os.path.join(tempfile.gettempdir(), f"fhs_jsonl_{n}.jsonl")
+    synth.write_interleaved_jsonl(path, n)  # atomic rename; idempotent
+    docs = read_interleaved_jsonl(spark, path)
+    return (
+        docs.select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+        .select(
+            "doc_id",
+            "span_idx",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("span_offset"),
+        )
+        .orderBy("doc_id", "span_idx")
+    )
+
+
 def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read path (SURVEY.md §2.8, graph.py:153-192): run the pipeline,
     register the scene_view, and search scenes depicting the busiest
@@ -549,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "largest_face_geometry": _q_largest_face_geometry,
         "connected_components_bigstar": _q_connected_components_bigstar,
         "minhash_dedup_survivors": DQ.q_minhash_dedup_survivors,
+        "jsonl_interleaved_spans": _q_jsonl_interleaved_spans,
     }
 
 
@@ -606,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_mentions": _DO.sql_kg_entity_mentions(),
         "ann_lsh_topk": _oracle_ann_lsh(),
         "ivf_topk": _oracle_ivf(),
+        "jsonl_interleaved_spans": _DO.sql_jsonl_interleaved_spans(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

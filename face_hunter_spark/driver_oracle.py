@@ -356,3 +356,32 @@ FROM geo g JOIN documents d ON g.orig_id = d.doc_id
 WHERE {_GUARD}
 ORDER BY doc_id, frame_no
 """
+
+
+def sql_jsonl_interleaved_spans(n_docs: int = 64) -> str:
+    """VALUES oracle for the JSONL ingestion query: the deterministic
+    corpus regenerated by the same pure-Python generator the Spark side
+    writes to disk, so the JSON parse + explicit-schema read +
+    posexplode path is value-checked end to end (including the
+    escaping-hostile text rows)."""
+    rows = []
+    for r in synth.make_interleaved_jsonl_rows(n_docs):
+        for idx, s in enumerate(r["spans"]):
+            rows.append((r["doc_id"], idx, s["kind"], s["text"],
+                         s["media_ref"], s["offset"]))
+
+    def q(v):
+        return "NULL" if v is None else "'" + v.replace("'", "''") + "'"
+
+    vals = ",\n  ".join(
+        f"({q(d)}, {i}, {q(k)}, {q(t)}, {q(m)}, {o})"
+        for d, i, k, t, m, o in rows
+    )
+    return f"""
+WITH spans(doc_id, span_idx, kind, text, media_ref, span_offset) AS (VALUES
+  {vals})
+SELECT doc_id::VARCHAR AS doc_id, span_idx::INT AS span_idx,
+       kind::VARCHAR AS kind, text::VARCHAR AS text,
+       media_ref::VARCHAR AS media_ref, span_offset::INT AS span_offset
+FROM spans ORDER BY doc_id, span_idx
+"""

@@ -124,3 +124,21 @@ def read_eval_manifest_csv(
             lambda e: e != F.lit(""),
         ).alias("entities"),
     )
+
+
+def read_interleaved_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL ingestion of the BASELINE.json interleaved-document shape
+    (doc_id, spans array<struct<kind,text,media_ref,offset>>) — the
+    crawl-dump format a training-data pipeline actually receives.
+
+    The schema is EXPLICIT (``schemas.DOCUMENTS``): without it Spark's
+    JSON reader runs a full inference pre-scan of the corpus — at
+    100 TB that is a second read of everything before the first real
+    byte is processed.  With the schema pinned, each line parses once,
+    line-delimited JSON splits at newlines so a large file still fans
+    out across executors, and malformed lines land in PERMISSIVE nulls
+    rather than failing the job (count them downstream with a
+    ``doc_id IS NULL`` filter if ingestion QA matters)."""
+    from .schemas import DOCUMENTS
+
+    return spark.read.schema(DOCUMENTS).json(path)

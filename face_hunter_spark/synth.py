@@ -200,3 +200,55 @@ def entity_catalog_df(spark, **kw):
     from .schemas import ENTITY_CATALOG
 
     return spark.createDataFrame(make_entity_catalog_pdf(**kw), schema=ENTITY_CATALOG)
+
+
+# ------------------------------------------------------------- jsonl
+
+def make_interleaved_jsonl_rows(n_docs: int) -> list[dict]:
+    """Deterministic interleaved docs for the JSONL ingestion path
+    (sources.read_interleaved_jsonl): same (doc_id, spans) shape as
+    ``DOCUMENTS`` but with escaping-hostile text — quotes, backslash,
+    unicode, tab — so the JSON round-trip (and the DuckDB VALUES
+    oracle's SQL quoting) is exercised, not just happy-path ASCII.
+    Pure arithmetic (no RNG) so the oracle regenerates it exactly."""
+    hostile = [
+        'says "hello" twice',
+        "it's o'clock somewhere",
+        "back\\slash and\ttab",
+        "café naïve — unicode",
+        "plain ascii text",
+    ]
+    rows: list[dict] = []
+    for i in range(n_docs):
+        doc_id = f"jd_{i:04d}"
+        spans = [{
+            "kind": "text",
+            "text": f"{hostile[i % len(hostile)]} #{i}",
+            "media_ref": None,
+            "offset": 0,
+        }]
+        for k in range(1 + i % 4):  # 1..4 media spans
+            spans.append({
+                "kind": "media",
+                "text": None,
+                "media_ref": f"frame://{doc_id}/{k}",
+                "offset": 1 + k,
+            })
+        rows.append({"doc_id": doc_id, "spans": spans})
+    return rows
+
+
+def write_interleaved_jsonl(path: str, n_docs: int) -> str:
+    """Write the deterministic corpus as one JSON document per line
+    (atomic rename so concurrent writers of the same corpus are safe);
+    returns ``path``."""
+    import json
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+    with os.fdopen(fd, "w") as f:
+        for row in make_interleaved_jsonl_rows(n_docs):
+            f.write(json.dumps(row, ensure_ascii=False) + "\n")
+    os.replace(tmp, path)
+    return path

@@ -79,3 +79,37 @@ def test_eval_manifest_csv_entity_split(spark, tmp_path):
             for r in sources.read_eval_manifest_csv(spark, p).collect()}
     assert rows["vid_a.mp4"] == ["Barack Obama", "Angela Merkel"]
     assert rows["vid_b.mp4"] == ["Leonardo DiCaprio"]
+
+
+def test_interleaved_jsonl_roundtrip(spark, tmp_path):
+    """JSONL write → explicit-schema read: schema equals DOCUMENTS,
+    every span survives bit-exact (incl. the escaping-hostile text),
+    and a malformed line lands as PERMISSIVE nulls, not a crash."""
+    from face_hunter_spark import synth
+    from face_hunter_spark.schemas import DOCUMENTS
+
+    path = str(tmp_path / "docs.jsonl")
+    synth.write_interleaved_jsonl(path, 11)
+    df = sources.read_interleaved_jsonl(spark, path)
+    assert df.schema.fieldNames() == DOCUMENTS.fieldNames()
+    got = {
+        r.doc_id: [
+            (s.kind, s.text, s.media_ref, s.offset) for s in r.spans
+        ]
+        for r in df.collect()
+    }
+    want = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in r["spans"]
+        ]
+        for r in synth.make_interleaved_jsonl_rows(11)
+    }
+    assert got == want
+
+    # malformed line: PERMISSIVE mode nulls the row instead of failing
+    with open(path, "a") as f:
+        f.write("{not json at all\n")
+    bad = sources.read_interleaved_jsonl(spark, path)
+    assert bad.count() == 12
+    assert bad.where("doc_id IS NULL").count() == 1
