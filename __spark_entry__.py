@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components_bigstar": _q_connected_components_bigstar,
         "minhash_dedup_survivors": DQ.q_minhash_dedup_survivors,
         "jsonl_interleaved_spans": _q_jsonl_interleaved_spans,
+        "kmeans_assignments": DQ.q_kmeans_assignments,
     }
 
 
@@ -638,6 +639,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _oracle_ann_lsh(),
         "ivf_topk": _oracle_ivf(),
         "jsonl_interleaved_spans": _DO.sql_jsonl_interleaved_spans(),
+        "kmeans_assignments": DQ._oracle_kmeans(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

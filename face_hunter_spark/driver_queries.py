@@ -1394,3 +1394,70 @@ LEFT JOIN dupes ON d.doc_id = dupes.node
 WHERE dupes.node IS NULL
 ORDER BY d.doc_id
 """
+
+
+def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/cluster.py) over the
+    embeddings table, quantized to integer-valued doubles
+    (floor(x*100 + 0.5)) so every cross-row sum is exact and the
+    result is bit-identical across partitionings AND engines.  The
+    oracle runs the SAME algorithm as fully-unrolled DuckDB CTEs —
+    init, every assign/update round, and the final assignment are all
+    recomputed independently in SQL, no precomputed values."""
+    from .operators.cluster import kmeans
+
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 100.0 + 0.5).cast("double"),
+        ).alias("v"),
+    )
+    assigned, _ = kmeans(emb, vec_col="v", id_col="vec_id", k=6, n_iter=4)
+    return assigned.select(F.col("id").alias("vec_id"), "cluster").orderBy(
+        "vec_id"
+    )
+
+
+def _oracle_kmeans(k: int = 6, n_iter: int = 4, dim: int = 64) -> str:
+    """Unrolled-CTE Lloyd's: c0 = md5-ordered prefix; a{t} assigns with
+    c{t-1} (argmin of the 64-term left-associated squared-distance sum
+    — the same IEEE add order as the Spark fold); c{t} averages exact
+    integer sums; empty clusters COALESCE to their previous centroid."""
+    dist = " + ".join(
+        f"(q.v[{i}] - c.v[{i}]) * (q.v[{i}] - c.v[{i}])"
+        for i in range(1, dim + 1)
+    )
+    parts = [f"""q AS (
+  SELECT vec_id, list_transform(embedding, x -> floor(x * 100.0 + 0.5)) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j, v
+  FROM (SELECT vec_id, v FROM q
+        ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k}))"""]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, j FROM (
+    SELECT q.vec_id, c.j, {dist} AS dist
+    FROM q CROSS JOIN c{p} c) d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1),
+c{t} AS (
+  SELECT c{p}.j, COALESCE(m.v, c{p}.v) AS v
+  FROM c{p} LEFT JOIN (
+    SELECT j, list(sv ORDER BY dim) AS v FROM (
+      SELECT a{t}.j, t.i AS dim, sum(q.v[t.i]) / count(*) AS sv
+      FROM a{t} JOIN q USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) t
+      GROUP BY a{t}.j, t.i) g
+    GROUP BY j) m USING (j))""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT vec_id, j::INT AS cluster FROM (
+  SELECT q.vec_id, c.j, {dist} AS dist
+  FROM q CROSS JOIN c{n_iter} c) d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
+ORDER BY vec_id
+"""
