@@ -581,6 +581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_survivors": DQ.q_minhash_dedup_survivors,
         "jsonl_interleaved_spans": _q_jsonl_interleaved_spans,
         "kmeans_assignments": DQ.q_kmeans_assignments,
+        "corpus_split_mixture": DQ.q_corpus_split_mixture,
+        "quality_filter_survivors": DQ.q_quality_filter_survivors,
+        "sequence_packing": DQ.q_sequence_packing,
     }
 
 
@@ -640,6 +643,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _oracle_ivf(),
         "jsonl_interleaved_spans": _DO.sql_jsonl_interleaved_spans(),
         "kmeans_assignments": DQ._oracle_kmeans(),
+        "corpus_split_mixture": DQ._oracle_corpus_split(),
+        "quality_filter_survivors": DQ._oracle_quality_filter(),
+        "sequence_packing": DQ._oracle_sequence_packing(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

@@ -1461,3 +1461,157 @@ SELECT vec_id, j::INT AS cluster FROM (
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
 ORDER BY vec_id
 """
+
+
+# --------------------------------------------------------------------------
+# corpus construction (operators/corpus.py)
+# --------------------------------------------------------------------------
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_DEFAULT_RATE = 0.1
+
+
+def q_corpus_split_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed corpus assembly: hash_split into
+    train/val/test + per-source mixture sampling, both md5-prefix
+    decisions (engine-portable: the oracle recomputes them with
+    DuckDB's md5)."""
+    from .operators import corpus
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    split = corpus.hash_split(docs, _SPLITS, key_col="doc_id")
+    sampled = corpus.mixture_sample(
+        split, _RATES, source_col="source", key_col="doc_id",
+        default_rate=_DEFAULT_RATE,
+    )
+    return sampled.select("doc_id", "source", "split").orderBy("doc_id")
+
+
+def _oracle_corpus_split() -> str:
+    from .operators.corpus import hex_cutoff
+
+    c_train = hex_cutoff(0.8)
+    c_val = hex_cutoff(0.9)
+    rate_case = " ".join(
+        f"WHEN source = '{s}' THEN '{hex_cutoff(r)}'"
+        for s, r in _RATES.items()
+    )
+    return f"""
+SELECT doc_id, source,
+       CASE WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 8) < '{c_train}'
+            THEN 'train'
+            WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 8) < '{c_val}'
+            THEN 'val' ELSE 'test' END AS split
+FROM documents
+WHERE substr(md5('mix:' || doc_id::VARCHAR), 1, 8) <
+      (CASE {rate_case} ELSE '{hex_cutoff(_DEFAULT_RATE)}' END)
+ORDER BY doc_id
+"""
+
+
+def _duck_quality(col: str) -> str:
+    """DuckDB mirror of text.quality_score: same terms, same IEEE op
+    order (left-associated), int/int divisions stay `/` (double in
+    both engines)."""
+    toks = _DUCK_TOKENS.format(col=col)
+    hits = _duck_lang_hits("en")
+    length_ok = f"least(length({col}) / 200.0, 1.0)"
+    punct_ratio = (
+        f"(CASE WHEN length({col}) > 0 THEN "
+        f"length(regexp_replace({col}, '[a-zA-Z0-9\\s]', '', 'g')) "
+        f"/ length({col}) ELSE 0.0 END)"
+    )
+    punct_ok = f"(1.0 - least({punct_ratio} * 4.0, 1.0))"
+    sw_ratio = (
+        f"(CASE WHEN len({toks}) > 0 THEN {hits} / len({toks}) "
+        f"ELSE 0.0 END)"
+    )
+    sw_ok = f"least({sw_ratio} * 5.0, 1.0)"
+    tl = (
+        f"(CASE WHEN len({toks}) > 0 THEN "
+        f"coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) "
+        f"/ len({toks}) ELSE 0.0 END)"
+    )
+    tl_ok = f"(CASE WHEN {tl} >= 2.5 AND {tl} <= 9.0 THEN 1.0 ELSE 0.4 END)"
+    return (
+        f"0.3 * {length_ok} + 0.2 * {punct_ok} "
+        f"+ (0.3 * {sw_ok} + 0.2 * {tl_ok})"
+    )
+
+
+def q_quality_filter_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus.quality_filter over documents: survivors with their
+    token count and rounded score.  The FILTER itself runs on the
+    unrounded score in both engines — a borderline disagreement would
+    change the surviving row set, not just a value."""
+    from .operators import corpus
+    from .operators import text as T
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    kept = corpus.quality_filter(
+        docs, text_col="text", min_tokens=5, min_quality=0.5
+    )
+    return kept.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.quality_score(F.col("text")), 9).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def _oracle_quality_filter() -> str:
+    q = _duck_quality("text")
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+SELECT doc_id, len({toks})::INT AS n_tokens, round({q}, 9) AS quality
+FROM documents
+WHERE len({toks}) >= 5 AND ({q}) >= 0.5
+ORDER BY doc_id
+"""
+
+
+_PACK_BUDGET = 256
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sample packing per source bucket (corpus.pack_sequences):
+    sequential pandas kernel per bucket; the oracle replays the greedy
+    fill as a recursive CTE over the same doc order."""
+    from .operators import corpus
+    from .operators import text as T
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "source", "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = corpus.pack_sequences(
+        docs, budget=_PACK_BUDGET, bucket_col="source",
+        id_col="doc_id", tokens_col="n_tokens",
+    )
+    return packed.orderBy("bucket", "doc_id")
+
+
+def _oracle_sequence_packing() -> str:
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT source AS bucket, doc_id::VARCHAR AS doc_id,
+         len({toks})::INT AS n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY doc_id::VARCHAR) AS rn
+  FROM documents),
+walk(bucket, rn, doc_id, n, seq_id, fill) AS (
+  SELECT bucket, rn, doc_id, n, 0, n FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n,
+         CASE WHEN w.fill + d.n > {_PACK_BUDGET}
+              THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.fill + d.n > {_PACK_BUDGET}
+              THEN d.n ELSE w.fill + d.n END
+  FROM walk w JOIN docs d ON d.bucket = w.bucket AND d.rn = w.rn + 1)
+SELECT bucket, doc_id, n::INT AS n_tokens, seq_id::INT AS seq_id,
+       fill::INT AS seq_fill
+FROM walk ORDER BY bucket, doc_id
+"""
