@@ -80,3 +80,90 @@ class ParquetCatalog:
             for s in snaps
         ]
         return spark.read.option("basePath", self._tdir(table)).parquet(*paths)
+
+
+class IcebergCatalog:
+    """The same seam over a REAL Iceberg catalog (requires the Iceberg
+    runtime jar + a configured Spark catalog — unavailable in this
+    sandbox, so only the constructor contract is testable here).
+
+    Everything above the seam (pipeline.run_link_job, streaming,
+    SparkHunter) is duck-typed against the four methods, so swapping
+    ``ParquetCatalog(root)`` for ``IcebergCatalog(spark, "my_cat")``
+    is the whole migration.  Mapping:
+
+    * ``append``  -> ``df.writeTo(cat.ns.table).append()`` (creates on
+      first write, with the requested partition layout); ``run_id``
+      rides in the snapshot summary via ``snapshot-property.run_id`` —
+      the lineage join key, same as the parquet manifest's field.
+    * ``read``    -> ``spark.table(...)`` (snapshot isolation is
+      Iceberg's own committed-manifest semantics; time travel via
+      ``VERSION AS OF`` stays available to callers).
+    * ``snapshots`` -> the table's ``.snapshots`` metadata table.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str,
+                 namespace: str = "kg"):
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if impl is None:
+            raise RuntimeError(
+                f"Spark catalog '{catalog}' is not configured; set "
+                f"spark.sql.catalog.{catalog}="
+                "org.apache.iceberg.spark.SparkCatalog (plus warehouse/"
+                "catalog-impl options) and ship the iceberg-spark-runtime "
+                "jar with --packages"
+            )
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _fqn(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._fqn(table))
+
+    def snapshots(self, table: str) -> list[dict]:
+        if not self.exists(table):
+            return []
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, committed_at, summary "
+            f"FROM {self._fqn(table)}.snapshots ORDER BY committed_at"
+        ).collect()
+        return [
+            {
+                "id": str(r.snapshot_id),
+                "run_id": (r.summary or {}).get("run_id"),
+                "committed": r.committed_at.timestamp(),
+            }
+            for r in rows
+        ]
+
+    def append(self, table: str, df: DataFrame, run_id: str,
+               partition_by: list[str] | None = None) -> str:
+        import pyspark.sql.functions as F
+
+        writer = df.writeTo(self._fqn(table)).option(
+            "snapshot-property.run_id", run_id
+        )
+        if self.exists(table):
+            writer.append()
+        else:
+            if partition_by:
+                writer = writer.partitionedBy(
+                    *[F.col(c) for c in partition_by]
+                )
+            writer.create()
+        last = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._fqn(table)}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(last[0].snapshot_id) if last else ""
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        if not self.exists(table):
+            raise FileNotFoundError(
+                f"table {table} has no committed snapshots"
+            )
+        return spark.table(self._fqn(table))

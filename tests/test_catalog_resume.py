@@ -192,3 +192,21 @@ def test_doc_level_sdo_depicts_qids(spark, tmp_path):
     }
     got = {(r.subj, r.obj) for r in doc_rows.collect()}
     assert got == expected
+
+
+def test_iceberg_catalog_seam_contract(spark):
+    """No Iceberg jar in the sandbox: the constructor must fail loudly
+    (not at first write), and the class must expose exactly the
+    ParquetCatalog duck-type the pipeline is written against."""
+    import inspect
+
+    import pytest
+
+    from face_hunter_spark.catalog import IcebergCatalog, ParquetCatalog
+
+    with pytest.raises(RuntimeError, match="not configured"):
+        IcebergCatalog(spark, "nosuch_catalog")
+    for meth in ("exists", "snapshots", "append", "read"):
+        pq = inspect.signature(getattr(ParquetCatalog, meth))
+        ib = inspect.signature(getattr(IcebergCatalog, meth))
+        assert list(pq.parameters)[1:] == list(ib.parameters)[1:], meth
