@@ -584,6 +584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split_mixture": DQ.q_corpus_split_mixture,
         "quality_filter_survivors": DQ.q_quality_filter_survivors,
         "sequence_packing": DQ.q_sequence_packing,
+        "repetition_profile": DQ.q_repetition_profile,
+        "pii_redaction": DQ.q_pii_redaction,
     }
 
 
@@ -646,6 +648,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_split_mixture": DQ._oracle_corpus_split(),
         "quality_filter_survivors": DQ._oracle_quality_filter(),
         "sequence_packing": DQ._oracle_sequence_packing(),
+        "repetition_profile": DQ.ORACLE_REPETITION,
+        "pii_redaction": DQ._oracle_pii(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

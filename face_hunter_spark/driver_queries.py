@@ -1615,3 +1615,97 @@ SELECT bucket, doc_id, n::INT AS n_tokens, seq_id::INT AS seq_id,
        fill::INT AS seq_fill
 FROM walk ORDER BY bucket, doc_id
 """
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-bigram repetition signal per document
+    (text.ngram_repetition_ratio) — scan-stage HOFs, zero shuffle."""
+    from .operators import text as T
+
+    load_views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            F.round(T.ngram_repetition_ratio(F.col("text"), 2), 9)
+            .alias("rep2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams,
+         len(toks) AS nt
+  FROM t)
+SELECT doc_id,
+       round(CASE WHEN nt >= 2
+                  THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                  ELSE 0.0 END, 9) AS rep2
+FROM g ORDER BY doc_id
+"""
+
+
+_PII_AUG_SPARK = None  # built inline in the query
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents deterministically AUGMENTED with
+    synthetic PII (an email, an IPv4, a phone) so the patterns fire on
+    every row with real prose around them.  Output: per-kind counts +
+    md5 of the redacted text (full-string equality vs the oracle)."""
+    from .operators import text as T
+
+    load_views(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".3.7 call +1 555-010-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    docs = spark.table("documents").select("doc_id", aug.alias("aug"))
+    counts = T.pii_counts(F.col("aug"))
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["ip"].cast("int").alias("n_ip"),
+        counts["phone"].cast("int").alias("n_phone"),
+        F.md5(T.redact_pii(F.col("aug"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _oracle_pii() -> str:
+    from .operators.text import PII_PATTERNS
+
+    aug = (
+        "text || ' contact u' || doc_id::VARCHAR || '@example.com ip 10.'"
+        " || (doc_id % 200)::VARCHAR || '.3.7 call +1 555-010-'"
+        " || lpad(doc_id::VARCHAR, 4, '0')"
+    )
+    (k1, p1, t1), (k2, p2, t2), (k3, p3, t3) = PII_PATTERNS
+
+    def esc(p):
+        return p.replace("'", "''").replace("\\", "\\")
+
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS aug FROM documents),
+s1 AS (SELECT doc_id, aug,
+              len(regexp_extract_all(aug, '{esc(p1)}')) AS n_email,
+              regexp_replace(aug, '{esc(p1)}', '{t1}', 'g') AS r1 FROM a),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(r1, '{esc(p2)}')) AS n_ip,
+              regexp_replace(r1, '{esc(p2)}', '{t2}', 'g') AS r2 FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ip,
+              len(regexp_extract_all(r2, '{esc(p3)}')) AS n_phone,
+              regexp_replace(r2, '{esc(p3)}', '{t3}', 'g') AS r3 FROM s2)
+SELECT doc_id, n_email::INT AS n_email, n_ip::INT AS n_ip,
+       n_phone::INT AS n_phone, md5(r3) AS redacted_md5
+FROM s3 ORDER BY doc_id
+"""

@@ -178,3 +178,56 @@ def rolling_fingerprint(col, n: int = 8) -> Column:
         )
 
     return _bind(F.concat_ws(" ", tokens(col)), fp)
+
+
+def ngram_repetition_ratio(col, n: int = 2) -> Column:
+    """Fraction of word n-gram occurrences that are repeats of an
+    earlier one: 1 - distinct/total (0.0 for docs with < n tokens).
+    The Gopher-style repetition filter signal — templated/spun text
+    scores high, natural prose low.  Scan-stage HOFs over one bound
+    tokenization; no shuffle."""
+
+    def ratio(toks):
+        idx = F.sequence(F.lit(0), F.size(toks) - n)  # only when size>=n
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
+        return F.when(
+            F.size(toks) >= n,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
+        ).otherwise(F.lit(0.0))
+
+    return _bind(tokens(col), ratio)
+
+
+# PII patterns: portable across Java regex (Spark) and RE2 (DuckDB).
+# Order matters: emails first (contain digits/dots), then IPs (digit
+# runs a phone pattern would swallow), then phones.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col) -> Column:
+    """Replace emails, IPv4 addresses, and phone-number-shaped digit
+    runs with typed placeholder tokens, in a fixed order so the
+    patterns never shadow each other.  Pure regexp_replace chain —
+    stays inside whole-stage codegen."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Per-kind match counts, applying the same order/shadowing as
+    redact_pii (each count runs on the text with the PRIOR patterns
+    already redacted, so an IP inside a matched email counts once)."""
+    counts = {}
+    cur = col
+    for kind, pat, token in PII_PATTERNS:
+        counts[kind] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    return counts

@@ -340,3 +340,43 @@ def test_dedup_corpus_transitive_clusters(spark):
     pairs = dedup.minhash_lsh_pairs(df, threshold=0.5)
     cl = {(r.id, r.cluster_rep) for r in dedup.dup_clusters(pairs).collect()}
     assert (1, 0) in cl and (2, 0) in cl and (11, 10) in cl
+
+
+def test_ngram_repetition_ratio(spark):
+    from face_hunter_spark.operators.text import ngram_repetition_ratio
+
+    rows = [
+        (1, "buy now buy now buy now buy now"),     # heavy repetition
+        (2, "each word here appears exactly once"),  # none
+        (3, "one"),                                  # < n tokens
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.rep for r in df.select(
+        "doc_id", F.round(ngram_repetition_ratio(F.col("text"), 2), 6)
+        .alias("rep")).collect()}
+    # doc 1: 7 bigrams, 2 distinct ('buy now', 'now buy') -> 5/7
+    assert got[1] == round(1.0 - 2.0 / 7.0, 6)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+
+
+def test_redact_pii_and_counts(spark):
+    from face_hunter_spark.operators.text import pii_counts, redact_pii
+
+    text = ("mail bob.smith+x@corp.example.org or visit 10.0.255.7, "
+            "call +44 (0)20 7946-0958 ok")
+    df = spark.createDataFrame([(text,)], "text string")
+    counts = pii_counts(F.col("text"))
+    r = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        counts["email"].alias("e"), counts["ip"].alias("i"),
+        counts["phone"].alias("p"),
+    ).first()
+    assert "<EMAIL>" in r.red and "<IP>" in r.red and "<PHONE>" in r.red
+    assert "bob.smith" not in r.red and "10.0.255.7" not in r.red
+    assert "7946" not in r.red
+    assert (r.e, r.i, r.p) == (1, 1, 1)
+    # ordering: the IP must NOT be swallowed by the phone pattern
+    assert "<IP>," in r.red
