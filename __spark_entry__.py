@@ -586,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": DQ.q_sequence_packing,
         "repetition_profile": DQ.q_repetition_profile,
         "pii_redaction": DQ.q_pii_redaction,
+        "asof_last_purchase": DQ.q_asof_last_purchase,
+        "range_join_session_hits": DQ.q_range_join_session_hits,
     }
 
 
@@ -650,6 +652,8 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": DQ._oracle_sequence_packing(),
         "repetition_profile": DQ.ORACLE_REPETITION,
         "pii_redaction": DQ._oracle_pii(),
+        "asof_last_purchase": DQ.ORACLE_ASOF,
+        "range_join_session_hits": DQ.ORACLE_RANGE_JOIN,
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

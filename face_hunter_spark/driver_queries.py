@@ -1709,3 +1709,74 @@ SELECT doc_id, n_email::INT AS n_email, n_ip::INT AS n_ip,
        n_phone::INT AS n_phone, md5(r3) AS redacted_md5
 FROM s3 ORDER BY doc_id
 """
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/temporal.py): each click picks up
+    the user's most recent purchase at-or-before it.  Spark side is the
+    union + running last(ignorenulls) formulation (one shuffle, no
+    candidate explosion); the oracle is DuckDB's native ASOF LEFT
+    JOIN — two independent formulations of the same semantics."""
+    from .operators.temporal import asof_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.where("event_type = 'click'").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id",
+                    right_cols=["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("value_r").alias("p_value"), F.col("ts_r").alias("p_ts"),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF = """
+SELECT l.event_id, l.user_id, r.value AS p_value, r.ts AS p_ts
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_range_join_session_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators/temporal.py): clicks landing inside the
+    12-hour window after each signup, same user.  Spark side is the
+    binned equi-join (6h bins -> <= 3 bins/interval) + residual BETWEEN
+    filter; the oracle is the plain theta join."""
+    from .operators.temporal import range_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.where("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    signups = ev.where("event_type = 'signup'").select(
+        F.col("event_id").alias("signup_id"), "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("end_ts"),
+    )
+    out = range_join(clicks, signups, on="ts", start="start_ts",
+                     end="end_ts", by="user_id", bin_width_s=21600.0)
+    return out.select("click_id", "signup_id").orderBy(
+        "click_id", "signup_id"
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT c.event_id AS click_id, s.event_id AS signup_id
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'signup') s
+ON c.user_id = s.user_id AND c.ts >= s.ts
+   AND c.ts <= s.ts + INTERVAL 12 HOUR
+ORDER BY click_id, signup_id
+"""
