@@ -588,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": DQ.q_pii_redaction,
         "asof_last_purchase": DQ.q_asof_last_purchase,
         "range_join_session_hits": DQ.q_range_join_session_hits,
+        "pagerank_suppliers": DQ.q_pagerank_suppliers,
+        "bm25_ranking": DQ.q_bm25_ranking,
     }
 
 
@@ -654,6 +656,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redaction": DQ._oracle_pii(),
         "asof_last_purchase": DQ.ORACLE_ASOF,
         "range_join_session_hits": DQ.ORACLE_RANGE_JOIN,
+        "pagerank_suppliers": DQ._oracle_pagerank(),
+        "bm25_ranking": DQ._oracle_bm25(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

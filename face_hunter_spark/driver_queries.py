@@ -1729,14 +1729,22 @@ def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof_join(clicks, purchases, on="ts", by="user_id",
                     right_cols=["value"])
+    # no-match rows stay (left-join semantics) but surface as sentinel
+    # values, not NULLs: pandas-vs-fetchall null spellings (NaT/NaN vs
+    # None) would otherwise depend on the comparison harness.
     return out.select(
         "event_id", "user_id",
-        F.col("value_r").alias("p_value"), F.col("ts_r").alias("p_ts"),
+        F.coalesce(F.col("value_r"), F.lit(-1.0)).alias("p_value"),
+        F.coalesce(
+            F.unix_micros(F.col("ts_r").cast("timestamp")), F.lit(-1)
+        ).alias("p_ts_us"),
     ).orderBy("event_id")
 
 
 ORACLE_ASOF = """
-SELECT l.event_id, l.user_id, r.value AS p_value, r.ts AS p_ts
+SELECT l.event_id, l.user_id,
+       COALESCE(r.value, -1.0) AS p_value,
+       COALESCE(epoch_us(r.ts), -1)::BIGINT AS p_ts_us
 FROM (SELECT event_id, user_id, ts FROM events
       WHERE event_type = 'click') l
 ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
@@ -1779,4 +1787,120 @@ JOIN (SELECT event_id, user_id, ts FROM events
 ON c.user_id = s.user_id AND c.ts >= s.ts
    AND c.ts <= s.ts + INTERVAL 12 HOUR
 ORDER BY click_id, signup_id
+"""
+
+
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py) over the directed
+    customer->supplier purchase graph (distinct (o_custkey, l_suppkey)
+    pairs via orders x lineitem; vertex keys namespaced 'c<k>'/'s<k>').
+    Every supplier is a dangling sink, so the query exercises uniform
+    dangling-mass redistribution every round.  Integer mass units make
+    the result bit-identical at any partitioning; the oracle replays
+    the identical recurrence as fully-unrolled DuckDB CTEs."""
+    from .operators.graph import pagerank
+
+    load_views(spark, sf_dir)
+    edges = (
+        spark.table("orders")
+        .join(
+            spark.table("lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    return pagerank(edges, n_iter=6).orderBy("v")
+
+
+def _oracle_pagerank(n_iter: int = 6, num: int = 85, den: int = 100,
+                     scale: int = 10**12) -> str:
+    """Unrolled-CTE fixed-point PageRank: r0 = uniform integer mass;
+    each round recomputes shares (integer DIV), in-edge contribution
+    sums, dangling mass, and the damped update — the same truncating
+    integer recurrence as operators/graph.pagerank, so values match
+    bit-for-bit.  Sums cast to BIGINT (DuckDB sums to HUGEINT)."""
+    parts = [f"""e AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+vv AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM vv),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT v, ({scale} // nn.n)::BIGINT AS pr FROM vv CROSS JOIN nn)"""]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        parts.append(f"""c{t} AS (
+  SELECT e.dst AS v, sum(r{p}.pr // deg.deg)::BIGINT AS csum
+  FROM e JOIN r{p} ON e.src = r{p}.v JOIN deg ON e.src = deg.src
+  GROUP BY e.dst),
+d{t} AS (
+  SELECT COALESCE(sum(r{p}.pr), 0)::BIGINT AS dang
+  FROM r{p} LEFT JOIN deg ON r{p}.v = deg.src WHERE deg.src IS NULL),
+r{t} AS (
+  SELECT r{p}.v,
+         (((({den} - {num}) * {scale}) // {den}) // nn.n
+          + ({num} * (COALESCE(c{t}.csum, 0) + d{t}.dang // nn.n)) // {den}
+         )::BIGINT AS pr
+  FROM r{p} LEFT JOIN c{t} ON r{p}.v = c{t}.v
+  CROSS JOIN nn CROSS JOIN d{t})""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT v, pr FROM r{n_iter} ORDER BY v
+"""
+
+
+_BM25_TERMS = ["spark", "shuffle", "vector", "query"]
+
+
+def q_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (operators/relevance.py) of every document against a
+    fixed 4-term query.  Integer tf/dl/df + per-row double arithmetic
+    in fixed term order make the score partitioning-independent; both
+    engines round to 6 dp to absorb ln() last-ulp differences."""
+    from .operators.relevance import bm25
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    out = bm25(docs, _BM25_TERMS)
+    return out.select(
+        "doc_id", "dl",
+        *[f"tf_{i}" for i in range(len(_BM25_TERMS))],
+        F.round("score", 6).alias("score"),
+    ).orderBy("doc_id")
+
+
+def _oracle_bm25(k1: float = 1.2, b: float = 0.75) -> str:
+    toks = _DUCK_TOKENS.format(col="text")
+    tf_cols = ",\n       ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n       ".join(
+        f"sum((tf_{i} > 0)::BIGINT)::BIGINT AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"ln(1.0 + (s.n::DOUBLE - s.df_{i}::DOUBLE + 0.5)"
+        f" / (s.df_{i}::DOUBLE + 0.5))"
+        f" * d.tf_{i}::DOUBLE * {k1 + 1.0!r}"
+        f" / (d.tf_{i}::DOUBLE + {k1!r} * ({1.0 - b!r}"
+        f" + {b!r} * d.dl::DOUBLE / (s.sumdl::DOUBLE / s.n::DOUBLE)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    tf_list = ", ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks)::BIGINT AS dl,
+       {tf_cols}
+      FROM t),
+s AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl,
+       {df_cols}
+      FROM d)
+SELECT d.doc_id, d.dl, {tf_list},
+       round((0.0 + {terms}), 6) AS score
+FROM d CROSS JOIN s
+ORDER BY d.doc_id
 """

@@ -1,0 +1,158 @@
+"""PageRank (operators/graph.py) and BM25 (operators/relevance.py).
+
+Correctness strategy: tiny hand-checkable graphs/corpora with answers
+derived independently (a pure-Python replay of the integer PageRank
+recurrence; a pure-Python BM25 with math.log), plus structural
+invariants — mass conservation up to the documented floor-division
+leak, partitioning invariance, dangling-sink handling.  The driver
+queries `pagerank_suppliers` / `bm25_ranking` add fully-unrolled
+DuckDB CTE oracles at sf0.01.
+"""
+
+import math
+
+import pyspark.sql.functions as F
+
+from face_hunter_spark.operators.graph import SCALE, pagerank
+from face_hunter_spark.operators.relevance import bm25
+
+
+def _py_pagerank(edges, n_iter=6, num=85, den=100):
+    """Driver-side integer replay of the documented recurrence."""
+    e = sorted(set(edges))
+    verts = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(verts)
+    deg = {}
+    for u, _ in e:
+        deg[u] = deg.get(u, 0) + 1
+    pr = {v: SCALE // n for v in verts}
+    base = ((den - num) * SCALE // den) // n
+    for _ in range(n_iter):
+        csum = {v: 0 for v in verts}
+        for u, v in e:
+            csum[v] += pr[u] // deg[u]
+        dang = sum(pr[v] for v in verts if v not in deg)
+        pr = {
+            v: base + (num * (csum[v] + dang // n)) // den for v in verts
+        }
+    return pr
+
+
+def _run_pagerank(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["v"]: r["pr"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_python_replay(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("c", "d"), ("e", "a"),  # e: no in-edges
+        ("f", "g"),  # g: dangling sink
+    ]
+    assert _run_pagerank(spark, edges) == _py_pagerank(edges)
+
+
+def test_pagerank_dangling_only_graph(spark):
+    # every dst is a sink: dangling redistribution dominates
+    edges = [("a", "x"), ("b", "y"), ("c", "z")]
+    got = _run_pagerank(spark, edges, n_iter=3)
+    assert got == _py_pagerank(edges, n_iter=3)
+    # sinks receive strictly more than sources after round 1
+    assert got["x"] > got["a"]
+
+
+def test_pagerank_mass_conservation(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    got = _run_pagerank(spark, edges, n_iter=4)
+    total = sum(got.values())
+    n = 4
+    # floor-division leak < n units per round per division site
+    assert SCALE - 4 * 3 * n <= total <= SCALE
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    base = [("a", "b"), ("b", "a")]
+    dup = base + [("a", "b"), ("a", "b")]
+    assert _run_pagerank(spark, base) == _run_pagerank(spark, dup)
+
+
+def test_pagerank_partitioning_invariance(spark):
+    edges = [(f"v{i}", f"v{(i * 7 + 3) % 23}") for i in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = {r["v"]: r["pr"] for r in pagerank(df.repartition(1)).collect()}
+    b = {r["v"]: r["pr"] for r in pagerank(df.repartition(7)).collect()}
+    assert a == b
+
+
+def _py_bm25(doc_tokens, terms, k1=1.2, b=0.75):
+    n = len(doc_tokens)
+    dls = [len(t) for t in doc_tokens]
+    avgdl = sum(dls) / n
+    dfs = [sum(1 for t in doc_tokens if q in t) for q in terms]
+    out = []
+    for toks, dl in zip(doc_tokens, dls):
+        s = 0.0
+        for q, dfq in zip(terms, dfs):
+            tf = toks.count(q)
+            idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+        out.append(s)
+    return out
+
+
+def test_bm25_matches_python(spark):
+    corpus = [
+        "spark shuffles data across the cluster",
+        "the quick brown fox",
+        "spark spark spark and more spark",
+        "spark cluster",
+    ]
+    terms = ["spark", "cluster"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25(df, terms).collect()
+    }
+    want = _py_bm25([c.split() for c in corpus], terms)
+    for i, w in enumerate(want):
+        assert abs(got[i] - w) < 1e-9, (i, got[i], w)
+    # doc 3 has the same tf but a shorter dl than doc 0 -> BM25 length
+    # normalization ranks it strictly higher
+    assert got[3] > got[0]
+
+
+def test_bm25_absent_term_scores_zero_contribution(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    both = bm25(df, ["beta"]).collect()
+    with_ghost = bm25(df, ["beta", "zzz_absent"]).collect()
+    a = {r["doc_id"]: r["score"] for r in both}
+    g = {r["doc_id"]: r["score"] for r in with_ghost}
+    # idf of the absent term is ln(1+(2-0+.5)/.5) > 0 but tf=0 -> no change
+    for k in a:
+        assert abs(a[k] - g[k]) < 1e-12
+
+
+def test_bm25_empty_terms_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    try:
+        bm25(df, [])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("empty query_terms must raise")
+
+
+def test_bm25_plan_is_scan_plus_single_agg(spark):
+    """Plan shape: no per-term explode/join — one broadcast of a 1-row
+    aggregate back onto the scan stage."""
+    df = spark.createDataFrame(
+        [(i, "a b c spark") for i in range(10)], "doc_id long, text string"
+    )
+    plan = bm25(df, ["spark", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate") == 0  # no explode
