@@ -590,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_session_hits": DQ.q_range_join_session_hits,
         "pagerank_suppliers": DQ.q_pagerank_suppliers,
         "bm25_ranking": DQ.q_bm25_ranking,
+        "kmv_distinct_customers": DQ.q_kmv_distinct_customers,
+        "hll_distinct_orders": DQ.q_hll_distinct_orders,
     }
 
 
@@ -658,6 +660,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_session_hits": DQ.ORACLE_RANGE_JOIN,
         "pagerank_suppliers": DQ._oracle_pagerank(),
         "bm25_ranking": DQ._oracle_bm25(),
+        "kmv_distinct_customers": DQ._oracle_kmv(),
+        "hll_distinct_orders": DQ._oracle_hll(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

@@ -1904,3 +1904,93 @@ SELECT d.doc_id, d.dl, {tf_list},
 FROM d CROSS JOIN s
 ORDER BY d.doc_id
 """
+
+
+def q_kmv_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (operators/sketch.py) of c_name with
+    k=256: below 256 distinct values the sketch is exact, above it the
+    (k-1)*2^60/h_(k) estimator kicks in — at sf0.01 (1500 customers)
+    the estimation branch is exercised.  Every intermediate is an
+    integer; the one double division is bit-reproducible, rounded to
+    6 dp against ln/ulp paranoia only."""
+    from .operators.sketch import kmv_distinct
+
+    load_views(spark, sf_dir)
+    out = kmv_distinct(spark.table("customer"), "c_name", k=256)
+    return out.select(
+        F.round("estimate", 6).alias("estimate"), "n_min", "hk"
+    )
+
+
+def _oracle_kmv(k: int = 256) -> str:
+    scale = float((k - 1) * 2**60)
+    return f"""
+WITH h AS (SELECT DISTINCT ('0x' || substr(md5(c_name), 1, 15))::BIGINT AS h
+           FROM customer),
+t AS (SELECT h FROM h ORDER BY h LIMIT {k}),
+a AS (SELECT count(*)::BIGINT AS n_min, max(h) AS hk FROM t)
+SELECT round(CASE WHEN n_min < {k} THEN n_min::DOUBLE
+             ELSE {scale!r} / hk::DOUBLE END, 6) AS estimate,
+       n_min, hk
+FROM a
+"""
+
+
+def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketches (operators/sketch.py): o_orderkey at p=10
+    (15k distinct >> 2.5*m=2560 -> raw harmonic-mean branch) and
+    o_custkey at p=12 (~1k distinct -> linear-counting branch), as two
+    labeled rows.  Register sums are scaled integers, so both engines
+    replay the estimate bit-for-bit (ln() absorbed by round-6)."""
+    from .operators.sketch import hll_distinct
+
+    load_views(spark, sf_dir)
+    orders = spark.table("orders")
+    a = hll_distinct(orders, "o_orderkey", p=10).select(
+        F.lit("orderkey_p10").alias("which"),
+        F.round("estimate", 6).alias("estimate"), "n_reg", "v_zero",
+    )
+    b = hll_distinct(orders, "o_custkey", p=12).select(
+        F.lit("custkey_p12").alias("which"),
+        F.round("estimate", 6).alias("estimate"), "n_reg", "v_zero",
+    )
+    return a.unionByName(b).orderBy("which")
+
+
+def _oracle_hll_one(col: str, p: int, label: str) -> str:
+    from .operators.sketch import hll_alpha
+
+    m = 1 << p
+    s_exp = (60 - p) + 1
+    raw_num = float(hll_alpha(m) * m * m * 2**s_exp)
+    return f"""
+SELECT '{label}' AS which,
+       round(CASE WHEN {raw_num!r} / z_int::DOUBLE <= {2.5 * m!r}
+                   AND v_zero > 0
+             THEN {float(m)!r} * ln({float(m)!r} / v_zero::DOUBLE)
+             ELSE {raw_num!r} / z_int::DOUBLE END, 6) AS estimate,
+       n_reg, v_zero
+FROM (
+  SELECT n_reg, ({m} - n_reg)::BIGINT AS v_zero,
+         (z_present + ({m} - n_reg) * (1::BIGINT << {s_exp}))::BIGINT AS z_int
+  FROM (
+    SELECT count(*)::BIGINT AS n_reg,
+           sum(1::BIGINT << ({s_exp} - max_rho))::BIGINT AS z_present
+    FROM (
+      SELECT reg, max(CASE WHEN rem = 0 THEN {s_exp}
+                      ELSE {s_exp} - length(bin(rem)) END) AS max_rho
+      FROM (
+        SELECT h % {m} AS reg, h // {m} AS rem
+        FROM (SELECT ('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT AS h
+              FROM orders)
+      ) GROUP BY reg
+    )
+  )
+)
+"""
+
+
+def _oracle_hll() -> str:
+    a = _oracle_hll_one("o_orderkey", 10, "orderkey_p10")
+    b = _oracle_hll_one("o_custkey", 12, "custkey_p12")
+    return f"SELECT * FROM ({a}) UNION ALL SELECT * FROM ({b}) ORDER BY which"

@@ -1,0 +1,161 @@
+"""One-pass cardinality sketches: KMV (k-minimum-values) and
+HyperLogLog — the distinct-count answer that still works when the
+column has 10^11 distinct values and an exact ``count(distinct)``
+would shuffle them all.
+
+Both sketches are built from pure built-in expressions (no UDFs, no
+driver state) and are DETERMINISTIC: the hash is the first 15 hex
+chars of md5 (60 uniform bits — the same cross-engine technique as
+operators/corpus.py), every intermediate is an integer, and the one
+floating-point step at the end is a fixed expression over integers —
+so the estimate is bit-identical at any partitioning and a SQL oracle
+can replay it (driver queries `kmv_distinct_customers` /
+`hll_distinct_orders`).
+
+Shape at scale:
+
+* ``kmv_distinct`` — hash, hash-distinct, then ``orderBy(h).limit(k)``.
+  Spark plans the sort-limit as TakeOrderedAndProject: each partition
+  keeps its local top-k and only k rows per partition reach the
+  driver-side merge — no global sort.  The distinct is the expensive
+  part (one shuffle of the hashed keys); use it when you ALSO need
+  the distinct stream, else prefer HLL.
+* ``hll_distinct`` — one groupBy over at most 2^p (default 4096)
+  register ids with a map-side-combined ``max``: constant-size state
+  regardless of input size.  This is the 100 TB default.
+
+Accuracy: KMV se ~ 1/sqrt(k-2) (k=1024 -> ~3%); HLL se ~ 1.04/sqrt(m)
+(p=12 -> ~1.6%), with the standard linear-counting small-range
+correction below 2.5*m.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+__all__ = ["kmv_distinct", "hll_distinct", "HASH_BITS"]
+
+HASH_BITS = 60  # 15 md5 hex chars
+_HSPAN = float(2**HASH_BITS)
+
+
+def _h60(col) -> F.Column:
+    """Uniform 60-bit integer hash of ``col`` (md5-prefix, engine-
+    portable: DuckDB spells it ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """K-minimum-values distinct-count estimate of ``df[col]``.
+
+    Returns one row (estimate double, n_min long, hk long): with fewer
+    than k distinct hashes the exact distinct count is returned (the
+    sketch holds every hash), else (k-1) * 2^60 / h_(k).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    mins = (
+        df.select(_h60(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    scale = float((k - 1) * 2**HASH_BITS)  # exact double, embedded as literal
+    return mins.agg(
+        F.count("*").alias("n_min"), F.max("h").alias("hk")
+    ).select(
+        F.when(F.col("n_min") < k, F.col("n_min").cast("double"))
+        .otherwise(F.lit(scale) / F.col("hk").cast("double"))
+        .alias("estimate"),
+        "n_min",
+        "hk",
+    )
+
+
+def hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """HyperLogLog distinct-count estimate with 2^p registers.
+
+    Register id = h mod 2^p; rank rho = leading-zero count of the
+    remaining 60-p bits + 1 (bit length via base-2 string conversion —
+    exact, no float log).  The register sum is kept as an INTEGER
+    scaled by 2^S with S = (60-p)+1 = max possible rho (sum of
+    2^(S-rho), each term a representable power of two, absent
+    registers contributing 2^S; total <= m*2^S = 2^61 < BIGINT), so
+    the harmonic mean is reproducible bit-for-bit; only the final
+    alpha*m^2*2^S/Z division and the ln() of the small-range
+    correction are floating-point.
+
+    Returns one row (estimate double, n_reg long, v_zero long).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    rem_bits = HASH_BITS - p
+    regs = (
+        df.select(_h60(F.col(col)).alias("h"))
+        .select(
+            F.pmod("h", F.lit(m)).alias("reg"),
+            F.expr(f"h DIV {m}").alias("rem"),
+        )
+        .select(
+            "reg",
+            # bit_length(rem) = length of the base-2 string; conv(0)='0'
+            # has length 1, so guard rem=0 (all remaining bits zero ->
+            # rho = rem_bits + 1).
+            F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
+            .otherwise(
+                F.lit(rem_bits + 1)
+                - F.length(F.conv(F.col("rem").cast("string"), 10, 2))
+            )
+            .alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    # Z_int = sum over PRESENT registers of 2^(S-max_rho); absent
+    # registers (rho would be 0 -> 2^S) are added from the zero count.
+    s_exp = rem_bits + 1  # == max possible rho
+    zsum = regs.agg(
+        F.count("*").alias("n_reg"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_exp} - max_rho)"))
+        .alias("z_present"),
+    )
+    alpha = hll_alpha(m)
+    raw_num = float(alpha * m * m * 2**s_exp)  # exact-double literal
+    return zsum.select(
+        "n_reg",
+        (F.lit(m) - F.col("n_reg")).alias("v_zero"),
+        (
+            F.col("z_present")
+            + (F.lit(m).cast("long") - F.col("n_reg"))
+            * F.lit(1 << s_exp).cast("long")
+        ).alias("z_int"),
+    ).select(
+        F.when(
+            # linear counting when the raw estimate is small and
+            # empty registers remain
+            (F.lit(raw_num) / F.col("z_int").cast("double") <= F.lit(2.5 * m))
+            & (F.col("v_zero") > 0),
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
+        )
+        .otherwise(F.lit(raw_num) / F.col("z_int").cast("double"))
+        .alias("estimate"),
+        "n_reg",
+        "v_zero",
+    )

@@ -1,0 +1,108 @@
+"""Cardinality sketches (operators/sketch.py): KMV and HyperLogLog.
+
+Correctness strategy: accuracy bounds against the true distinct count
+on synthetic corpora (the estimators' published standard errors give
+generous 5-sigma bands), exact-mode behavior below the sketch size,
+partitioning invariance (the determinism claim), and plan-shape audits
+(KMV's limit must plan as TakeOrderedAndProject, not a global sort;
+HLL must be a single partial-aggregated groupBy with no UDFs).  The
+driver queries `kmv_distinct_customers` / `hll_distinct_orders` add
+bit-exact DuckDB replays at sf0.01.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from face_hunter_spark.operators.sketch import hll_distinct, kmv_distinct
+
+
+def _vals(spark, n, parts=4, prefix="v"):
+    return spark.range(n, numPartitions=parts).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("x")
+    )
+
+
+def test_kmv_exact_below_k(spark):
+    df = _vals(spark, 100)
+    row = kmv_distinct(df, "x", k=256).collect()[0]
+    assert row["n_min"] == 100
+    assert row["estimate"] == 100.0
+
+
+def test_kmv_estimate_within_bounds(spark):
+    n = 20_000
+    row = kmv_distinct(_vals(spark, n), "x", k=1024).collect()[0]
+    # se ~ 1/sqrt(k-2) ~ 3.1%; allow 5 sigma
+    assert abs(row["estimate"] - n) / n < 0.16
+    assert row["n_min"] == 1024
+
+
+def test_kmv_duplicates_ignored(spark):
+    base = _vals(spark, 500)
+    dup = base.unionAll(base).unionAll(base)
+    a = kmv_distinct(base, "x", k=128).collect()[0]
+    b = kmv_distinct(dup, "x", k=128).collect()[0]
+    assert a == b
+
+
+def test_kmv_partitioning_invariance(spark):
+    df = _vals(spark, 5000)
+    a = kmv_distinct(df.repartition(1), "x", k=64).collect()[0]
+    b = kmv_distinct(df.repartition(13), "x", k=64).collect()[0]
+    assert a == b
+
+
+def test_kmv_plan_is_take_ordered(spark):
+    plan = (
+        kmv_distinct(_vals(spark, 100), "x", k=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan and ", Sort " not in plan
+
+
+def test_hll_estimate_within_bounds(spark):
+    n = 30_000
+    row = hll_distinct(_vals(spark, n), "x", p=12).collect()[0]
+    # se ~ 1.04/sqrt(4096) ~ 1.6%; allow 5 sigma
+    assert abs(row["estimate"] - n) / n < 0.09
+
+
+def test_hll_small_range_linear_counting(spark):
+    n = 200
+    row = hll_distinct(_vals(spark, n), "x", p=12).collect()[0]
+    assert row["v_zero"] > 0
+    # linear counting at this occupancy is very tight
+    assert abs(row["estimate"] - n) / n < 0.05
+
+
+def test_hll_partitioning_invariance(spark):
+    df = _vals(spark, 10_000)
+    a = hll_distinct(df.repartition(1), "x", p=10).collect()[0]
+    b = hll_distinct(df.repartition(17), "x", p=10).collect()[0]
+    assert a == b  # bit-identical, including the double estimate
+
+
+def test_hll_register_count_bounded(spark):
+    row = hll_distinct(_vals(spark, 50_000), "x", p=8).collect()[0]
+    assert row["n_reg"] <= 256
+    assert row["v_zero"] == 256 - row["n_reg"]
+
+
+def test_hll_plan_single_partial_groupby_no_udf(spark):
+    plan = (
+        hll_distinct(_vals(spark, 100), "x", p=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two-phase hash aggregate over the register keys
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_hll_invalid_p_raises(spark):
+    df = _vals(spark, 10)
+    with pytest.raises(ValueError):
+        hll_distinct(df, "x", p=3)
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "x", k=1)
