@@ -592,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ranking": DQ.q_bm25_ranking,
         "kmv_distinct_customers": DQ.q_kmv_distinct_customers,
         "hll_distinct_orders": DQ.q_hll_distinct_orders,
+        "decontaminate_documents": DQ.q_decontaminate_documents,
     }
 
 
@@ -662,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_ranking": DQ._oracle_bm25(),
         "kmv_distinct_customers": DQ._oracle_kmv(),
         "hll_distinct_orders": DQ._oracle_hll(),
+        "decontaminate_documents": DQ._oracle_decontam(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

@@ -1994,3 +1994,50 @@ def _oracle_hll() -> str:
     a = _oracle_hll_one("o_orderkey", 10, "orderkey_p10")
     b = _oracle_hll_one("o_custkey", 12, "custkey_p12")
     return f"SELECT * FROM ({a}) UNION ALL SELECT * FROM ({b}) ORDER BY which"
+
+
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators/decontam.py) in flag
+    mode: the eval set is the ~25% of documents whose md5(doc_id)
+    starts with 0-3 (deterministic, engine-portable selection), n=13
+    word-grams.  Eval members contaminate themselves (count = their
+    distinct shingle count); everything else exercises the clean
+    branch.  Zero-shuffle-over-train plan (two broadcast joins)."""
+    from .operators.decontam import decontaminate
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_df = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3"
+        )
+    )
+    return (
+        decontaminate(docs, eval_df, n=13, mode="flag")
+        .select("doc_id", "n_contaminated_ngrams", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_decontam(n: int = 13) -> str:
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= {n} THEN
+             list_transform(range(1, len(toks) - {n - 2}),
+                            i -> array_to_string(toks[i:i+{n - 1}], ' '))
+           WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           ELSE [] END) AS s
+  FROM (SELECT doc_id, {toks} AS toks FROM documents)),
+fp AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS fp
+       FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+eval_fp AS (SELECT DISTINCT fp FROM fp
+            WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1','2','3')),
+hits AS (SELECT f.doc_id, count(DISTINCT f.fp)::BIGINT AS n
+         FROM fp f JOIN eval_fp e USING (fp) GROUP BY f.doc_id)
+SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated_ngrams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
