@@ -593,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_customers": DQ.q_kmv_distinct_customers,
         "hll_distinct_orders": DQ.q_hll_distinct_orders,
         "decontaminate_documents": DQ.q_decontaminate_documents,
+        "cms_heavy_custkeys": DQ.q_cms_heavy_custkeys,
     }
 
 
@@ -664,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_customers": DQ._oracle_kmv(),
         "hll_distinct_orders": DQ._oracle_hll(),
         "decontaminate_documents": DQ._oracle_decontam(),
+        "cms_heavy_custkeys": DQ._oracle_cms(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

@@ -2041,3 +2041,58 @@ SELECT d.doc_id, coalesce(h.n, 0)::BIGINT AS n_contaminated_ngrams,
 FROM documents d LEFT JOIN hits h USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+def q_cms_heavy_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketch.py) over orders.o_custkey
+    (d=4, w=1024): build the bounded d*w counter table, then point-
+    estimate the ~1/16 deterministic candidate subset (md5 prefix '0')
+    against the true counts.  Pure integers end to end — the oracle
+    replays build + probe bit-for-bit."""
+    from .operators.sketch import cms_build, cms_estimate
+
+    load_views(spark, sf_dir)
+    orders = spark.table("orders")
+    cms = cms_build(orders, "o_custkey", d=4, w=1024)
+    cand = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("true_cnt"))
+        .filter(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+            == "0"
+        )
+    )
+    est = cms_estimate(cms, cand.select("o_custkey"), "o_custkey", d=4, w=1024)
+    return (
+        cand.join(est, "o_custkey")
+        .select("o_custkey", "true_cnt", "est")
+        .orderBy("o_custkey")
+    )
+
+
+def _oracle_cms(d: int = 4, w: int = 1024) -> str:
+    return f"""
+WITH cms AS (
+  SELECT j AS row, bucket, count(*)::BIGINT AS cnt
+  FROM (SELECT j,
+               ('0x' || substr(md5(j::VARCHAR || ':' || o_custkey::VARCHAR),
+                               1, 15))::BIGINT % {w} AS bucket
+        FROM orders CROSS JOIN range({d}) t(j))
+  GROUP BY j, bucket),
+cand AS (
+  SELECT o_custkey, count(*)::BIGINT AS true_cnt
+  FROM orders
+  WHERE substr(md5(o_custkey::VARCHAR), 1, 1) = '0'
+  GROUP BY o_custkey),
+est AS (
+  SELECT c.o_custkey, min(coalesce(m.cnt, 0))::BIGINT AS est
+  FROM cand c CROSS JOIN range({d}) t(j)
+  LEFT JOIN cms m ON m.row = j
+   AND m.bucket = ('0x' || substr(md5(j::VARCHAR || ':' ||
+                                      c.o_custkey::VARCHAR),
+                                  1, 15))::BIGINT % {w}
+  GROUP BY c.o_custkey)
+SELECT c.o_custkey, c.true_cnt, e.est
+FROM cand c JOIN est e USING (o_custkey)
+ORDER BY c.o_custkey
+"""

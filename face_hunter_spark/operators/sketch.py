@@ -36,7 +36,13 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["kmv_distinct", "hll_distinct", "HASH_BITS"]
+__all__ = [
+    "kmv_distinct",
+    "hll_distinct",
+    "cms_build",
+    "cms_estimate",
+    "HASH_BITS",
+]
 
 HASH_BITS = 60  # 15 md5 hex chars
 _HSPAN = float(2**HASH_BITS)
@@ -159,3 +165,84 @@ def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
         "n_reg",
         "v_zero",
     )
+
+
+def _cms_hash(col, j: int, w: int) -> F.Column:
+    """Row-j CMS bucket of ``col``: 60-bit md5-prefix hash of the
+    salted string 'j:x', mod w.  Engine-portable (DuckDB:
+    ('0x'||substr(md5('j:'||x::VARCHAR),1,15))::BIGINT % w)."""
+    return F.pmod(
+        _h60(F.concat(F.lit(f"{j}:"), F.col(col).cast("string"))),
+        F.lit(w),
+    )
+
+
+def cms_build(df: DataFrame, col: str, d: int = 4, w: int = 2048) -> DataFrame:
+    """Count-min sketch of the frequency distribution of ``df[col]``:
+    d independent hash rows of w counters.
+
+    Returns (row int, bucket long, cnt long) — at most d*w rows
+    regardless of input size (absent cells are implicit zeros).  The
+    build is ONE pass: each input row contributes d (row, bucket)
+    pairs via a literal-array inline explode, and the groupBy
+    map-side-combines into the bounded counter state, so the exchange
+    carries at most d*w rows per input partition.  Estimates are
+    biased UP only (collisions add, never subtract): point estimate
+    err <= 2N/w with prob >= 1 - (1/2)^d (Cormode-Muthukrishnan).
+
+    Deterministic (md5-prefix hashing) -> bit-identical at any
+    partitioning; driver query `cms_heavy_custkeys` replays build +
+    estimate in DuckDB exactly.
+    """
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 and w >= 2")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_hash(col, j, w).alias("bucket"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.row", "p.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, items: DataFrame, col: str, d: int = 4, w: int = 2048
+) -> DataFrame:
+    """Point-estimate the frequency of each ``items[col]`` value from
+    a `cms_build` sketch (built with the SAME d and w).
+
+    Returns ``items`` plus ``est:long`` = min over the d rows of the
+    value's counter (0 if a counter cell is absent).  The sketch is
+    at most d*w rows, so the lookup broadcasts it: estimating any
+    number of candidates costs one scan of ``items`` and no shuffle
+    of the sketch.
+    """
+    probes = items.select(
+        F.col(col),
+        *[
+            _cms_hash(col, j, w).alias(f"b{j}")
+            for j in range(d)
+        ],
+    )
+    out = probes
+    for j in range(d):
+        cj = cms.filter(F.col("row") == j).select(
+            F.col("bucket").alias(f"b{j}"),
+            F.col("cnt").alias(f"c{j}"),
+        )
+        out = out.join(F.broadcast(cj), f"b{j}", "left")
+    est = F.least(
+        *[F.coalesce(F.col(f"c{j}"), F.lit(0).cast("long")) for j in range(d)]
+    )
+    return out.select(col, est.alias("est"))

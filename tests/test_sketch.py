@@ -106,3 +106,69 @@ def test_hll_invalid_p_raises(spark):
         hll_distinct(df, "x", p=3)
     with pytest.raises(ValueError):
         kmv_distinct(df, "x", k=1)
+
+
+# --- count-min sketch ---
+
+from face_hunter_spark.operators.sketch import cms_build, cms_estimate  # noqa: E402
+
+
+def _freq_df(spark, spec, parts=4):
+    """spec: {value: count} -> one row per occurrence."""
+    rows = [(v,) for v, c in spec.items() for _ in range(c)]
+    return spark.createDataFrame(rows, "x string").repartition(parts)
+
+
+def test_cms_exact_when_sparse(spark):
+    spec = {f"k{i}": i + 1 for i in range(20)}
+    df = _freq_df(spark, spec)
+    cms = cms_build(df, "x", d=4, w=4096)
+    items = spark.createDataFrame([(k,) for k in spec], "x string")
+    est = {r["x"]: r["est"] for r in cms_estimate(cms, items, "x", d=4, w=4096).collect()}
+    assert est == spec  # no collisions at this occupancy
+
+
+def test_cms_never_underestimates(spark):
+    spec = {f"v{i}": (i % 7) + 1 for i in range(300)}
+    df = _freq_df(spark, spec)
+    cms = cms_build(df, "x", d=3, w=64)  # heavy collisions on purpose
+    items = spark.createDataFrame([(k,) for k in spec], "x string")
+    for r in cms_estimate(cms, items, "x", d=3, w=64).collect():
+        assert r["est"] >= spec[r["x"]]
+
+
+def test_cms_sketch_size_bounded(spark):
+    df = _freq_df(spark, {f"v{i}": 2 for i in range(500)})
+    cms = cms_build(df, "x", d=3, w=32)
+    assert cms.count() <= 3 * 32
+    total = cms.groupBy("row").sum("cnt").collect()
+    assert all(r["sum(cnt)"] == 1000 for r in total)  # each row sees every item
+
+
+def test_cms_partitioning_invariance(spark):
+    spec = {f"v{i}": i % 5 + 1 for i in range(100)}
+    items = spark.createDataFrame([(k,) for k in spec], "x string")
+
+    def run(parts):
+        cms = cms_build(_freq_df(spark, spec, parts), "x", d=4, w=128)
+        return sorted(
+            (r["x"], r["est"])
+            for r in cms_estimate(cms, items, "x", d=4, w=128).collect()
+        )
+
+    assert run(1) == run(13)
+
+
+def test_cms_unseen_item_zero_when_sparse(spark):
+    cms = cms_build(_freq_df(spark, {"a": 5, "b": 3}), "x", d=4, w=4096)
+    items = spark.createDataFrame([("zzz-never-seen",)], "x string")
+    row = cms_estimate(cms, items, "x", d=4, w=4096).collect()[0]
+    assert row["est"] == 0
+
+
+def test_cms_invalid_params_raise(spark):
+    df = _freq_df(spark, {"a": 1})
+    with pytest.raises(ValueError):
+        cms_build(df, "x", d=0, w=16)
+    with pytest.raises(ValueError):
+        cms_build(df, "x", d=2, w=1)
