@@ -594,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_orders": DQ.q_hll_distinct_orders,
         "decontaminate_documents": DQ.q_decontaminate_documents,
         "cms_heavy_custkeys": DQ.q_cms_heavy_custkeys,
+        "bloom_prefilter_orders": DQ.q_bloom_prefilter_orders,
     }
 
 
@@ -666,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_orders": DQ._oracle_hll(),
         "decontaminate_documents": DQ._oracle_decontam(),
         "cms_heavy_custkeys": DQ._oracle_cms(),
+        "bloom_prefilter_orders": DQ._oracle_bloom(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

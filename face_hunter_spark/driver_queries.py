@@ -2096,3 +2096,56 @@ SELECT c.o_custkey, c.true_cnt, e.est
 FROM cand c JOIN est e USING (o_custkey)
 ORDER BY c.o_custkey
 """
+
+
+def q_bloom_prefilter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join (operators/bloom.py): prefilter orders
+    against BUILDING-segment customers with m=4096 bits, k=3.  The
+    pass set is the true semi-join plus the filter's deterministic
+    false positives — both engines rebuild the identical bit table
+    (62-bit words, salted md5-prefix hashes), so the oracle replays
+    build + probe bit-for-bit."""
+    from .operators.bloom import bloom_prefilter
+
+    load_views(spark, sf_dir)
+    dim = spark.table("customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    out = bloom_prefilter(
+        spark.table("orders"), "o_custkey", dim, "c_custkey", m=4096, k=3
+    )
+    return out.select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+
+
+def _oracle_bloom(m: int = 4096, k: int = 3) -> str:
+    def pos(expr: str, j: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{j}:' || {expr}::VARCHAR), 1, 15))"
+            f"::BIGINT % {m})"
+        )
+
+    probe_cols = ", ".join(
+        f"{pos('o_custkey', j)} // 62 AS w{j}, "
+        f"(1::BIGINT << ({pos('o_custkey', j)} % 62)::INT) AS b{j}"
+        for j in range(k)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN bits t{j} ON t{j}.word = p.w{j}" for j in range(k)
+    )
+    tests = " AND ".join(
+        f"(coalesce(t{j}.bits, 0) & p.b{j}) <> 0" for j in range(k)
+    )
+    return f"""
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+pos AS (SELECT {pos('c_custkey', 0)} AS p FROM dim
+        UNION ALL SELECT {pos('c_custkey', 1)} FROM dim
+        UNION ALL SELECT {pos('c_custkey', 2)} FROM dim),
+bits AS (SELECT p // 62 AS word, bit_or(1::BIGINT << (p % 62)::INT) AS bits
+         FROM pos GROUP BY p // 62),
+probe AS (SELECT o_orderkey, o_custkey, {probe_cols} FROM orders)
+SELECT p.o_orderkey, p.o_custkey
+FROM probe p
+{joins}
+WHERE {tests}
+ORDER BY p.o_orderkey
+"""
