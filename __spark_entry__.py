@@ -595,6 +595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": DQ.q_decontaminate_documents,
         "cms_heavy_custkeys": DQ.q_cms_heavy_custkeys,
         "bloom_prefilter_orders": DQ.q_bloom_prefilter_orders,
+        "triangle_count_graph": DQ.q_triangle_count_graph,
+        "triangle_count_per_vertex": DQ.q_triangle_count_per_vertex,
     }
 
 
@@ -668,6 +670,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_documents": DQ._oracle_decontam(),
         "cms_heavy_custkeys": DQ._oracle_cms(),
         "bloom_prefilter_orders": DQ._oracle_bloom(),
+        "triangle_count_graph": DQ._oracle_triangles(),
+        "triangle_count_per_vertex": DQ._oracle_triangles_per_vertex(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

@@ -2149,3 +2149,65 @@ FROM probe p
 WHERE {tests}
 ORDER BY p.o_orderkey
 """
+
+
+def _order_graph(spark) -> DataFrame:
+    """Deterministic dense-ish test graph: an edge per order between
+    (o_custkey mod 60) and (o_orderkey mod 60)."""
+    return spark.table("orders").select(
+        (F.col("o_custkey") % 60).alias("src"),
+        (F.col("o_orderkey") % 60).alias("dst"),
+    )
+
+
+_DUCK_TRI_EDGES = """
+raw AS (SELECT o_custkey % 60 AS a, o_orderkey % 60 AS b FROM orders),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+"""
+
+
+def q_triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census (operators/graph.py::triangle_count,
+    degree-oriented wedge join) of the mod-60 order graph.  The oracle
+    counts u<v<w ordered joins — a different but equivalent
+    enumeration, so agreement checks the orientation logic, not just
+    the arithmetic."""
+    from .operators.graph import triangle_count
+
+    load_views(spark, sf_dir)
+    return triangle_count(_order_graph(spark))
+
+
+def _oracle_triangles() -> str:
+    return f"""
+WITH {_DUCK_TRI_EDGES}
+SELECT (SELECT count(*)::BIGINT FROM tri) AS n_triangles,
+       (SELECT count(*)::BIGINT FROM e) AS n_edges,
+       (SELECT count(DISTINCT x)::BIGINT FROM
+          (SELECT u AS x FROM e UNION ALL SELECT v FROM e)) AS n_vertices
+"""
+
+
+def q_triangle_count_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the same graph (each triangle
+    charged to its three corners)."""
+    from .operators.graph import triangle_count
+
+    load_views(spark, sf_dir)
+    return triangle_count(_order_graph(spark), per_vertex=True).orderBy(
+        "vertex"
+    )
+
+
+def _oracle_triangles_per_vertex() -> str:
+    return f"""
+WITH {_DUCK_TRI_EDGES}
+SELECT x AS vertex, count(*)::BIGINT AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS x FROM tri)
+GROUP BY x ORDER BY vertex
+"""

@@ -1,4 +1,5 @@
-"""Graph analytics over the knowledge graph: PageRank.
+"""Graph analytics over the knowledge graph: PageRank, triangle
+counting.
 
 Entity importance over the materialized triple graph (or any edge
 list) — the standard power iteration, expressed as DataFrame joins so
@@ -30,7 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 SCALE = 10**12
 
@@ -121,3 +122,84 @@ def pagerank(
     deg.unpersist()
     verts.unpersist()
     return out
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    per_vertex: bool = False,
+) -> DataFrame:
+    """Count triangles in the undirected graph induced by ``edges``
+    (direction, duplicates and self-loops are normalized away).
+
+    Returns one row (n_triangles, n_edges, n_vertices) — or, with
+    ``per_vertex=True``, (vertex, n_triangles) counting each triangle
+    at all three corners.
+
+    Scale shape: the naive wedge join explodes at hub vertices (a
+    celebrity entity with 10^6 sameAs/depicts edges contributes 10^12
+    wedges).  The standard fix is DEGREE ORIENTATION (Suri-Vassilvitskii
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    direct every edge from its (degree, id)-smaller endpoint to the
+    larger, making out-degree <= sqrt(2|E|) for every vertex, so the
+    wedge self-join is bounded by |E|^1.5 total — no hub blowup, no
+    salting needed.  The plan is: one groupBy for degrees, two
+    broadcast-or-shuffle equi-joins to attach endpoint degrees, one
+    self-join on the wedge apex, one equi-join to close wedges against
+    the oriented edge set.  All equi-joins on ids — AQE handles the
+    residual skew.
+
+    Deterministic (pure integer/set logic), so any engine agrees on
+    the exact result: driver query `triangle_count_graph` checks the
+    full output against a DuckDB ordered-join oracle.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("x"))
+        .unionAll(canon.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient u->v iff (deg(u), u) < (deg(v), v): total order, so the
+    # two out-neighbors of a wedge apex are themselves ordered.
+    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("dv"))
+    withdeg = canon.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = withdeg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(fwd, F.struct("dv", "v")).otherwise(
+            F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))
+        ).alias("dord"),  # (deg, id) order key of the head endpoint
+    )
+    e1 = oriented.select(
+        F.col("s").alias("apex"), F.col("d").alias("b"), F.col("dord").alias("ob")
+    )
+    e2 = oriented.select(
+        F.col("s").alias("apex"), F.col("d").alias("c"), F.col("dord").alias("oc")
+    )
+    wedges = e1.join(e2, "apex").filter(F.col("ob") < F.col("oc"))
+    closing = oriented.select(
+        F.col("s").alias("b"), F.col("d").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"]).select("apex", "b", "c")
+    if per_vertex:
+        return (
+            tris.select(F.explode(F.array("apex", "b", "c")).alias("vertex"))
+            .groupBy("vertex")
+            .agg(F.count("*").alias("n_triangles"))
+        )
+    return tris.agg(F.count("*").alias("n_triangles")).crossJoin(
+        canon.agg(
+            F.count("*").alias("n_edges"),
+        )
+    ).crossJoin(deg.agg(F.count("*").alias("n_vertices")))

@@ -156,3 +156,79 @@ def test_bm25_plan_is_scan_plus_single_agg(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Generate") == 0  # no explode
+
+
+# --- triangle counting ---
+
+from face_hunter_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def _edges(spark, pairs, parts=3):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    ).repartition(parts)
+
+
+def test_triangles_k4(spark):
+    import itertools
+
+    k4 = list(itertools.combinations(range(4), 2))
+    row = triangle_count(_edges(spark, k4)).collect()[0]
+    assert (row["n_triangles"], row["n_edges"], row["n_vertices"]) == (4, 6, 4)
+
+
+def test_triangles_normalization(spark):
+    # triangle given as duplicated, reversed, self-looped mess
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3), (3, 2)]
+    row = triangle_count(_edges(spark, pairs)).collect()[0]
+    assert row["n_triangles"] == 1 and row["n_edges"] == 3
+
+
+def test_triangles_path_and_star_are_zero(spark):
+    path = [(i, i + 1) for i in range(20)]
+    star = [(0, i) for i in range(1, 30)]
+    assert triangle_count(_edges(spark, path)).collect()[0]["n_triangles"] == 0
+    assert triangle_count(_edges(spark, star)).collect()[0]["n_triangles"] == 0
+
+
+def test_triangles_per_vertex_k4(spark):
+    import itertools
+
+    k4 = list(itertools.combinations(range(4), 2))
+    rows = triangle_count(_edges(spark, k4), per_vertex=True).collect()
+    assert {r["vertex"]: r["n_triangles"] for r in rows} == {
+        0: 3, 1: 3, 2: 3, 3: 3
+    }
+
+
+def test_triangles_random_graph_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    n = 24
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if rng.random() < 0.3
+    ]
+    adj = {v: set() for v in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(range(n), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    got = triangle_count(_edges(spark, pairs)).collect()[0]
+    assert got["n_triangles"] == expected
+
+
+def test_triangles_partitioning_invariance(spark):
+    pairs = [(i, (i * 7 + 3) % 15) for i in range(40)] + [(1, 2), (2, 3), (3, 1)]
+
+    def run(parts):
+        return triangle_count(_edges(spark, pairs, parts)).collect()[0]
+
+    assert run(1) == run(9)
