@@ -597,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter_orders": DQ.q_bloom_prefilter_orders,
         "triangle_count_graph": DQ.q_triangle_count_graph,
         "triangle_count_per_vertex": DQ.q_triangle_count_per_vertex,
+        "profile_customer": DQ.q_profile_customer,
     }
 
 
@@ -672,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prefilter_orders": DQ._oracle_bloom(),
         "triangle_count_graph": DQ._oracle_triangles(),
         "triangle_count_per_vertex": DQ._oracle_triangles_per_vertex(),
+        "profile_customer": DQ._oracle_profile(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

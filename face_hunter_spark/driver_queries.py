@@ -2211,3 +2211,84 @@ SELECT x AS vertex, count(*)::BIGINT AS n_triangles
 FROM (SELECT unnest([a, b, c]) AS x FROM tri)
 GROUP BY x ORDER BY vertex
 """
+
+
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (operators/profile.py) over the four
+    string/int customer columns (c_acctbal excluded: double->string
+    casts format differently across engines, a documented oracle
+    hazard, not an operator limitation).  Every stage — null census,
+    min/max, HLL registers, modal value with ascending tie-break —
+    replays bit-for-bit in DuckDB."""
+    from .operators.profile import profile
+
+    load_views(spark, sf_dir)
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    out = profile(spark.table("customer"), columns=cols, hll_p=12)
+    return out.select(
+        "column",
+        "n_rows",
+        "n_null",
+        F.round("null_frac", 6).alias("null_frac"),
+        F.round("n_distinct_est", 6).alias("n_distinct_est"),
+        "top_value",
+        "top_count",
+        "min_num",
+        "max_num",
+    ).orderBy("column")
+
+
+def _oracle_profile(p: int = 12) -> str:
+    from .operators.sketch import hll_alpha
+
+    m = 1 << p
+    s_exp = (60 - p) + 1
+    raw_num = float(hll_alpha(m) * m * m * 2**s_exp)
+
+    def one(c: str, numeric: bool) -> str:
+        hll = f"""(
+  SELECT round(CASE WHEN {raw_num!r} / z_int::DOUBLE <= {2.5 * m!r}
+                     AND v_zero > 0
+               THEN {float(m)!r} * ln({float(m)!r} / v_zero::DOUBLE)
+               ELSE {raw_num!r} / z_int::DOUBLE END, 6)
+  FROM (
+    SELECT ({m} - n_reg)::BIGINT AS v_zero,
+           (z_present + ({m} - n_reg) * (1::BIGINT << {s_exp}))::BIGINT AS z_int
+    FROM (
+      SELECT count(*)::BIGINT AS n_reg,
+             sum(1::BIGINT << ({s_exp} - max_rho))::BIGINT AS z_present
+      FROM (
+        SELECT reg, max(CASE WHEN rem = 0 THEN {s_exp}
+                        ELSE {s_exp} - length(bin(rem)) END) AS max_rho
+        FROM (SELECT h % {m} AS reg, h // {m} AS rem
+              FROM (SELECT ('0x' || substr(md5({c}::VARCHAR), 1, 15))::BIGINT AS h
+                    FROM customer WHERE {c} IS NOT NULL))
+        GROUP BY reg))))"""
+        mn = f"min({c})::DOUBLE" if numeric else "NULL::DOUBLE"
+        mx = f"max({c})::DOUBLE" if numeric else "NULL::DOUBLE"
+        return f"""
+SELECT '{c}' AS "column",
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS null_frac,
+       {hll} AS n_distinct_est,
+       (SELECT {c}::VARCHAR FROM customer WHERE {c} IS NOT NULL
+        GROUP BY 1 ORDER BY count(*) DESC, 1 ASC LIMIT 1) AS top_value,
+       (SELECT count(*)::BIGINT FROM customer WHERE {c} IS NOT NULL
+        GROUP BY {c}::VARCHAR ORDER BY count(*) DESC, {c}::VARCHAR ASC
+        LIMIT 1) AS top_count,
+       {mn} AS min_num,
+       {mx} AS max_num
+FROM customer"""
+
+    parts = " UNION ALL ".join(
+        f"({one(c, num)})"
+        for c, num in [
+            ("c_custkey", True),
+            ("c_name", False),
+            ("c_nationkey", True),
+            ("c_mktsegment", False),
+        ]
+    )
+    return f'SELECT * FROM ({parts}) ORDER BY "column"'
