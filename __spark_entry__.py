@@ -598,6 +598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_graph": DQ.q_triangle_count_graph,
         "triangle_count_per_vertex": DQ.q_triangle_count_per_vertex,
         "profile_customer": DQ.q_profile_customer,
+        "rollup_revenue": DQ.q_rollup_revenue,
+        "window_rank_lead_lag": DQ.q_window_rank_lead_lag,
+        "exact_percentiles": DQ.q_exact_percentiles,
     }
 
 
@@ -674,6 +677,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_graph": DQ._oracle_triangles(),
         "triangle_count_per_vertex": DQ._oracle_triangles_per_vertex(),
         "profile_customer": DQ._oracle_profile(),
+        "rollup_revenue": DQ.ORACLE_ROLLUP,
+        "window_rank_lead_lag": DQ.ORACLE_WINDOW_RANK,
+        "exact_percentiles": DQ.ORACLE_PERCENTILES,
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

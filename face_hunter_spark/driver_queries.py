@@ -2292,3 +2292,124 @@ FROM customer"""
         ]
     )
     return f'SELECT * FROM ({parts}) ORDER BY "column"'
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (nation, order-year): subtotal + grand-total rows
+    from ONE aggregation pass (Catalyst expands the grouping sets
+    map-side; no self-union of per-level scans).  NULL group markers
+    disambiguated via grouping() so rollup rows hash identically to
+    the oracle's GROUP BY ROLLUP."""
+    load_views(spark, sf_dir)
+    o, c, n = spark.table("orders"), spark.table("customer"), spark.table("nation")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("oyear"),
+            F.col("o_totalprice"),
+        )
+    )
+    return (
+        joined.rollup("nation", "oyear")
+        .agg(
+            F.grouping("nation").cast("int").alias("g_nation"),
+            F.grouping("oyear").cast("int").alias("g_year"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            "nation", "oyear", "g_nation", "g_year", "n_orders", "revenue"
+        )
+        .orderBy("g_nation", "g_year", "nation", "oyear")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS oyear,
+       grouping(n.n_name)::INT AS g_nation,
+       grouping(year(o.o_orderdate))::INT AS g_year,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+ORDER BY g_nation, g_year, nation, oyear
+"""
+
+
+def q_window_rank_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth on one partition spec (rank,
+    dense_rank, ntile, lead, lag share a single sort/exchange —
+    Catalyst collapses same-spec windows into one Window node)."""
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = spark.table("orders").filter(F.col("o_custkey") % 100 == 7)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.lag("o_orderkey", 1).over(w).alias("prev_order"),
+            F.lead("o_orderkey", 1).over(w).alias("next_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rk,
+       dense_rank() OVER w AS drk,
+       ntile(4) OVER w AS quartile,
+       lag(o_orderkey, 1) OVER w AS prev_order,
+       lead(o_orderkey, 1) OVER w AS next_order
+FROM orders
+WHERE o_custkey % 100 = 7
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of l_quantity per return flag
+    (Spark `percentile` == DuckDB `quantile_cont`, both the
+    (n-1)*p linear interpolation; doubles rounded to 6 dp).  At scale
+    the approx_percentile/t-digest path replaces this; exact
+    percentile is the profiling/oracle form."""
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr("percentile(l_quantity, 0.25)"), 6
+            ).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+            F.round(
+                F.expr("percentile(l_quantity, 0.9)"), 6
+            ).alias("p90"),
+            F.round(
+                F.expr("percentile(l_quantity, 0.99)"), 6
+            ).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity::DOUBLE, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity::DOUBLE, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity::DOUBLE, 0.9), 6) AS p90,
+       round(quantile_cont(l_quantity::DOUBLE, 0.99), 6) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
