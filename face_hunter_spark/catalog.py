@@ -81,6 +81,66 @@ class ParquetCatalog:
         ]
         return spark.read.option("basePath", self._tdir(table)).parquet(*paths)
 
+    def _snap_index(self, table: str, snapshot_id: str) -> int:
+        snaps = self.snapshots(table)
+        for i, s in enumerate(snaps):
+            if s["id"] == snapshot_id:
+                return i
+        raise KeyError(
+            f"snapshot {snapshot_id!r} not found in table {table!r}"
+        )
+
+    def _read_range(
+        self, spark: SparkSession, table: str, lo: int, hi: int
+    ) -> DataFrame:
+        snaps = self.snapshots(table)[lo:hi]
+        paths = [
+            os.path.join(self._tdir(table), "data", f"snap={s['id']}")
+            for s in snaps
+        ]
+        if not paths:
+            # empty range: zero rows with the table's schema
+            return self.read(spark, table).limit(0)
+        return spark.read.option("basePath", self._tdir(table)).parquet(
+            *paths
+        )
+
+    def read_as_of(
+        self, spark: SparkSession, table: str, snapshot_id: str
+    ) -> DataFrame:
+        """Time travel: the table's state AS OF ``snapshot_id`` — every
+        commit up to and including it (append-only catalog, so state =
+        prefix union).  Iceberg analogue: ``VERSION AS OF``."""
+        return self._read_range(
+            spark, table, 0, self._snap_index(table, snapshot_id) + 1
+        )
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        table: str,
+        after: str | None = None,
+        until: str | None = None,
+    ) -> DataFrame:
+        """Incremental read: rows committed STRICTLY AFTER snapshot
+        ``after`` (None = from the beginning) up to and including
+        ``until`` (None = latest).  Iceberg analogue: a scan with
+        ``start-snapshot-id`` / ``end-snapshot-id`` — the consumer-side
+        primitive for downstream jobs that process each triple commit
+        exactly once without re-reading the whole table."""
+        snaps = self.snapshots(table)
+        lo = 0 if after is None else self._snap_index(table, after) + 1
+        hi = (
+            len(snaps)
+            if until is None
+            else self._snap_index(table, until) + 1
+        )
+        if hi < lo:
+            raise ValueError(
+                f"until snapshot {until!r} precedes after={after!r}"
+            )
+        return self._read_range(spark, table, lo, hi)
+
 
 class IcebergCatalog:
     """The same seam over a REAL Iceberg catalog (requires the Iceberg
@@ -167,3 +227,36 @@ class IcebergCatalog:
                 f"table {table} has no committed snapshots"
             )
         return spark.table(self._fqn(table))
+
+    def read_as_of(
+        self, spark: SparkSession, table: str, snapshot_id: str
+    ) -> DataFrame:
+        """Iceberg time travel: ``VERSION AS OF <snapshot_id>``."""
+        return spark.sql(
+            f"SELECT * FROM {self._fqn(table)} VERSION AS OF {snapshot_id}"
+        )
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        table: str,
+        after: str | None = None,
+        until: str | None = None,
+    ) -> DataFrame:
+        """Iceberg incremental scan between snapshot ids (exclusive
+        start, inclusive end) — ``start-snapshot-id`` requires a lower
+        bound, so ``after=None`` falls back to a full read / time
+        travel."""
+        if after is None:
+            return (
+                self.read(spark, table)
+                if until is None
+                else self.read_as_of(spark, table, until)
+            )
+        reader = (
+            spark.read.format("iceberg")
+            .option("start-snapshot-id", after)
+        )
+        if until is not None:
+            reader = reader.option("end-snapshot-id", until)
+        return reader.load(self._fqn(table))

@@ -206,7 +206,64 @@ def test_iceberg_catalog_seam_contract(spark):
 
     with pytest.raises(RuntimeError, match="not configured"):
         IcebergCatalog(spark, "nosuch_catalog")
-    for meth in ("exists", "snapshots", "append", "read"):
+    for meth in ("exists", "snapshots", "append", "read",
+                 "read_as_of", "read_incremental"):
         pq = inspect.signature(getattr(ParquetCatalog, meth))
         ib = inspect.signature(getattr(IcebergCatalog, meth))
         assert list(pq.parameters)[1:] == list(ib.parameters)[1:], meth
+
+
+def test_time_travel_and_incremental_reads(spark, tmp_path):
+    """read_as_of = prefix union (VERSION AS OF analogue);
+    read_incremental = exactly the commits in (after, until] — the
+    downstream exactly-once consumption primitive."""
+    import pytest
+
+    from face_hunter_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    s1 = cat.append("t", spark.createDataFrame([(1,), (2,)], "x long"), "r1")
+    s2 = cat.append("t", spark.createDataFrame([(3,)], "x long"), "r2")
+    s3 = cat.append("t", spark.createDataFrame([(4,), (5,)], "x long"), "r3")
+
+    def xs(df):
+        return sorted(r["x"] for r in df.collect())
+
+    assert xs(cat.read_as_of(spark, "t", s1)) == [1, 2]
+    assert xs(cat.read_as_of(spark, "t", s2)) == [1, 2, 3]
+    assert xs(cat.read_as_of(spark, "t", s3)) == [1, 2, 3, 4, 5]
+    assert xs(cat.read_incremental(spark, "t", after=s1)) == [3, 4, 5]
+    assert xs(cat.read_incremental(spark, "t", after=s1, until=s2)) == [3]
+    assert xs(cat.read_incremental(spark, "t", after=s3)) == []
+    assert xs(cat.read_incremental(spark, "t")) == [1, 2, 3, 4, 5]
+    # schema survives an empty range (incl. the snap partition column
+    # that every catalog read exposes)
+    assert cat.read_incremental(spark, "t", after=s3).columns == ["x", "snap"]
+    with pytest.raises(KeyError):
+        cat.read_as_of(spark, "t", "deadbeef0000")
+    with pytest.raises(ValueError):
+        cat.read_incremental(spark, "t", after=s2, until=s1)
+
+
+def test_incremental_consumption_of_link_runs(spark, tmp_path):
+    """Two link runs on disjoint docs: the incremental read after the
+    first commit is exactly the second run's triples."""
+    from face_hunter_spark import synth
+    from face_hunter_spark.catalog import ParquetCatalog
+    from face_hunter_spark.pipeline import run_link_job
+
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    gal = synth.make_gallery_pdf(n_entities=8)
+    ecat = synth.entity_catalog_df(spark, n_entities=8)
+    docs = synth.documents_df(spark, 8, 8)
+    first = docs.filter("doc_id < 'vid_00004'")
+    second = docs.filter("doc_id >= 'vid_00004'")
+    st1 = run_link_job(spark, cat, first, gal, ecat, n_entities=8)
+    st2 = run_link_job(spark, cat, second, gal, ecat, n_entities=8)
+    inc = cat.read_incremental(spark, "triples", after=st1["snapshot"])
+    assert inc.count() == st2["n_triples"]
+    docs_in_inc = {
+        r["subj"] for r in inc.select("subj").distinct().collect()
+        if "vid_" in r["subj"]
+    }
+    assert all("vid_0000" in d for d in docs_in_inc)
