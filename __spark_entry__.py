@@ -601,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": DQ.q_rollup_revenue,
         "window_rank_lead_lag": DQ.q_window_rank_lead_lag,
         "exact_percentiles": DQ.q_exact_percentiles,
+        "tumbling_event_counts": DQ.q_tumbling_event_counts,
+        "pivot_order_priorities": DQ.q_pivot_order_priorities,
     }
 
 
@@ -680,6 +682,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": DQ.ORACLE_ROLLUP,
         "window_rank_lead_lag": DQ.ORACLE_WINDOW_RANK,
         "exact_percentiles": DQ.ORACLE_PERCENTILES,
+        "tumbling_event_counts": DQ.ORACLE_TUMBLING,
+        "pivot_order_priorities": DQ.ORACLE_PIVOT,
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

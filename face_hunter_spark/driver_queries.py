@@ -2413,3 +2413,71 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+def q_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-window aggregation (F.window, 1-hour buckets) —
+    the batch twin of streaming.windowed_mention_counts; the oracle is
+    DuckDB time_bucket."""
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+"""
+
+
+def q_pivot_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per year x priority, explicit pivot values
+    (so the plan is a single aggregate with conditional counts — no
+    second pass to discover the domain).  Oracle = conditional
+    aggregation, the relational spelling of the same thing."""
+    load_views(spark, sf_dir)
+    o = spark.table("orders")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        o.select(F.year("o_orderdate").alias("oyear"), "o_orderpriority")
+        .groupBy("oyear")
+        .pivot("o_orderpriority", pris)
+        .count()
+    )
+    renames = {p: f"p{p[0]}" for p in pris}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "oyear",
+        *[F.coalesce(F.col(n), F.lit(0).cast("long")).alias(n)
+          for n in renames.values()],
+    ).orderBy("oyear")
+
+
+ORACLE_PIVOT = """
+SELECT year(o_orderdate)::INT AS oyear,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS p1,
+       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS p2,
+       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS p3,
+       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS p4,
+       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS p5
+FROM orders
+GROUP BY 1 ORDER BY oyear
+"""
