@@ -2320,14 +2320,19 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
         .select(
-            "nation", "oyear", "g_nation", "g_year", "n_orders", "revenue"
+            # rollup NULLs -> sentinels: keeps oyear a non-null int so
+            # neither engine's pandas bridge floats the column
+            F.coalesce("nation", F.lit("ALL")).alias("nation"),
+            F.coalesce("oyear", F.lit(-1)).alias("oyear"),
+            "g_nation", "g_year", "n_orders", "revenue",
         )
         .orderBy("g_nation", "g_year", "nation", "oyear")
     )
 
 
 ORACLE_ROLLUP = """
-SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS oyear,
+SELECT coalesce(n.n_name, 'ALL') AS nation,
+       coalesce(year(o.o_orderdate)::INT, -1) AS oyear,
        grouping(n.n_name)::INT AS g_nation,
        grouping(year(o.o_orderdate))::INT AS g_year,
        count(*)::BIGINT AS n_orders,
@@ -2356,8 +2361,14 @@ def q_window_rank_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rk"),
             F.dense_rank().over(w).alias("drk"),
             F.ntile(4).over(w).alias("quartile"),
-            F.lag("o_orderkey", 1).over(w).alias("prev_order"),
-            F.lead("o_orderkey", 1).over(w).alias("next_order"),
+            # -1 sentinels keep the columns non-null BIGINT (a NULL
+            # would float the whole column through pandas)
+            F.coalesce(F.lag("o_orderkey", 1).over(w), F.lit(-1)).alias(
+                "prev_order"
+            ),
+            F.coalesce(F.lead("o_orderkey", 1).over(w), F.lit(-1)).alias(
+                "next_order"
+            ),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -2368,8 +2379,8 @@ SELECT o_custkey, o_orderkey,
        rank() OVER w AS rk,
        dense_rank() OVER w AS drk,
        ntile(4) OVER w AS quartile,
-       lag(o_orderkey, 1) OVER w AS prev_order,
-       lead(o_orderkey, 1) OVER w AS next_order
+       coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_order,
+       coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_order
 FROM orders
 WHERE o_custkey % 100 = 7
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

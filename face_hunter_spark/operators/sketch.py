@@ -93,7 +93,9 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+def hll_distinct(
+    df: DataFrame, col: str, p: int = 12, by: list[str] | None = None
+) -> DataFrame:
     """HyperLogLog distinct-count estimate with 2^p registers.
 
     Register id = h mod 2^p; rank rho = leading-zero count of the
@@ -106,19 +108,26 @@ def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     alpha*m^2*2^S/Z division and the ln() of the small-range
     correction are floating-point.
 
-    Returns one row (estimate double, n_reg long, v_zero long).
+    Returns one row (estimate double, n_reg long, v_zero long) — or,
+    with ``by=[keys...]``, one row PER GROUP (keys + the same three
+    columns): the count-distinct-per-group at bounded state
+    (n_groups * 2^p registers after the map-side combine), e.g.
+    distinct users per event type over a 100 TB log.
     """
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
+    by = list(by or [])
     m = 1 << p
     rem_bits = HASH_BITS - p
     regs = (
-        df.select(_h60(F.col(col)).alias("h"))
+        df.select(*by, _h60(F.col(col)).alias("h"))
         .select(
+            *by,
             F.pmod("h", F.lit(m)).alias("reg"),
             F.expr(f"h DIV {m}").alias("rem"),
         )
         .select(
+            *by,
             "reg",
             # bit_length(rem) = length of the base-2 string; conv(0)='0'
             # has length 1, so guard rem=0 (all remaining bits zero ->
@@ -130,13 +139,13 @@ def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
             )
             .alias("rho"),
         )
-        .groupBy("reg")
+        .groupBy(*by, "reg")
         .agg(F.max("rho").alias("max_rho"))
     )
     # Z_int = sum over PRESENT registers of 2^(S-max_rho); absent
     # registers (rho would be 0 -> 2^S) are added from the zero count.
     s_exp = rem_bits + 1  # == max possible rho
-    zsum = regs.agg(
+    zsum = regs.groupBy(*by).agg(
         F.count("*").alias("n_reg"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_exp} - max_rho)"))
         .alias("z_present"),
@@ -144,6 +153,7 @@ def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     alpha = hll_alpha(m)
     raw_num = float(alpha * m * m * 2**s_exp)  # exact-double literal
     return zsum.select(
+        *by,
         "n_reg",
         (F.lit(m) - F.col("n_reg")).alias("v_zero"),
         (
@@ -152,6 +162,7 @@ def hll_distinct(df: DataFrame, col: str, p: int = 12) -> DataFrame:
             * F.lit(1 << s_exp).cast("long")
         ).alias("z_int"),
     ).select(
+        *by,
         F.when(
             # linear counting when the raw estimate is small and
             # empty registers remain

@@ -172,3 +172,36 @@ def test_cms_invalid_params_raise(spark):
         cms_build(df, "x", d=0, w=16)
     with pytest.raises(ValueError):
         cms_build(df, "x", d=2, w=1)
+
+
+def test_hll_grouped_by_key(spark):
+    df = spark.range(30_000, numPartitions=6).select(
+        (F.col("id") % 3).alias("grp"),
+        F.concat(
+            (F.col("id") % 3).cast("string"), F.lit(":"),
+            F.when(F.col("id") % 3 == 0, F.col("id") % 50)      # grp 0: 50
+            .when(F.col("id") % 3 == 1, F.col("id") % 700)      # grp 1: 700
+            .otherwise(F.col("id")).cast("string")              # grp 2: 10k
+        ).alias("x"),
+    )
+    from face_hunter_spark.operators.sketch import hll_distinct
+
+    rows = {r["grp"]: r for r in hll_distinct(df, "x", p=11, by=["grp"]).collect()}
+    assert len(rows) == 3
+    for grp, true in [(0, 50), (1, 700), (2, 10_000)]:
+        est = rows[grp]["estimate"]
+        assert abs(est - true) / true < 0.12, (grp, est)
+
+
+def test_hll_grouped_matches_global_per_group(spark):
+    # a single-group grouped run must equal the global sketch exactly
+    df = spark.range(5000).select(
+        F.lit("only").alias("g"), F.col("id").cast("string").alias("x")
+    )
+    from face_hunter_spark.operators.sketch import hll_distinct
+
+    grouped = hll_distinct(df, "x", p=10, by=["g"]).collect()[0]
+    flat = hll_distinct(df, "x", p=10).collect()[0]
+    assert (grouped["estimate"], grouped["n_reg"], grouped["v_zero"]) == (
+        flat["estimate"], flat["n_reg"], flat["v_zero"]
+    )
