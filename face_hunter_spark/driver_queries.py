@@ -2492,3 +2492,58 @@ SELECT year(o_orderdate)::INT AS oyear,
 FROM orders
 GROUP BY 1 ORDER BY oyear
 """
+
+
+def q_hll_users_per_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HyperLogLog (operators/sketch.py, by=[event_type]):
+    distinct user_id per event type at p=11 — the bounded-state
+    count-distinct-per-group.  Integer register sums replay in DuckDB
+    bit-for-bit per group."""
+    from .operators.sketch import hll_distinct
+
+    load_views(spark, sf_dir)
+    out = hll_distinct(
+        spark.table("events"), "user_id", p=11, by=["event_type"]
+    )
+    return out.select(
+        "event_type",
+        F.round("estimate", 6).alias("estimate"),
+        "n_reg",
+        "v_zero",
+    ).orderBy("event_type")
+
+
+def _oracle_hll_by(p: int = 11) -> str:
+    from .operators.sketch import hll_alpha
+
+    m = 1 << p
+    s_exp = (60 - p) + 1
+    raw_num = float(hll_alpha(m) * m * m * 2**s_exp)
+    return f"""
+SELECT event_type,
+       round(CASE WHEN {raw_num!r} / z_int::DOUBLE <= {2.5 * m!r}
+                   AND v_zero > 0
+             THEN {float(m)!r} * ln({float(m)!r} / v_zero::DOUBLE)
+             ELSE {raw_num!r} / z_int::DOUBLE END, 6) AS estimate,
+       n_reg, v_zero
+FROM (
+  SELECT event_type, n_reg, ({m} - n_reg)::BIGINT AS v_zero,
+         (z_present + ({m} - n_reg) * (1::BIGINT << {s_exp}))::BIGINT AS z_int
+  FROM (
+    SELECT event_type, count(*)::BIGINT AS n_reg,
+           sum(1::BIGINT << ({s_exp} - max_rho))::BIGINT AS z_present
+    FROM (
+      SELECT event_type, reg,
+             max(CASE WHEN rem = 0 THEN {s_exp}
+                 ELSE {s_exp} - length(bin(rem)) END) AS max_rho
+      FROM (
+        SELECT event_type, h % {m} AS reg, h // {m} AS rem
+        FROM (SELECT event_type,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM events)
+      ) GROUP BY event_type, reg
+    ) GROUP BY event_type
+  )
+)
+ORDER BY event_type
+"""
