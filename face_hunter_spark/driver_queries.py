@@ -2233,8 +2233,12 @@ def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("n_distinct_est", 6).alias("n_distinct_est"),
         "top_value",
         "top_count",
-        "min_num",
-        "max_num",
+        # -1.0 sentinel for non-numeric columns' NULL min/max: a NULL
+        # double rides the pandas bridge as NaN on one engine and None
+        # on the other (harness dtype asymmetry, same as the rollup
+        # sentinels)
+        F.coalesce("min_num", F.lit(-1.0)).alias("min_num"),
+        F.coalesce("max_num", F.lit(-1.0)).alias("max_num"),
     ).orderBy("column")
 
 
@@ -2264,8 +2268,8 @@ def _oracle_profile(p: int = 12) -> str:
               FROM (SELECT ('0x' || substr(md5({c}::VARCHAR), 1, 15))::BIGINT AS h
                     FROM customer WHERE {c} IS NOT NULL))
         GROUP BY reg))))"""
-        mn = f"min({c})::DOUBLE" if numeric else "NULL::DOUBLE"
-        mx = f"max({c})::DOUBLE" if numeric else "NULL::DOUBLE"
+        mn = f"min({c})::DOUBLE" if numeric else "-1.0"
+        mx = f"max({c})::DOUBLE" if numeric else "-1.0"
         return f"""
 SELECT '{c}' AS "column",
        count(*)::BIGINT AS n_rows,
