@@ -87,6 +87,7 @@ def bloom_prefilter(
     dim_key: str,
     m: int = 1 << 20,
     k: int = 5,
+    bf: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``fact`` whose ``fact_key`` MAY appear in
     ``dim[dim_key]`` — a superset of the true semi-join with bloom
@@ -96,8 +97,16 @@ def bloom_prefilter(
     left join on its word plus a scan-stage bit test.  NULL keys never
     pass (NULL hashes to NULL -> probe fails), matching semi-join
     semantics.
+
+    The filter is built ONCE and localCheckpoint-ed eagerly: the k
+    probe joins each reference it, and Catalyst does not reuse the
+    build exchange across differently-aliased projections — without
+    the checkpoint the dim would be scanned k times (plan-audited in
+    tests).  Pass a prebuilt ``bf`` (from `bloom_filter_table`) to
+    amortize the build across multiple prefilter calls.
     """
-    bf = bloom_filter_table(dim, dim_key, m=m, k=k)
+    if bf is None:
+        bf = bloom_filter_table(dim, dim_key, m=m, k=k).localCheckpoint()
     out = fact
     conds = []
     for j in range(k):

@@ -106,3 +106,29 @@ def test_invalid_params_raise(spark):
         bloom_filter_table(dim, "dk", m=10, k=2)
     with pytest.raises(ValueError):
         bloom_filter_table(dim, "dk", m=1 << 10, k=0)
+
+
+def test_filter_built_once_not_k_times(spark):
+    import re
+
+    fact = spark.range(100).select(F.col("id").alias("fk"))
+    dim = spark.range(50).select(F.col("id").alias("dk"))
+    plan = (
+        bloom_prefilter(fact, "fk", dim, "dk", m=1 << 10, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the eager localCheckpoint truncates the build subtree: the dim
+    # scan and its aggregation must not appear once per probe
+    assert len(re.findall(r"Range \(0, 50", plan)) == 0
+    assert plan.count("HashAggregate") == 0
+
+
+def test_prebuilt_filter_reuse(spark):
+    fact = spark.range(200).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 200, 2).select(F.col("id").alias("dk"))
+    bf = bloom_filter_table(dim, "dk", m=1 << 10, k=3).localCheckpoint()
+    a = bloom_prefilter(fact, "fk", dim, "dk", m=1 << 10, k=3, bf=bf)
+    b = bloom_prefilter(fact, "fk", dim, "dk", m=1 << 10, k=3)
+    assert sorted(r["fk"] for r in a.collect()) == sorted(
+        r["fk"] for r in b.collect()
+    )
