@@ -238,7 +238,14 @@ def cms_estimate(
     at most d*w rows, so the lookup broadcasts it: estimating any
     number of candidates costs one scan of ``items`` and no shuffle
     of the sketch.
+
+    The sketch is localCheckpoint-ed eagerly before the d probe joins:
+    each join references it under different aliases, Catalyst does not
+    reuse the exchange, and without the checkpoint the BUILD —
+    including its scan of the full input corpus — would execute d
+    times (plan-audited in tests).
     """
+    cms = cms.localCheckpoint()
     probes = items.select(
         F.col(col),
         *[

@@ -205,3 +205,18 @@ def test_hll_grouped_matches_global_per_group(spark):
     assert (grouped["estimate"], grouped["n_reg"], grouped["v_zero"]) == (
         flat["estimate"], flat["n_reg"], flat["v_zero"]
     )
+
+
+def test_cms_estimate_builds_sketch_once(spark):
+    import re
+
+    data = spark.range(1000).select(F.col("id").alias("x"))
+    cms = cms_build(data, "x", d=4, w=64)
+    items = spark.range(10).select(F.col("id").alias("x"))
+    plan = (
+        cms_estimate(cms, items, "x", d=4, w=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the eager localCheckpoint truncates the build: the input corpus
+    # must not be rescanned once per hash row
+    assert len(re.findall(r"Range \(0, 1000", plan)) == 0
