@@ -155,16 +155,23 @@ def triangle_count(
     full output against a DuckDB ordered-join oracle.
     """
     a, b = F.col(src), F.col(dst)
+    # canon, deg and oriented each feed several consumers below, and
+    # Catalyst does not reuse exchanges across differently-aliased
+    # references — without materialization the edge input is rescanned
+    # ~18x (plan-audited).  Eager localCheckpoints bound it to one
+    # normalization pass + one degree pass + one orientation pass.
     canon = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         canon.select(F.col("u").alias("x"))
         .unionAll(canon.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
     # orient u->v iff (deg(u), u) < (deg(v), v): total order, so the
     # two out-neighbors of a wedge apex are themselves ordered.
@@ -180,7 +187,7 @@ def triangle_count(
         F.when(fwd, F.struct("dv", "v")).otherwise(
             F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))
         ).alias("dord"),  # (deg, id) order key of the head endpoint
-    )
+    ).localCheckpoint()
     e1 = oriented.select(
         F.col("s").alias("apex"), F.col("d").alias("b"), F.col("dord").alias("ob")
     )

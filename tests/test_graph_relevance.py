@@ -232,3 +232,18 @@ def test_triangles_partitioning_invariance(spark):
         return triangle_count(_edges(spark, pairs, parts)).collect()[0]
 
     assert run(1) == run(9)
+
+
+def test_triangles_edges_scanned_once(spark):
+    import re
+
+    edges = spark.range(500).select(
+        (F.col("id") % 40).alias("src"), ((F.col("id") * 7) % 40).alias("dst")
+    )
+    plan = (
+        triangle_count(edges)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # checkpoints truncate the shared subtrees: the raw edge input must
+    # not appear in the final plan at all (it was scanned 18x before)
+    assert len(re.findall(r"Range \(0, 500", plan)) == 0
