@@ -11,9 +11,10 @@ Shape at 100 TB:
 
 * The EVAL side is small by construction (benchmark suites are a few
   MB), so its distinct n-gram fingerprints are a broadcast table.
-  The train side is scanned ONCE: shingle -> 60-bit md5-prefix
-  fingerprint (8 bytes, never the shingle string) -> posexplode ->
-  broadcast hash semi-join.  No shuffle of train data at all.
+  The train side's fingerprint pass is one scan: shingle -> 60-bit
+  md5-prefix fingerprint (8 bytes, never the shingle string) ->
+  explode -> broadcast hash semi-join.  (The flag/remove join rereads
+  train as its output base — two scans total, zero shuffles.)
 * The per-doc overlap count aggregates ONLY the matching rows
   (contaminated docs are rare), and the result — a (doc_id, count)
   table of just the contaminated ids — is broadcast BACK onto the

@@ -10,13 +10,16 @@ shuffle PER COLUMN):
 * min/max/null counts come from ONE aggregate over the raw scan
   (zero shuffle, one row), unpivoted to per-column rows with an
   inline explode — never collected to the driver.
-* distinct estimates and modal values come from ONE melt of the scan
-  ((column, value-as-string) pairs, n_cols x amplification in the map
-  stage only): HLL registers groupBy to n_cols * 2^p bounded state
+* distinct estimates and modal values share one melt SHAPE ((column,
+  value-as-string) pairs, n_cols x amplification in the map stage
+  only): HLL registers groupBy to n_cols * 2^p bounded state
   (`operators/sketch.hll_distinct` math, identical bit-for-bit), and
   the modal value is a groupBy + per-column top-1 window.  Two
   shuffles total for ANY number of columns, both of bounded or
-  distinct-bounded size.
+  distinct-bounded size.  The melt subtree is EVALUATED by each
+  consumer (so the raw table is scanned three times end to end) —
+  deliberately not persisted: caching an n_cols-times-amplified melt
+  of a 100 TB table costs more than the rescans.
 * For corpora where even the per-column distinct stream is too hot,
   swap the modal-value stage for `sketch.cms_build` probes — the
   docstring trade-off is deliberate: the profiler reports EXACT modal
