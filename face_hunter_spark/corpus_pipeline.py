@@ -52,6 +52,7 @@ def assemble_corpus(
     mixture_rates: dict[str, float] | None = None,
     split_weights: dict[str, float] | None = None,
     pack_budget: int = 2048,
+    collect_stats: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Run the assembly pipeline over ``docs``.
 
@@ -59,46 +60,88 @@ def assemble_corpus(
     documents plus ``split`` and ``n_tokens`` columns; ``packed`` is
     the per-split greedy packing map (split, doc_id, n_tokens, seq_id,
     seq_fill); ``stats`` counts what every stage admitted.
+
+    With ``collect_stats`` each counted stage boundary is persisted and
+    the previous boundary unpersisted once its successor materializes —
+    a count() is a second consumer, and without the persist every
+    stage's count would re-execute the whole upstream cascade (the
+    near-dup count would rerun exact dedup, the decontam count would
+    rerun both, ...).  ``collect_stats=False`` skips the counts and the
+    persists entirely: one lazy plan from scan to write, the cheapest
+    form for production runs that trust the stage config.
     """
     split_weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
-    stats: dict = {"n_input": docs.count()}
+    stats: dict = {}
+    prev: DataFrame | None = None
 
-    cur = dedup_exact(docs, text_col=text_col, id_col=id_col)
-    stats["n_after_exact_dedup"] = cur.count()
+    def checkpoint(df: DataFrame, key: str) -> DataFrame:
+        nonlocal prev
+        if not collect_stats:
+            return df
+        df = df.persist()
+        stats[key] = df.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = df
+        return df
+
+    if collect_stats:
+        stats["n_input"] = docs.count()
+
+    cur = checkpoint(
+        dedup_exact(docs, text_col=text_col, id_col=id_col),
+        "n_after_exact_dedup",
+    )
 
     if near_dup_threshold is not None:
-        cur = dedup_corpus(
-            cur, threshold=near_dup_threshold, id_col=id_col, text_col=text_col
+        cur = checkpoint(
+            dedup_corpus(
+                cur, threshold=near_dup_threshold,
+                id_col=id_col, text_col=text_col,
+            ),
+            "n_after_near_dedup",
         )
-        stats["n_after_near_dedup"] = cur.count()
 
     if eval_df is not None:
-        cur = decontaminate(
-            cur, eval_df, text_col=text_col, id_col=id_col, n=decontam_n
+        cur = checkpoint(
+            decontaminate(
+                cur, eval_df, text_col=text_col, id_col=id_col, n=decontam_n
+            ),
+            "n_after_decontam",
         )
-        stats["n_after_decontam"] = cur.count()
 
-    cur = quality_filter(
-        cur,
-        text_col=text_col,
-        min_tokens=min_tokens,
-        min_quality=min_quality,
-        langs=langs,
+    cur = checkpoint(
+        quality_filter(
+            cur,
+            text_col=text_col,
+            min_tokens=min_tokens,
+            min_quality=min_quality,
+            langs=langs,
+        ),
+        "n_after_quality",
     )
-    stats["n_after_quality"] = cur.count()
 
     if mixture_rates:
-        cur = mixture_sample(cur, mixture_rates, key_col=id_col)
-        stats["n_after_mixture"] = cur.count()
+        cur = checkpoint(
+            mixture_sample(cur, mixture_rates, key_col=id_col),
+            "n_after_mixture",
+        )
 
     corpus = hash_split(cur, split_weights, key_col=id_col).withColumn(
         "n_tokens", token_count(F.col(text_col)).cast("int")
     )
+    # always persisted: corpus feeds the split census (stats mode),
+    # the packing stage, and the caller's write
     corpus = corpus.persist()
-    stats["splits"] = {
-        r["split"]: r["n"]
-        for r in corpus.groupBy("split").agg(F.count("*").alias("n")).collect()
-    }
+    if collect_stats:
+        stats["splits"] = {
+            r["split"]: r["n"]
+            for r in corpus.groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if prev is not None:
+            prev.unpersist()
 
     packed = pack_sequences(
         corpus.select(
@@ -108,12 +151,13 @@ def assemble_corpus(
         ),
         budget=pack_budget,
     ).withColumnRenamed("bucket", "split")
-    stats["n_sequences"] = (
-        packed.groupBy("split")
-        .agg(F.count_distinct("seq_id").alias("n"))
-        .agg(F.sum("n"))
-        .collect()[0][0]
-    )
+    if collect_stats:
+        stats["n_sequences"] = (
+            packed.groupBy("split")
+            .agg(F.count_distinct("seq_id").alias("n"))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
     stats["pack_budget"] = pack_budget
     return corpus, packed, stats
 

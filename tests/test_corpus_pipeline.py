@@ -132,3 +132,14 @@ def test_cli_entrypoint(spark, tmp_path, monkeypatch):
     assert stats["n_after_quality"] == 3
     assert spark.read.parquet(f"{out_root}/documents").count() == 3
     assert spark.read.parquet(f"{out_root}/packing").count() == 3
+
+
+def test_assemble_no_stats_mode(spark):
+    corpus, packed, stats = assemble_corpus(
+        spark, _drop(spark), eval_df=_eval(spark), pack_budget=64,
+        near_dup_threshold=0.8, collect_stats=False,
+    )
+    # no stage counts collected, pipeline output identical
+    assert set(stats) == {"pack_budget"}
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [0, 3, 7]
+    assert packed.count() == 3
