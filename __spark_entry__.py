@@ -604,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_event_counts": DQ.q_tumbling_event_counts,
         "pivot_order_priorities": DQ.q_pivot_order_priorities,
         "hll_users_per_event_type": DQ.q_hll_users_per_event_type,
+        "text_mentions": DQ.q_text_mentions,
     }
 
 
@@ -686,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_event_counts": DQ.ORACLE_TUMBLING,
         "pivot_order_priorities": DQ.ORACLE_PIVOT,
         "hll_users_per_event_type": DQ._oracle_hll_by(),
+        "text_mentions": DQ._oracle_mentions(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

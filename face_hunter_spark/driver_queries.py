@@ -2551,3 +2551,70 @@ FROM (
 )
 ORDER BY event_type
 """
+
+
+_MENTION_LABELS = [
+    ("spark", "http://example.org/kw/spark"),
+    ("customer", "http://example.org/kw/customer"),
+    ("order data", "http://example.org/kw/order_data"),
+    ("hash value", "http://example.org/kw/hash_value"),
+]
+
+
+def q_text_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-mention entity linking (operators/mentions.py): wrap each
+    document's text as a one-span interleaved doc, link against a
+    fixed keyword catalog (single- and two-word labels -> both the
+    L=1 token join and the L=2 shingle join execute).  Exact string
+    logic; the oracle replays the shingle joins in DuckDB."""
+    from .operators.mentions import link_text_mentions
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    cat = spark.createDataFrame(_MENTION_LABELS, "label string, uri string")
+    out = link_text_mentions(docs, cat)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "entity_uri",
+        "label",
+        "n_spans",
+    ).orderBy("doc_id", "entity_uri")
+
+
+def _oracle_mentions() -> str:
+    labels = " UNION ALL ".join(
+        f"SELECT '{lab}' AS label, '{uri}' AS uri" for lab, uri in _MENTION_LABELS
+    )
+    toks = _DUCK_TOKENS.format(col="text")
+    return f"""
+WITH cat AS (
+  SELECT label, uri, len(string_split(label, ' ')) AS l FROM ({labels})),
+toks AS (SELECT doc_id, {toks} AS t FROM documents),
+g1 AS (SELECT doc_id, unnest(list_distinct(t)) AS gram FROM toks
+       WHERE len(t) > 0),
+g2 AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(t) >= 2 THEN
+           list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+         WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END)) AS gram
+       FROM toks),
+hits AS (
+  SELECT doc_id, uri AS entity_uri, label FROM g1
+  JOIN cat ON cat.l = 1 AND g1.gram = cat.label
+  UNION ALL
+  SELECT doc_id, uri, label FROM g2
+  JOIN cat ON cat.l = 2 AND g2.gram = cat.label
+  WHERE len(string_split(g2.gram, ' ')) = 2)
+SELECT doc_id, entity_uri, label, count(DISTINCT 0)::BIGINT AS n_spans
+FROM hits GROUP BY doc_id, entity_uri, label
+ORDER BY doc_id, entity_uri
+"""
