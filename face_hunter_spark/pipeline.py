@@ -47,13 +47,18 @@ def link_documents(
     one_face: bool = False,
     encoder: str = "hash",
     hnsw_prebuilt: bool = False,
+    mention_labels: DataFrame | None = None,
 ) -> DataFrame:
     """documents -> un-partitioned triples DataFrame (pure transform).
 
     ``one_face`` links only the largest detected face per frame (the
     reference's one_face mode, face_recognition.py:367-371); ``encoder``
     names a registered production encoder (vision.register_encoder),
-    default the deterministic test encoder."""
+    default the deterministic test encoder; ``mention_labels`` (a
+    (label, uri) dim table) additionally links entity labels in the
+    TEXT spans and unions (doc, sdo:mentions, entity) triples into the
+    output (operators/mentions.py) — the interleaved corpus's text
+    side, off by default for reference parity."""
     from .operators import vision
     from .operators.util import ensure_parallelism
 
@@ -123,9 +128,16 @@ def link_documents(
     # shuffle (equivalent to assemble_frame_predictions |>
     # extract_scenes — parity-tested)
     scn = scenes.extract_scenes_from_faces(linked, frame_threshold=frame_threshold)
-    return T.video_triples(documents).unionByName(
+    out = T.video_triples(documents).unionByName(
         T.scene_triples(scn, entity_catalog)
     )
+    if mention_labels is not None:
+        from .operators.mentions import link_text_mentions, mention_triples
+
+        out = out.unionByName(
+            mention_triples(link_text_mentions(documents, mention_labels))
+        )
+    return out
 
 
 def run_link_job(

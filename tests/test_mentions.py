@@ -110,3 +110,37 @@ def test_mentions_partitioning_invariance(spark):
         )
 
     assert run(1) == run(5)
+
+
+def test_pipeline_mention_labels_option(spark, tmp_path):
+    """mention_labels unions sdo:mentions triples into the committed
+    table; idempotent rerun still emits nothing."""
+    from face_hunter_spark import synth
+    from face_hunter_spark.catalog import ParquetCatalog
+    from face_hunter_spark.pipeline import run_link_job
+
+    docs = synth.documents_df(spark, 6, 6)
+    # labels drawn from the synthetic text spans' vocabulary
+    labels = spark.createDataFrame(
+        [("Entity 001", "http://example.org/e/1"),
+         ("entity", "http://example.org/e/any")],
+        "label string, uri string",
+    )
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    gal = synth.make_gallery_pdf(n_entities=6)
+    ecat = synth.entity_catalog_df(spark, n_entities=6)
+    stats = run_link_job(
+        spark, cat, docs, gal, ecat, n_entities=6, mention_labels=labels
+    )
+    trip = cat.read(spark, "triples")
+    mentions = trip.filter(F.col("pred") == SDO_MENTIONS)
+    n_mentions = mentions.count()
+    assert n_mentions > 0
+    assert stats["n_triples"] == trip.count()
+    # text spans in the synth corpus mention 'Entity NNN' phrases
+    assert mentions.filter(F.col("obj") == "http://example.org/e/any").count() > 0
+    # idempotent rerun
+    stats2 = run_link_job(
+        spark, cat, docs, gal, ecat, n_entities=6, mention_labels=labels
+    )
+    assert stats2["n_triples"] == 0
