@@ -2618,3 +2618,37 @@ SELECT doc_id, entity_uri, label, count(DISTINCT 0)::BIGINT AS n_spans
 FROM hits GROUP BY doc_id, entity_uri, label
 ORDER BY doc_id, entity_uri
 """
+
+
+def q_weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-ES weighted sampling (operators/corpus.py::
+    weighted_sample): 50 orders weighted by floor(o_totalprice/1000)+1.
+    The race key (max of w salted 60-bit hashes — the integer-exact
+    u^(1/w) equivalent) replays in DuckDB bit-for-bit."""
+    from .operators.corpus import weighted_sample
+
+    load_views(spark, sf_dir)
+    orders = spark.table("orders").withColumn(
+        "w", (F.floor(F.col("o_totalprice") / 1000) + 1).cast("long")
+    )
+    got = weighted_sample(orders, "w", 50, key_col="o_orderkey")
+    return got.select("o_orderkey", "w").orderBy("o_orderkey")
+
+
+def _oracle_weighted_sample(n: int = 50) -> str:
+    race = (
+        "list_max(list_transform(range(1, w + 1), j -> "
+        "('0x' || substr(md5('wsample:' || j::VARCHAR || ':' || "
+        "o_orderkey::VARCHAR), 1, 15))::BIGINT))"
+    )
+    return f"""
+WITH weighted AS (
+  SELECT o_orderkey, (floor(o_totalprice / 1000) + 1)::BIGINT AS w
+  FROM orders),
+raced AS (
+  SELECT o_orderkey, w, {race} AS race
+  FROM weighted WHERE w > 0)
+SELECT o_orderkey, w
+FROM (SELECT * FROM raced ORDER BY race DESC LIMIT {n})
+ORDER BY o_orderkey
+"""

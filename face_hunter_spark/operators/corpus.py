@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 
 __all__ = [
     "hash_split", "mixture_sample", "quality_filter", "pack_sequences",
-    "hex_cutoff",
+    "weighted_sample", "hex_cutoff",
 ]
 
 _HEX_SPAN = 16 ** 8  # uniform u in [0,1) from the first 8 md5 hex chars
@@ -175,3 +175,75 @@ def pack_sequences(
         F.col(tokens_col).cast("int").alias("n_tokens"),
     )
     return prepared.groupBy("bucket").applyInPandas(pack, schema=PACKED)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+    max_weight: int = 10_000,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the n rows
+    with the largest race keys, where P[row selected] follows its
+    integer weight (Efraimidis-Spirakis A-ES).
+
+    A-ES orders rows by u^(1/w) with u uniform — a float pow() that no
+    two engines round identically.  For INTEGER weights there is an
+    exact equivalent: max of w iid uniforms has CDF u^w, i.e. the same
+    distribution as u^(1/w), so the race key here is the MAX of w
+    salted 60-bit md5 hashes — pure integer logic, bit-reproducible,
+    SQL-replayable (driver query `weighted_sample_orders`).  The w
+    hashes are a per-row HOF transform over sequence(1..w): O(w)
+    compute in the scan stage, NO row explosion; ``max_weight`` bounds
+    the per-row work and fails loudly rather than silently degrading.
+
+    The top-n plans as TakeOrderedAndProject (per-partition top-n, k
+    rows per partition to the driver merge — no global sort).  Rows
+    with weight <= 0 or NULL never qualify.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col(weight_col).cast("long")
+    key = F.col(key_col).cast("string")
+    race = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt + ":"),
+                            j.cast("string"),
+                            F.lit(":"),
+                            key,
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+    guarded = df.filter(w.isNotNull() & (w > 0))
+    # loud bound: a corrupt weight would otherwise hang the scan
+    guarded = guarded.filter(
+        F.when(
+            w > max_weight,
+            F.raise_error(
+                F.format_string(
+                    "weighted_sample: weight exceeds max_weight=%d",
+                    F.lit(max_weight),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
+    return (
+        guarded.withColumn("__race", race)
+        .orderBy(F.desc("__race"))
+        .limit(n)
+        .drop("__race")
+    )
