@@ -67,8 +67,9 @@ def assemble_corpus(
     stage's count would re-execute the whole upstream cascade (the
     near-dup count would rerun exact dedup, the decontam count would
     rerun both, ...).  ``collect_stats=False`` skips the counts and the
-    persists entirely: one lazy plan from scan to write, the cheapest
-    form for production runs that trust the stage config.
+    stage-boundary persists; the FINAL corpus is persisted in both
+    modes because packing and the caller's write each consume it
+    (write_corpus unpersists it after the writes).
     """
     split_weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
     stats: dict = {}
@@ -174,3 +175,4 @@ def write_corpus(
     packed.write.mode("overwrite").partitionBy("split").parquet(
         f"{out_root}/packing"
     )
+    corpus.unpersist()  # assemble_corpus persisted it for its consumers

@@ -1926,7 +1926,7 @@ def _oracle_kmv(k: int = 256) -> str:
     scale = float((k - 1) * 2**60)
     return f"""
 WITH h AS (SELECT DISTINCT ('0x' || substr(md5(c_name), 1, 15))::BIGINT AS h
-           FROM customer),
+           FROM customer WHERE c_name IS NOT NULL),
 t AS (SELECT h FROM h ORDER BY h LIMIT {k}),
 a AS (SELECT count(*)::BIGINT AS n_min, max(h) AS hk FROM t)
 SELECT round(CASE WHEN n_min < {k} THEN n_min::DOUBLE
@@ -1975,14 +1975,14 @@ FROM (
          (z_present + ({m} - n_reg) * (1::BIGINT << {s_exp}))::BIGINT AS z_int
   FROM (
     SELECT count(*)::BIGINT AS n_reg,
-           sum(1::BIGINT << ({s_exp} - max_rho))::BIGINT AS z_present
+           coalesce(sum(1::BIGINT << ({s_exp} - max_rho)), 0)::BIGINT AS z_present
     FROM (
       SELECT reg, max(CASE WHEN rem = 0 THEN {s_exp}
                       ELSE {s_exp} - length(bin(rem)) END) AS max_rho
       FROM (
         SELECT h % {m} AS reg, h // {m} AS rem
         FROM (SELECT ('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT AS h
-              FROM orders)
+              FROM orders WHERE {col} IS NOT NULL)
       ) GROUP BY reg
     )
   )
@@ -2135,11 +2135,12 @@ def _oracle_bloom(m: int = 4096, k: int = 3) -> str:
     tests = " AND ".join(
         f"(coalesce(t{j}.bits, 0) & p.b{j}) <> 0" for j in range(k)
     )
+    build = " UNION ALL ".join(
+        f"SELECT {pos('c_custkey', j)} AS p FROM dim" for j in range(k)
+    )
     return f"""
 WITH dim AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
-pos AS (SELECT {pos('c_custkey', 0)} AS p FROM dim
-        UNION ALL SELECT {pos('c_custkey', 1)} FROM dim
-        UNION ALL SELECT {pos('c_custkey', 2)} FROM dim),
+pos AS ({build}),
 bits AS (SELECT p // 62 AS word, bit_or(1::BIGINT << (p % 62)::INT) AS bits
          FROM pos GROUP BY p // 62),
 probe AS (SELECT o_orderkey, o_custkey, {probe_cols} FROM orders)
@@ -2260,7 +2261,7 @@ def _oracle_profile(p: int = 12) -> str:
            (z_present + ({m} - n_reg) * (1::BIGINT << {s_exp}))::BIGINT AS z_int
     FROM (
       SELECT count(*)::BIGINT AS n_reg,
-             sum(1::BIGINT << ({s_exp} - max_rho))::BIGINT AS z_present
+             coalesce(sum(1::BIGINT << ({s_exp} - max_rho)), 0)::BIGINT AS z_present
       FROM (
         SELECT reg, max(CASE WHEN rem = 0 THEN {s_exp}
                         ELSE {s_exp} - length(bin(rem)) END) AS max_rho
@@ -2535,7 +2536,7 @@ FROM (
          (z_present + ({m} - n_reg) * (1::BIGINT << {s_exp}))::BIGINT AS z_int
   FROM (
     SELECT event_type, count(*)::BIGINT AS n_reg,
-           sum(1::BIGINT << ({s_exp} - max_rho))::BIGINT AS z_present
+           coalesce(sum(1::BIGINT << ({s_exp} - max_rho)), 0)::BIGINT AS z_present
     FROM (
       SELECT event_type, reg,
              max(CASE WHEN rem = 0 THEN {s_exp}
@@ -2544,7 +2545,7 @@ FROM (
         SELECT event_type, h % {m} AS reg, h // {m} AS rem
         FROM (SELECT event_type,
                      ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
-              FROM events)
+              FROM events WHERE user_id IS NOT NULL)
       ) GROUP BY event_type, reg
     ) GROUP BY event_type
   )

@@ -55,11 +55,14 @@ def _pos(col: str, j: int, m: int) -> F.Column:
 def bloom_filter_table(
     df: DataFrame, key_col: str, m: int = 1 << 20, k: int = 5
 ) -> DataFrame:
-    """Build the (word, bits) bloom table of ``df[key_col]``.
+    """Build the (word, bits, m, k) bloom table of ``df[key_col]``.
 
     One pass: each key contributes k bit positions via an inline
     explode; the groupBy map-side-combines `bit_or` into at most
-    ceil(m/62) rows regardless of input size.
+    ceil(m/62) rows regardless of input size.  The m/k literals ride
+    along so `bloom_prefilter` can refuse a prebuilt table whose
+    parameters don't match the probe's (a silent mismatch would drop
+    true matches — the one failure mode the operator promises away).
     """
     if m < WORD_BITS or k < 1:
         raise ValueError(f"need m >= {WORD_BITS} and k >= 1")
@@ -77,6 +80,7 @@ def bloom_filter_table(
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
+        .select("word", "bits", F.lit(m).alias("m"), F.lit(k).alias("k"))
     )
 
 
@@ -107,6 +111,15 @@ def bloom_prefilter(
     """
     if bf is None:
         bf = bloom_filter_table(dim, dim_key, m=m, k=k).localCheckpoint()
+    elif {"m", "k"} <= set(bf.columns):
+        stamp = bf.select("m", "k").first()
+        if stamp is not None and (stamp["m"], stamp["k"]) != (m, k):
+            raise ValueError(
+                f"prebuilt bloom filter was built with m={stamp['m']}, "
+                f"k={stamp['k']} but the probe uses m={m}, k={k} — a "
+                "mismatch would silently drop true matches"
+            )
+    bf = bf.select("word", "bits")
     out = fact
     conds = []
     for j in range(k):

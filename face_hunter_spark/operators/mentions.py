@@ -62,6 +62,9 @@ def link_text_mentions(
         .filter(F.col("gram") != "")
         .withColumn("L", F.size(F.split("gram", " ")))
         .distinct()
+        # materialize once: the lengths collect + one broadcast per L
+        # would otherwise each re-run the catalog normalization
+        .localCheckpoint()
     )
     lengths = sorted(r["L"] for r in cat.select("L").distinct().collect())
     txt = explode_spans(documents).filter(

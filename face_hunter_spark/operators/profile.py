@@ -38,7 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import NumericType
 
-from .sketch import HASH_BITS, _h60, hll_alpha
+from .sketch import hll_distinct
 
 __all__ = ["profile"]
 
@@ -117,64 +117,10 @@ def profile(
         .filter(F.col("val").isNotNull())
     )
 
-    # HLL registers per column (sketch.hll_distinct math, grouped).
-    m = 1 << hll_p
-    rem_bits = HASH_BITS - hll_p
-    s_exp = rem_bits + 1
-    regs = (
-        melted.select(
-            "column", _h60(F.col("val")).alias("h")
-        )
-        .select(
-            "column",
-            F.pmod("h", F.lit(m)).alias("reg"),
-            F.expr(f"h DIV {m}").alias("rem"),
-        )
-        .select(
-            "column",
-            "reg",
-            F.when(F.col("rem") == 0, F.lit(rem_bits + 1))
-            .otherwise(
-                F.lit(rem_bits + 1)
-                - F.length(F.conv(F.col("rem").cast("string"), 10, 2))
-            )
-            .alias("rho"),
-        )
-        .groupBy("column", "reg")
-        .agg(F.max("rho").alias("max_rho"))
-    )
-    raw_num = float(hll_alpha(m) * m * m * 2**s_exp)
-    hll = (
-        regs.groupBy("column")
-        .agg(
-            F.count("*").alias("n_reg"),
-            F.sum(
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_exp} - max_rho)")
-            ).alias("z_present"),
-        )
-        .select(
-            "column",
-            (F.lit(m) - F.col("n_reg")).alias("v_zero"),
-            (
-                F.col("z_present")
-                + (F.lit(m).cast("long") - F.col("n_reg"))
-                * F.lit(1 << s_exp).cast("long")
-            ).alias("z_int"),
-        )
-        .select(
-            "column",
-            F.when(
-                (
-                    F.lit(raw_num) / F.col("z_int").cast("double")
-                    <= F.lit(2.5 * m)
-                )
-                & (F.col("v_zero") > 0),
-                F.lit(float(m))
-                * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
-            )
-            .otherwise(F.lit(raw_num) / F.col("z_int").cast("double"))
-            .alias("n_distinct_est"),
-        )
+    # grouped HLL over the melt — the SAME estimator as
+    # sketch.hll_distinct(by=['column']), not a reimplementation
+    hll = hll_distinct(melted, "val", p=hll_p, by=["column"]).select(
+        "column", F.col("estimate").alias("n_distinct_est")
     )
 
     # modal value: exact top-1 per column, ties -> value ascending.

@@ -65,8 +65,12 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    # NULL values don't count as a distinct value (count_distinct
+    # semantics) — and Spark's ascending sort is NULLS FIRST, so an
+    # unfiltered NULL hash would permanently occupy a sketch slot
     mins = (
         df.select(_h60(F.col(col)).alias("h"))
+        .filter(F.col("h").isNotNull())
         .distinct()
         .orderBy("h")
         .limit(k)
@@ -121,6 +125,7 @@ def hll_distinct(
     rem_bits = HASH_BITS - p
     regs = (
         df.select(*by, _h60(F.col(col)).alias("h"))
+        .filter(F.col("h").isNotNull())  # NULLs are not a distinct value
         .select(
             *by,
             F.pmod("h", F.lit(m)).alias("reg"),
@@ -147,8 +152,14 @@ def hll_distinct(
     s_exp = rem_bits + 1  # == max possible rho
     zsum = regs.groupBy(*by).agg(
         F.count("*").alias("n_reg"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_exp} - max_rho)"))
-        .alias("z_present"),
+        # coalesce: an all-NULL/empty input has zero present registers
+        # and must estimate 0.0, not NULL
+        F.coalesce(
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_exp} - max_rho)")
+            ),
+            F.lit(0).cast("long"),
+        ).alias("z_present"),
     )
     alpha = hll_alpha(m)
     raw_num = float(alpha * m * m * 2**s_exp)  # exact-double literal
@@ -246,21 +257,19 @@ def cms_estimate(
     times (plan-audited in tests).
     """
     cms = cms.localCheckpoint()
-    probes = items.select(
-        F.col(col),
-        *[
-            _cms_hash(col, j, w).alias(f"b{j}")
-            for j in range(d)
-        ],
-    )
-    out = probes
+    out = items
+    for j in range(d):
+        out = out.withColumn(f"__cms_b{j}", _cms_hash(col, j, w))
     for j in range(d):
         cj = cms.filter(F.col("row") == j).select(
-            F.col("bucket").alias(f"b{j}"),
-            F.col("cnt").alias(f"c{j}"),
+            F.col("bucket").alias(f"__cms_b{j}"),
+            F.col("cnt").alias(f"__cms_c{j}"),
         )
-        out = out.join(F.broadcast(cj), f"b{j}", "left")
+        out = out.join(F.broadcast(cj), f"__cms_b{j}", "left")
     est = F.least(
-        *[F.coalesce(F.col(f"c{j}"), F.lit(0).cast("long")) for j in range(d)]
+        *[
+            F.coalesce(F.col(f"__cms_c{j}"), F.lit(0).cast("long"))
+            for j in range(d)
+        ]
     )
-    return out.select(col, est.alias("est"))
+    return out.select(*items.columns, est.alias("est"))

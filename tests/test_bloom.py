@@ -132,3 +132,13 @@ def test_prebuilt_filter_reuse(spark):
     assert sorted(r["fk"] for r in a.collect()) == sorted(
         r["fk"] for r in b.collect()
     )
+
+
+def test_prebuilt_filter_mismatch_raises(spark):
+    dim = _dim(spark, range(40))
+    bf = bloom_filter_table(dim, "dk", m=1 << 10, k=3).localCheckpoint()
+    fact = _fact(spark, 100)
+    with pytest.raises(ValueError, match="mismatch"):
+        bloom_prefilter(fact, "fk", dim, "dk", m=1 << 12, k=3, bf=bf)
+    with pytest.raises(ValueError, match="mismatch"):
+        bloom_prefilter(fact, "fk", dim, "dk", m=1 << 10, k=5, bf=bf)

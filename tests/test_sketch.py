@@ -220,3 +220,28 @@ def test_cms_estimate_builds_sketch_once(spark):
     # the eager localCheckpoint truncates the build: the input corpus
     # must not be rescanned once per hash row
     assert len(re.findall(r"Range \(0, 1000", plan)) == 0
+
+
+def test_sketches_ignore_nulls_and_empty_input(spark):
+    from face_hunter_spark.operators.sketch import hll_distinct, kmv_distinct
+
+    withnulls = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,), ("c",)], "x string"
+    )
+    k = kmv_distinct(withnulls, "x", k=16).collect()[0]
+    assert k["estimate"] == 3.0 and k["n_min"] == 3  # count_distinct semantics
+    h = hll_distinct(withnulls, "x", p=8).collect()[0]
+    clean = hll_distinct(withnulls.filter("x IS NOT NULL"), "x", p=8).collect()[0]
+    assert h == clean  # NULLs contribute nothing, bit-for-bit
+    empty = hll_distinct(withnulls.filter("x IS NULL AND x IS NOT NULL"), "x", p=8)
+    assert empty.collect()[0]["estimate"] == 0.0  # not NULL
+
+
+def test_cms_estimate_passes_items_columns_through(spark):
+    items = spark.createDataFrame(
+        [("a", "keep-me"), ("b", "me-too")], "x string, label string"
+    )
+    cms = cms_build(_freq_df(spark, {"a": 4, "b": 1}), "x", d=3, w=256)
+    rows = {r["x"]: r for r in cms_estimate(cms, items, "x", d=3, w=256).collect()}
+    assert rows["a"]["label"] == "keep-me" and rows["a"]["est"] == 4
+    assert rows["b"]["label"] == "me-too" and rows["b"]["est"] == 1
