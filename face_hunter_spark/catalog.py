@@ -141,6 +141,69 @@ class ParquetCatalog:
             )
         return self._read_range(spark, table, lo, hi)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        run_id: str = "compaction",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Rewrite every committed snapshot into ONE new snapshot and
+        expire the old ones — the Iceberg rewrite_data_files +
+        expire_snapshots maintenance pass.  A 10^12-doc table appended
+        in small increments otherwise accumulates unboundedly many
+        snapshot directories (and `read` unions them all: planning
+        cost grows per commit).
+
+        Readers are never broken mid-way: the new data directory is
+        fully written BEFORE the manifest flips to it (same atomic
+        rename as `append`), and old data directories are removed only
+        after the flip.  Time travel / incremental reads into expired
+        snapshots raise KeyError afterwards — exactly Iceberg's
+        post-expire behavior; downstream incremental consumers must
+        checkpoint past commits before a compaction (run_id marks the
+        compaction in the manifest for their audit).
+
+        Returns the new snapshot id (or the current single snapshot's
+        id if there is nothing to compact).
+        """
+        import shutil
+
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(
+                f"table {table} has no committed snapshots"
+            )
+        if len(snaps) == 1:
+            return snaps[0]["id"]
+        snap_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self._tdir(table), "data", f"snap={snap_id}")
+        df = self.read(spark, table).drop("snap")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        manifest = {
+            "snapshots": [
+                {
+                    "id": snap_id,
+                    "run_id": run_id,
+                    "committed": time.time(),
+                    "compacted_from": [s["id"] for s in snaps],
+                }
+            ]
+        }
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))  # atomic flip
+        for s in snaps:
+            shutil.rmtree(
+                os.path.join(self._tdir(table), "data", f"snap={s['id']}"),
+                ignore_errors=True,
+            )
+        return snap_id
+
 
 class IcebergCatalog:
     """The same seam over a REAL Iceberg catalog (requires the Iceberg
@@ -260,3 +323,30 @@ class IcebergCatalog:
         if until is not None:
             reader = reader.option("end-snapshot-id", until)
         return reader.load(self._fqn(table))
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        run_id: str = "compaction",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Iceberg maintenance: rewrite_data_files + expire_snapshots
+        via the catalog's stored procedures (partition layout is fixed
+        at table creation, so ``partition_by`` is ignored here)."""
+        fqn = self._fqn(table)
+        spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files"
+            f"(table => '{self.namespace}.{table}')"
+        )
+        spark.sql(
+            f"CALL {self.catalog}.system.expire_snapshots"
+            f"(table => '{self.namespace}.{table}', "
+            f"older_than => TIMESTAMP '9999-01-01 00:00:00', "
+            f"retain_last => 1)"
+        )
+        last = spark.sql(
+            f"SELECT snapshot_id FROM {fqn}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(last[0].snapshot_id) if last else ""

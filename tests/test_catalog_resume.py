@@ -207,7 +207,7 @@ def test_iceberg_catalog_seam_contract(spark):
     with pytest.raises(RuntimeError, match="not configured"):
         IcebergCatalog(spark, "nosuch_catalog")
     for meth in ("exists", "snapshots", "append", "read",
-                 "read_as_of", "read_incremental"):
+                 "read_as_of", "read_incremental", "compact"):
         pq = inspect.signature(getattr(ParquetCatalog, meth))
         ib = inspect.signature(getattr(IcebergCatalog, meth))
         assert list(pq.parameters)[1:] == list(ib.parameters)[1:], meth
@@ -267,3 +267,34 @@ def test_incremental_consumption_of_link_runs(spark, tmp_path):
         if "vid_" in r["subj"]
     }
     assert all("vid_0000" in d for d in docs_in_inc)
+
+
+def test_compaction_preserves_data_and_expires_snapshots(spark, tmp_path):
+    """compact() rewrites all commits into one snapshot: full reads are
+    unchanged, planning sees ONE directory, expired ids raise, and a
+    post-compaction append resumes incremental consumption."""
+    import pytest
+
+    from face_hunter_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    cat.append("t", spark.createDataFrame([(1,), (2,)], "x long"), "r1")
+    s2 = cat.append("t", spark.createDataFrame([(3,)], "x long"), "r2")
+    cat.append("t", spark.createDataFrame([(4,)], "x long"), "r3")
+    before = sorted(r["x"] for r in cat.read(spark, "t").collect())
+
+    new_id = cat.compact(spark, "t", run_id="maint1")
+    snaps = cat.snapshots("t")
+    assert [s["id"] for s in snaps] == [new_id]
+    assert snaps[0]["run_id"] == "maint1"
+    assert len(snaps[0]["compacted_from"]) == 3
+    assert sorted(r["x"] for r in cat.read(spark, "t").collect()) == before
+    with pytest.raises(KeyError):
+        cat.read_as_of(spark, "t", s2)  # expired
+    # appends keep working; incremental from the compaction snapshot
+    cat.append("t", spark.createDataFrame([(5,)], "x long"), "r4")
+    inc = cat.read_incremental(spark, "t", after=new_id)
+    assert [r["x"] for r in inc.collect()] == [5]
+    # idempotent: single-snapshot table compacts to itself
+    again = cat.compact(spark, "t")
+    assert again in {s["id"] for s in cat.snapshots("t")}
