@@ -606,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_per_event_type": DQ.q_hll_users_per_event_type,
         "text_mentions": DQ.q_text_mentions,
         "weighted_sample_orders": DQ.q_weighted_sample_orders,
+        "totalprice_histogram": DQ.q_totalprice_histogram,
     }
 
 
@@ -690,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_per_event_type": DQ._oracle_hll_by(),
         "text_mentions": DQ._oracle_mentions(),
         "weighted_sample_orders": DQ._oracle_weighted_sample(),
+        "totalprice_histogram": DQ.ORACLE_HISTOGRAM,
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

@@ -2653,3 +2653,35 @@ SELECT o_orderkey, w
 FROM (SELECT * FROM raced ORDER BY race DESC LIMIT {n})
 ORDER BY o_orderkey
 """
+
+
+def q_totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (operators/profile.py::histogram) of
+    o_totalprice over [0, 500000) in 20 buckets (plus under/overflow).
+    width_bucket has identical semantics in both engines; bin edges
+    are exact doubles."""
+    from .operators.profile import histogram
+
+    load_views(spark, sf_dir)
+    out = histogram(spark.table("orders"), "o_totalprice", 0.0, 500_000.0, 20)
+    return out.select(
+        "bucket",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        "n",
+    ).orderBy("bucket")
+
+
+ORACLE_HISTOGRAM = """
+SELECT bucket,
+       round(CASE WHEN bucket = 0 THEN '-infinity'::DOUBLE
+             ELSE 0.0 + (bucket - 1) * 25000.0 END, 6) AS bin_lo,
+       round(CASE WHEN bucket = 21 THEN 'infinity'::DOUBLE
+             ELSE 0.0 + bucket * 25000.0 END, 6) AS bin_hi,
+       count(*)::BIGINT AS n
+FROM (SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                  WHEN o_totalprice >= 500000.0 THEN 21
+                  ELSE floor(o_totalprice / 25000.0)::INT + 1 END AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL)
+GROUP BY bucket ORDER BY bucket
+"""

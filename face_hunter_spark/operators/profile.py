@@ -40,7 +40,7 @@ from pyspark.sql.types import NumericType
 
 from .sketch import hll_distinct
 
-__all__ = ["profile"]
+__all__ = ["profile", "histogram"]
 
 
 def profile(
@@ -169,4 +169,38 @@ def profile(
         "top_count",
         "min_num",
         "max_num",
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Fixed-width histogram of ``df[col]`` over [lo, hi): one row per
+    occupied bucket (bucket int, bin_lo double, bin_hi double,
+    n long), bucket 0 = underflow (< lo), bucket bins+1 = overflow
+    (>= hi), NULLs excluded.  Pure `width_bucket` + groupBy — a
+    scan-stage expression and one bounded (<= bins+2 keys) exchange,
+    the data-distribution census to run next to `profile`.
+    Engine-portable: DuckDB's width_bucket has identical edge
+    semantics (driver query `totalprice_histogram`)."""
+    if bins < 1 or not hi > lo:
+        raise ValueError("need bins >= 1 and hi > lo")
+    width = (hi - lo) / bins
+    b = F.width_bucket(
+        F.col(col), F.lit(float(lo)), F.lit(float(hi)), F.lit(bins)
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(float("-inf")))
+            .otherwise(F.lit(lo) + (F.col("bucket") - 1) * F.lit(width))
+            .alias("bin_lo"),
+            F.when(F.col("bucket") == bins + 1, F.lit(float("inf")))
+            .otherwise(F.lit(lo) + F.col("bucket") * F.lit(width))
+            .alias("bin_hi"),
+            "n",
+        )
     )

@@ -86,3 +86,31 @@ def test_profile_plan_shape(spark):
     # (1 global agg + 1 melt reused by HLL and modal stages), never
     # once per column
     assert plan.count("Scan ExistingRDD") <= 4
+
+
+# --- histogram ---
+
+from face_hunter_spark.operators.profile import histogram  # noqa: E402
+
+
+def test_histogram_buckets_and_overflow(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in [-5.0, 0.0, 1.0, 9.9, 10.0, 15.0, 25.0, None]],
+        "v double",
+    )
+    rows = {r["bucket"]: r for r in histogram(df, "v", 0.0, 20.0, 2).collect()}
+    assert rows[0]["n"] == 1 and rows[0]["bin_lo"] == float("-inf")  # -5
+    assert rows[1]["n"] == 3  # 0, 1, 9.9 in [0, 10)
+    assert rows[2]["n"] == 2  # 10, 15 in [10, 20)
+    assert rows[3]["n"] == 1 and rows[3]["bin_hi"] == float("inf")  # 25
+    assert sum(r["n"] for r in rows.values()) == 7  # NULL excluded
+
+
+def test_histogram_invalid_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        histogram(df, "v", 0.0, 10.0, 0)
+    with pytest.raises(ValueError):
+        histogram(df, "v", 10.0, 10.0, 4)
