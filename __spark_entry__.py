@@ -607,6 +607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_mentions": DQ.q_text_mentions,
         "weighted_sample_orders": DQ.q_weighted_sample_orders,
         "totalprice_histogram": DQ.q_totalprice_histogram,
+        "event_funnel": DQ.q_event_funnel,
+        "event_transitions": DQ.q_event_transitions,
     }
 
 
@@ -692,6 +694,8 @@ def oracle_sql() -> dict[str, str]:
         "text_mentions": DQ._oracle_mentions(),
         "weighted_sample_orders": DQ._oracle_weighted_sample(),
         "totalprice_histogram": DQ.ORACLE_HISTOGRAM,
+        "event_funnel": DQ.ORACLE_FUNNEL,
+        "event_transitions": DQ.ORACLE_TRANSITIONS,
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

@@ -2685,3 +2685,104 @@ FROM (SELECT CASE WHEN o_totalprice < 0.0 THEN 0
       FROM orders WHERE o_totalprice IS NOT NULL)
 GROUP BY bucket ORDER BY bucket
 """
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel view -> signup -> purchase per user:
+    earliest view, first signup strictly after it, first purchase
+    strictly after that — pure conditional min-aggregations over one
+    user shuffle (no self-joins), the classic product-analytics
+    sequence query.  One summary row (users at each stage)."""
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    t_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .join(t_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    t_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t_signup, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t_view.agg(F.count("*").alias("n_view"))
+        .crossJoin(t_signup.agg(F.count("*").alias("n_view_signup")))
+        .crossJoin(
+            t_purchase.agg(F.count("*").alias("n_view_signup_purchase"))
+        )
+    )
+
+
+ORACLE_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+s AS (SELECT e.user_id, min(e.ts) AS t_signup
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'signup' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t_signup
+      GROUP BY e.user_id)
+SELECT (SELECT count(*)::BIGINT FROM v) AS n_view,
+       (SELECT count(*)::BIGINT FROM s) AS n_view_signup,
+       (SELECT count(*)::BIGINT FROM p) AS n_view_signup_purchase
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence (lag window ordered by ts, event_id) with an exact
+    probability as a ratio of integers — sequence analytics on one
+    window exchange."""
+    from pyspark.sql import Window
+
+    load_views(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = spark.table("events").select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("cur"),
+    ).filter(F.col("prev").isNotNull())
+    totals = ev.groupBy("prev").agg(F.count("*").alias("n_from"))
+    return (
+        ev.groupBy("prev", "cur")
+        .agg(F.count("*").alias("n"))
+        .join(totals, "prev")
+        .select(
+            "prev",
+            "cur",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_from"), 6
+            ).alias("p"),
+        )
+        .orderBy("prev", "cur")
+    )
+
+
+ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev,
+         event_type AS cur
+  FROM events),
+pairs AS (SELECT prev, cur FROM seq WHERE prev IS NOT NULL),
+tot AS (SELECT prev, count(*)::BIGINT AS n_from FROM pairs GROUP BY prev)
+SELECT p.prev, p.cur, count(*)::BIGINT AS n,
+       round(count(*)::DOUBLE / any_value(t.n_from), 6) AS p
+FROM pairs p JOIN tot t ON p.prev = t.prev
+GROUP BY p.prev, p.cur
+ORDER BY p.prev, p.cur
+"""
