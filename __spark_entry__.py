@@ -693,7 +693,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_per_event_type": DQ._oracle_hll_by(),
         "text_mentions": DQ._oracle_mentions(),
         "weighted_sample_orders": DQ._oracle_weighted_sample(),
-        "totalprice_histogram": DQ.ORACLE_HISTOGRAM,
+        "totalprice_histogram": DQ.ORACLE_TOTALPRICE_HISTOGRAM,
         "event_funnel": DQ.ORACLE_FUNNEL,
         "event_transitions": DQ.ORACLE_TRANSITIONS,
         # Every queries() entry has an exact oracle.  The pipeline

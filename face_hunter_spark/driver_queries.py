@@ -2672,7 +2672,7 @@ def q_totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
-ORACLE_HISTOGRAM = """
+ORACLE_TOTALPRICE_HISTOGRAM = """
 SELECT bucket,
        round(CASE WHEN bucket = 0 THEN '-infinity'::DOUBLE
              ELSE 0.0 + (bucket - 1) * 25000.0 END, 6) AS bin_lo,
