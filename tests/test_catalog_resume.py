@@ -298,3 +298,59 @@ def test_compaction_preserves_data_and_expires_snapshots(spark, tmp_path):
     # idempotent: single-snapshot table compacts to itself
     again = cat.compact(spark, "t")
     assert again in {s["id"] for s in cat.snapshots("t")}
+
+
+def test_sorted_append_tightens_file_stats(spark, tmp_path):
+    """sort_by gives each parquet file near-disjoint min/max footer
+    stats on the sort key — the file-skipping layout — and changes no
+    data."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from face_hunter_spark.catalog import ParquetCatalog
+
+    df = (
+        spark.range(40_000)
+        .selectExpr("concat('s', lpad(cast(pmod(id * 7919, 40000) as string), 6, '0')) AS subj",
+                    "id AS v")
+        .repartition(8)
+    )
+
+    def ranges(root):
+        out = []
+        for f in glob.glob(f"{root}/data/snap=*/part-*.parquet"):
+            md = pq.read_metadata(f)
+            col = md.row_group(0).column(0)
+            assert col.path_in_schema == "subj"
+            lo = min(md.row_group(i).column(0).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(0).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    def overlap_count(rs):
+        n = 0
+        for i, (lo, hi) in enumerate(rs):
+            for lo2, hi2 in rs[i + 1:]:
+                if lo <= hi2 and lo2 <= hi:
+                    n += 1
+        return n
+
+    unsorted = ParquetCatalog(str(tmp_path / "plain"))
+    unsorted.append("t", df, "r1")
+    srt = ParquetCatalog(str(tmp_path / "sorted"))
+    srt.append("t", df, "r1", sort_by=["subj"], sort_partitions=8)
+
+    ru, rs = ranges(str(tmp_path / "plain/t")), ranges(str(tmp_path / "sorted/t"))
+    assert len(ru) > 2 and len(rs) > 2
+    # unsorted: every file spans ~the whole key range -> all pairs
+    # overlap; range-clustered files cover disjoint slices (range
+    # boundaries are sampled, so allow a stray touching pair)
+    assert overlap_count(ru) == len(ru) * (len(ru) - 1) // 2
+    assert overlap_count(rs) <= len(rs) // 4
+    # data unchanged
+    a = sorted(r["subj"] for r in unsorted.read(spark, "t").collect())
+    b = sorted(r["subj"] for r in srt.read(spark, "t").collect())
+    assert a == b
