@@ -27,6 +27,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _cluster(
+    df: DataFrame,
+    sort_by: list[str] | None,
+    sort_partitions: int | None,
+) -> DataFrame:
+    """Shared sort_by clustering for both backends: repartitionByRange
+    + sortWithinPartitions.  Loud on misuse (the silent forms would
+    defeat the file-skipping layout the knob exists for)."""
+    if sort_partitions is not None:
+        if sort_partitions < 1:
+            raise ValueError("sort_partitions must be >= 1")
+        if not sort_by:
+            raise ValueError("sort_partitions requires sort_by")
+    if not sort_by:
+        return df
+    args = ([sort_partitions] if sort_partitions is not None else []) + [
+        F.col(c) for c in sort_by
+    ]
+    return df.repartitionByRange(*args).sortWithinPartitions(*sort_by)
+
+
 class ParquetCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -65,11 +86,7 @@ class ParquetCatalog:
         right at scale, but a small commit coalesces to one file)."""
         snap_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self._tdir(table), "data", f"snap={snap_id}")
-        if sort_by:
-            args = ([sort_partitions] if sort_partitions else []) + [
-                F.col(c) for c in sort_by
-            ]
-            df = df.repartitionByRange(*args).sortWithinPartitions(*sort_by)
+        df = _cluster(df, sort_by, sort_partitions)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -159,12 +176,29 @@ class ParquetCatalog:
             )
         return self._read_range(spark, table, lo, hi)
 
+    def _detect_partitioning(self, table: str, snap_id: str) -> list[str]:
+        """Partition columns of a snapshot, from its directory layout
+        (`col=value` nesting order, Hive-style)."""
+        cols: list[str] = []
+        d = os.path.join(self._tdir(table), "data", f"snap={snap_id}")
+        while True:
+            subs = [
+                e for e in os.listdir(d)
+                if "=" in e and os.path.isdir(os.path.join(d, e))
+            ]
+            if not subs:
+                return cols
+            cols.append(subs[0].split("=", 1)[0])
+            d = os.path.join(d, subs[0])
+
     def compact(
         self,
         spark: SparkSession,
         table: str,
         run_id: str = "compaction",
         partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        sort_partitions: int | None = None,
     ) -> str:
         """Rewrite every committed snapshot into ONE new snapshot and
         expire the old ones — the Iceberg rewrite_data_files +
@@ -173,14 +207,26 @@ class ParquetCatalog:
         snapshot directories (and `read` unions them all: planning
         cost grows per commit).
 
-        Readers are never broken mid-way: the new data directory is
-        fully written BEFORE the manifest flips to it (same atomic
-        rename as `append`), and old data directories are removed only
-        after the flip.  Time travel / incremental reads into expired
-        snapshots raise KeyError afterwards — exactly Iceberg's
-        post-expire behavior; downstream incremental consumers must
-        checkpoint past commits before a compaction (run_id marks the
-        compaction in the manifest for their audit).
+        The rewrite preserves the table's partition layout by default
+        (detected from the newest snapshot's directory structure —
+        Hive-style `col=value` nesting; pass ``partition_by`` to
+        override), and ``sort_by``/``sort_partitions`` re-cluster the
+        rewrite — the point where Iceberg's rewrite_data_files applies
+        its sort strategy, restoring file-skipping footers that
+        incremental appends eroded.
+
+        Concurrency: this emulation is single-writer.  The manifest is
+        re-read immediately before the atomic flip and the compaction
+        ABORTS (RuntimeError, new data dir removed, table untouched)
+        if any commit landed meanwhile — a loud, retryable conflict
+        instead of silently resurrecting expired snapshots or dropping
+        the concurrent append (Iceberg's commit-conflict semantics).
+        Old data directories are removed only after the flip.  Time
+        travel / incremental reads into expired snapshots raise
+        KeyError afterwards — exactly Iceberg's post-expire behavior;
+        downstream incremental consumers must checkpoint past commits
+        before a compaction (run_id marks it in the manifest for their
+        audit).
 
         Returns the new snapshot id (or the current single snapshot's
         id if there is nothing to compact).
@@ -194,13 +240,29 @@ class ParquetCatalog:
             )
         if len(snaps) == 1:
             return snaps[0]["id"]
+        if partition_by is None:
+            partition_by = self._detect_partitioning(
+                table, snaps[-1]["id"]
+            )
         snap_id = uuid.uuid4().hex[:12]
         data_dir = os.path.join(self._tdir(table), "data", f"snap={snap_id}")
-        df = self.read(spark, table).drop("snap")
+        df = _cluster(
+            self.read(spark, table).drop("snap"), sort_by, sort_partitions
+        )
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
+        # optimistic concurrency: abort loudly if anything committed
+        # while the rewrite ran
+        now = self.snapshots(table)
+        if [s["id"] for s in now] != [s["id"] for s in snaps]:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"compact({table}): concurrent commit detected "
+                f"({len(now)} snapshots now vs {len(snaps)} at start); "
+                "table untouched — retry the compaction"
+            )
         manifest = {
             "snapshots": [
                 {
@@ -285,11 +347,7 @@ class IcebergCatalog:
                partition_by: list[str] | None = None,
                sort_by: list[str] | None = None,
                sort_partitions: int | None = None) -> str:
-        if sort_by:
-            args = ([sort_partitions] if sort_partitions else []) + [
-                F.col(c) for c in sort_by
-            ]
-            df = df.repartitionByRange(*args).sortWithinPartitions(*sort_by)
+        df = _cluster(df, sort_by, sort_partitions)
         writer = df.writeTo(self._fqn(table)).option(
             "snapshot-property.run_id", run_id
         )
@@ -353,14 +411,24 @@ class IcebergCatalog:
         table: str,
         run_id: str = "compaction",
         partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        sort_partitions: int | None = None,
     ) -> str:
         """Iceberg maintenance: rewrite_data_files + expire_snapshots
         via the catalog's stored procedures (partition layout is fixed
-        at table creation, so ``partition_by`` is ignored here)."""
+        at table creation, so ``partition_by`` is ignored here;
+        ``sort_by`` maps to the rewrite's sort strategy)."""
         fqn = self._fqn(table)
+        sort_args = (
+            ", strategy => 'sort', sort_order => '"
+            + ", ".join(f"{c} ASC" for c in sort_by)
+            + "'"
+            if sort_by
+            else ""
+        )
         spark.sql(
             f"CALL {self.catalog}.system.rewrite_data_files"
-            f"(table => '{self.namespace}.{table}')"
+            f"(table => '{self.namespace}.{table}'{sort_args})"
         )
         spark.sql(
             f"CALL {self.catalog}.system.expire_snapshots"

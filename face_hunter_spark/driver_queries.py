@@ -2754,18 +2754,17 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev"),
         F.col("event_type").alias("cur"),
     ).filter(F.col("prev").isNotNull())
-    totals = ev.groupBy("prev").agg(F.count("*").alias("n_from"))
+    # n_from = window sum over the ALREADY-aggregated (prev, cur)
+    # counts (<= |types|^2 rows) — deriving it from `ev` would
+    # re-execute the full event scan + per-user sort a second time
+    counts = ev.groupBy("prev", "cur").agg(F.count("*").alias("n"))
+    n_from = F.sum("n").over(Window.partitionBy("prev"))
     return (
-        ev.groupBy("prev", "cur")
-        .agg(F.count("*").alias("n"))
-        .join(totals, "prev")
-        .select(
+        counts.select(
             "prev",
             "cur",
             "n",
-            F.round(
-                F.col("n").cast("double") / F.col("n_from"), 6
-            ).alias("p"),
+            F.round(F.col("n").cast("double") / n_from, 6).alias("p"),
         )
         .orderBy("prev", "cur")
     )

@@ -178,7 +178,8 @@ def histogram(
     """Fixed-width histogram of ``df[col]`` over [lo, hi): one row per
     occupied bucket (bucket int, bin_lo double, bin_hi double,
     n long), bucket 0 = underflow (< lo), bucket bins+1 = overflow
-    (>= hi), NULLs excluded.  Pure `width_bucket` + groupBy — a
+    (>= hi), NULLs and NaNs excluded (width_bucket maps NaN to NULL —
+    it belongs to no interval).  Pure `width_bucket` + groupBy — a
     scan-stage expression and one bounded (<= bins+2 keys) exchange,
     the data-distribution census to run next to `profile`.
     Engine-portable: DuckDB's width_bucket has identical edge
@@ -190,7 +191,7 @@ def histogram(
         F.col(col), F.lit(float(lo)), F.lit(float(hi)), F.lit(bins)
     )
     return (
-        df.filter(F.col(col).isNotNull())
+        df.filter(b.isNotNull())  # drops NULL values AND NaN
         .groupBy(b.alias("bucket"))
         .agg(F.count("*").alias("n"))
         .select(

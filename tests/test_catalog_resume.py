@@ -354,3 +354,92 @@ def test_sorted_append_tightens_file_stats(spark, tmp_path):
     a = sorted(r["subj"] for r in unsorted.read(spark, "t").collect())
     b = sorted(r["subj"] for r in srt.read(spark, "t").collect())
     assert a == b
+
+
+def test_compaction_preserves_partition_layout(spark, tmp_path):
+    """A doc_bucket-partitioned table (the production triples layout)
+    must stay partitioned — and readable — through compact + a further
+    partitioned append.  (Regression: an unpartitioned rewrite made
+    the next partitioned append unreadable with
+    CONFLICTING_PARTITION_COLUMN_NAMES.)"""
+    from face_hunter_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id AS v", "cast(pmod(id, 4) as int) AS doc_bucket"
+        )
+
+    cat.append("t", batch(0, 50), "r1", partition_by=["doc_bucket"])
+    cat.append("t", batch(50, 80), "r2", partition_by=["doc_bucket"])
+    new_id = cat.compact(spark, "t")
+    # layout auto-detected and preserved
+    assert cat._detect_partitioning("t", new_id) == ["doc_bucket"]
+    assert cat.read(spark, "t").count() == 80
+    # the killer path: another partitioned append, then a full read
+    cat.append("t", batch(80, 90), "r3", partition_by=["doc_bucket"])
+    got = cat.read(spark, "t")
+    assert got.count() == 90
+    assert got.filter("doc_bucket = 2").count() == 22
+
+
+def test_compaction_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """A commit landing between compact's snapshot read and its
+    manifest flip must abort the compaction loudly and leave the table
+    fully intact (no resurrection of deleted dirs, no lost commit)."""
+    import pytest
+
+    from face_hunter_spark import catalog as catmod
+
+    cat = catmod.ParquetCatalog(str(tmp_path / "kg"))
+    cat.append("t", spark.createDataFrame([(1,)], "x long"), "r1")
+    cat.append("t", spark.createDataFrame([(2,)], "x long"), "r2")
+
+    real_read = catmod.ParquetCatalog.read
+    state = {"raced": False}
+
+    def racing_read(self, spk, table):
+        df = real_read(self, spk, table)
+        if not state["raced"]:
+            state["raced"] = True
+            # concurrent append between compact's read and its flip
+            cat.append("t", spark.createDataFrame([(3,)], "x long"), "race")
+        return df
+
+    monkeypatch.setattr(catmod.ParquetCatalog, "read", racing_read)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        cat.compact(spark, "t")
+    monkeypatch.setattr(catmod.ParquetCatalog, "read", real_read)
+    # nothing lost, nothing broken
+    assert sorted(r["x"] for r in cat.read(spark, "t").collect()) == [1, 2, 3]
+    assert len(cat.snapshots("t")) == 3
+
+
+def test_compaction_can_recluster(spark, tmp_path):
+    """compact(sort_by=...) restores the file-skipping layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from face_hunter_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    df = spark.range(20_000).selectExpr(
+        "concat('s', lpad(cast(pmod(id * 7919, 20000) as string), 6, '0')) AS subj"
+    ).repartition(4)
+    cat.append("t", df.filter("subj < 's010000'"), "r1")
+    cat.append("t", df.filter("subj >= 's010000'"), "r2")
+    new_id = cat.compact(spark, "t", sort_by=["subj"], sort_partitions=6)
+    files = glob.glob(str(tmp_path / "kg/t/data") + f"/snap={new_id}/part-*.parquet")
+    assert len(files) >= 4
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        st = md.row_group(0).column(0).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    overlaps = sum(
+        1 for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]) if l2 <= h1
+    )
+    assert overlaps <= 1  # near-disjoint adjacent ranges

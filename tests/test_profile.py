@@ -114,3 +114,12 @@ def test_histogram_invalid_params(spark):
         histogram(df, "v", 0.0, 10.0, 0)
     with pytest.raises(ValueError):
         histogram(df, "v", 10.0, 10.0, 4)
+
+
+def test_histogram_excludes_nan(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (5.0,), (None,)], "v double"
+    )
+    rows = histogram(df, "v", 0.0, 10.0, 2).collect()
+    assert all(r["bucket"] is not None for r in rows)
+    assert sum(r["n"] for r in rows) == 2  # NaN and NULL both excluded
