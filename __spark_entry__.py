@@ -609,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "totalprice_histogram": DQ.q_totalprice_histogram,
         "event_funnel": DQ.q_event_funnel,
         "event_transitions": DQ.q_event_transitions,
+        "kmv_corpus_overlap": DQ.q_kmv_corpus_overlap,
     }
 
 
@@ -696,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
         "totalprice_histogram": DQ.ORACLE_TOTALPRICE_HISTOGRAM,
         "event_funnel": DQ.ORACLE_FUNNEL,
         "event_transitions": DQ.ORACLE_TRANSITIONS,
+        "kmv_corpus_overlap": DQ._oracle_kmv_overlap(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

@@ -2785,3 +2785,57 @@ FROM pairs p JOIN tot t ON p.prev = t.prev
 GROUP BY p.prev, p.cur
 ORDER BY p.prev, p.cur
 """
+
+
+def q_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (operators/sketch.py::
+    kmv_set_estimates, Beyer et al. SIGMOD'07): union / Jaccard /
+    intersection of the customer-key sets seen in orders vs the
+    customer table, from two mergeable k=512 sketches — corpus-overlap
+    measurement without joining the corpora.  Integer set logic + two
+    divisions, replayed bit-for-bit in DuckDB."""
+    from .operators.sketch import kmv_set_estimates, kmv_sketch
+
+    load_views(spark, sf_dir)
+    a = kmv_sketch(spark.table("orders"), "o_custkey", k=512)
+    b = kmv_sketch(spark.table("customer"), "c_custkey", k=512)
+    out = kmv_set_estimates(a, b, k=512)
+    return out.select(
+        F.round("union_est", 6).alias("union_est"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("intersect_est", 6).alias("intersect_est"),
+        "n_union",
+        "n_both",
+    )
+
+
+def _oracle_kmv_overlap(k: int = 512) -> str:
+    scale = float((k - 1) * 2**60)
+
+    def sk(table: str, col: str) -> str:
+        return f"""(SELECT DISTINCT ('0x' || substr(md5({col}::VARCHAR), 1, 15))::BIGINT AS h
+  FROM {table} WHERE {col} IS NOT NULL ORDER BY h LIMIT {k})"""
+
+    return f"""
+WITH m AS (
+  SELECT * FROM (
+    SELECT coalesce(a.h, b.h) AS h,
+           (a.h IS NOT NULL)::INT AS in_a,
+           (b.h IS NOT NULL)::INT AS in_b
+    FROM {sk('orders', 'o_custkey')} a
+    FULL OUTER JOIN {sk('customer', 'c_custkey')} b ON a.h = b.h
+  ) ORDER BY h LIMIT {k}),
+agg AS (SELECT count(*)::BIGINT AS n_union, max(h) AS hk,
+               sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_both
+        FROM m)
+SELECT round(u, 6) AS union_est,
+       round(j, 6) AS jaccard,
+       round(u * j, 6) AS intersect_est,
+       n_union, n_both
+FROM (SELECT n_union, n_both,
+             CASE WHEN n_union < {k} THEN n_union::DOUBLE
+                  ELSE {scale!r} / hk::DOUBLE END AS u,
+             n_both::DOUBLE / greatest(n_union::DOUBLE, 1.0) AS j
+      FROM agg)
+"""

@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "kmv_distinct",
+    "kmv_sketch",
+    "kmv_set_estimates",
     "hll_distinct",
     "cms_build",
     "cms_estimate",
@@ -273,3 +275,77 @@ def cms_estimate(
         ]
     )
     return out.select(*items.columns, est.alias("est"))
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """The raw k-minimum-values sketch of ``df[col]``: the k smallest
+    distinct 60-bit hashes, one `h:long` row each — the MERGEABLE form
+    (union two sketches by unioning rows and re-taking the min-k),
+    input to the set-operation estimators below."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (
+        df.select(_h60(F.col(col)).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_set_estimates(
+    sk_a: DataFrame, sk_b: DataFrame, k: int = 1024
+) -> DataFrame:
+    """Distinct-count estimates for the UNION, INTERSECTION and Jaccard
+    of two key sets from their `kmv_sketch`es (Beyer et al., "On
+    Synopses for Distinct-Value Estimation Under Multiset Operations",
+    SIGMOD'07) — corpus-overlap measurement without ever joining the
+    corpora:
+
+    * the union's sketch is the min-k of the merged hash sets; its
+      k-th value gives the union estimate (exact when < k hashes);
+    * rho = |{h in union sketch: h in A and h in B}| / k estimates the
+      Jaccard similarity; intersection = rho * union.
+
+    One row: (union_est double, jaccard double, intersect_est double,
+    n_union long, n_both long).  Everything up to the two final
+    divisions is integer set logic, so a SQL oracle replays it exactly
+    (driver query `kmv_corpus_overlap`).  Cost: the sketches are <= k
+    rows each — the estimate is a driver-scale computation regardless
+    of corpus size, and sketches can be PERSISTED per corpus drop and
+    compared pairwise later (the mergeable-synopsis property).
+    """
+    a = sk_a.select(F.col("h").alias("h"), F.lit(1).alias("in_a"))
+    b = sk_b.select(F.col("h").alias("h"), F.lit(1).alias("in_b"))
+    merged = (
+        a.join(b, "h", "full_outer")
+        .select(
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+    scale = float((k - 1) * 2**HASH_BITS)
+    agg = merged.agg(
+        F.count("*").alias("n_union"),
+        F.max("h").alias("hk"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).cast("long").alias("n_both"),
+    )
+    union_est = (
+        F.when(F.col("n_union") < k, F.col("n_union").cast("double"))
+        .otherwise(F.lit(scale) / F.col("hk").cast("double"))
+    )
+    jac = F.col("n_both").cast("double") / F.greatest(
+        F.col("n_union").cast("double"), F.lit(1.0)
+    )
+    return agg.select(
+        union_est.alias("union_est"),
+        jac.alias("jaccard"),
+        (union_est * jac).alias("intersect_est"),
+        "n_union",
+        "n_both",
+    )

@@ -245,3 +245,64 @@ def test_cms_estimate_passes_items_columns_through(spark):
     rows = {r["x"]: r for r in cms_estimate(cms, items, "x", d=3, w=256).collect()}
     assert rows["a"]["label"] == "keep-me" and rows["a"]["est"] == 4
     assert rows["b"]["label"] == "me-too" and rows["b"]["est"] == 1
+
+
+# --- KMV set operations ---
+
+from face_hunter_spark.operators.sketch import (  # noqa: E402
+    kmv_set_estimates,
+    kmv_sketch,
+)
+
+
+def test_kmv_set_ops_exact_below_k(spark):
+    a = _vals(spark, 60, prefix="x")  # x0..x59
+    b = spark.range(40, 100).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("x")
+    )  # x40..x99 -> overlap 20, union 100
+    row = kmv_set_estimates(
+        kmv_sketch(a, "x", k=512), kmv_sketch(b, "x", k=512), k=512
+    ).collect()[0]
+    assert row["union_est"] == 100.0
+    assert row["n_both"] == 20
+    assert abs(row["jaccard"] - 0.2) < 1e-12
+    assert abs(row["intersect_est"] - 20.0) < 1e-9
+
+
+def test_kmv_set_ops_estimation_regime(spark):
+    n, half = 20_000, 10_000
+    a = _vals(spark, n)  # v0..v19999
+    b = spark.range(half, n + half).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("x")
+    )  # v10000..v29999: overlap 10k, union 30k, J = 1/3
+    row = kmv_set_estimates(
+        kmv_sketch(a, "x", k=1024), kmv_sketch(b, "x", k=1024), k=1024
+    ).collect()[0]
+    assert abs(row["union_est"] - 30_000) / 30_000 < 0.16
+    assert abs(row["jaccard"] - 1 / 3) < 0.08
+    assert abs(row["intersect_est"] - 10_000) / 10_000 < 0.25
+
+
+def test_kmv_set_ops_disjoint_and_identical(spark):
+    a = _vals(spark, 500, prefix="a")
+    b = _vals(spark, 500, prefix="b")
+    d = kmv_set_estimates(
+        kmv_sketch(a, "x", k=256), kmv_sketch(b, "x", k=256), k=256
+    ).collect()[0]
+    assert d["n_both"] == 0 and d["jaccard"] == 0.0
+    s = kmv_set_estimates(
+        kmv_sketch(a, "x", k=256), kmv_sketch(a, "x", k=256), k=256
+    ).collect()[0]
+    assert s["jaccard"] == 1.0
+    assert s["intersect_est"] == s["union_est"]
+
+
+def test_kmv_set_ops_partitioning_invariance(spark):
+    def run(parts):
+        a = _vals(spark, 3000, parts=parts)
+        b = _vals(spark, 3000, parts=parts, prefix="w")
+        return kmv_set_estimates(
+            kmv_sketch(a, "x", k=128), kmv_sketch(b, "x", k=128), k=128
+        ).collect()[0]
+
+    assert run(1) == run(9)
