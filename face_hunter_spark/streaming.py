@@ -255,3 +255,31 @@ def streaming_scene_runs(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_enrich(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a (streaming) mention/event
+    stream against a batch dimension table (entity attributes, the
+    label->URI map, quality tiers).
+
+    The static side is marked for BROADCAST, so each micro-batch plans
+    a broadcast hash join — no stateful streaming join, no watermark,
+    no shuffle of the stream.  The dim is re-resolved per micro-batch
+    (Spark re-plans stream-static joins every batch), so a dim VIEW
+    over a catalog table picks up new snapshots between batches —
+    slow-changing-dimension refresh for free.
+
+    Only 'inner' and 'left' joins are accepted: right/full outer
+    stream-static joins are not supported by Structured Streaming
+    (the static side would need result updates as the stream evolves).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "stream-static enrichment supports how='inner'|'left' only"
+        )
+    return stream_df.join(F.broadcast(dim), on, how)

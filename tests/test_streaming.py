@@ -244,3 +244,39 @@ def test_stream_dedup_documents(spark, tmp_path):
     by_id = {r.doc_id: r.fingerprint for r in rows}
     assert by_id["d8"] == by_id["d0"]
     assert len(set(by_id.values())) == 7
+
+
+def test_stream_enrich_broadcasts_dim(spark, tmp_path):
+    """Stream-static enrichment: every micro-batch row gains the dim
+    attributes; unmatched keys survive a left join; invalid join types
+    fail loudly."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from face_hunter_spark.streaming import stream_enrich
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [("e1", 10), ("e2", 20), ("e3", 30)], "entity string, n int"
+    ).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("e1", "person"), ("e2", "place")], "entity string, kind string"
+    )
+    stream = spark.readStream.schema("entity string, n int").parquet(src)
+    enriched = stream_enrich(stream, dim, "entity")
+    assert enriched.isStreaming
+    out = str(tmp_path / "out")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["entity"]: r for r in spark.read.parquet(out).collect()}
+    assert rows["e1"]["kind"] == "person"
+    assert rows["e2"]["kind"] == "place"
+    assert rows["e3"]["kind"] is None  # left join keeps unmatched
+    with pytest.raises(ValueError):
+        stream_enrich(stream, dim, "entity", how="full")
