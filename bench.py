@@ -144,6 +144,18 @@ def headline_queries(spark, sf_dir):
         "scene_extraction": lambda: _count(
             em._q_scene_extraction(spark, sf_dir)
         ),
+        "decontaminate_documents": lambda: _count(
+            DQ.q_decontaminate_documents(spark, sf_dir)
+        ),
+        "bloom_prefilter_orders": lambda: _count(
+            DQ.q_bloom_prefilter_orders(spark, sf_dir)
+        ),
+        "triangle_count_graph": lambda: _count(
+            DQ.q_triangle_count_graph(spark, sf_dir)
+        ),
+        "profile_customer": lambda: _count(
+            DQ.q_profile_customer(spark, sf_dir)
+        ),
     }
 
 
