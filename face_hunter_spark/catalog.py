@@ -66,6 +66,32 @@ class ParquetCatalog:
         with open(p) as f:
             return json.load(f)["snapshots"]
 
+    def _commit_lock(self, table: str):
+        """Advisory per-table commit lock (fcntl.flock) held across
+        every manifest read-modify-write.  Closes the residual race
+        ADVICE r3 found in compact: an append landing between the
+        concurrent-commit re-read and the os.replace flip was silently
+        dropped from the manifest.  flock serializes commits from all
+        processes on one host — the scope a local ParquetCatalog can
+        be shared at; multi-host deployments use IcebergCatalog, whose
+        catalog performs real optimistic commits."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            import fcntl
+
+            os.makedirs(self._tdir(table), exist_ok=True)
+            with open(os.path.join(self._tdir(table),
+                                   ".commit.lock"), "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
+
+        return lock()
+
     def exists(self, table: str) -> bool:
         return bool(self.snapshots(table))
 
@@ -91,18 +117,19 @@ class ParquetCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        snaps = self.snapshots(table)
-        snaps.append(
-            {
-                "id": snap_id,
-                "run_id": run_id,
-                "committed": time.time(),
-            }
-        )
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"snapshots": snaps}, f, indent=1)
-        os.replace(tmp, self._manifest_path(table))  # atomic commit point
+        with self._commit_lock(table):
+            snaps = self.snapshots(table)
+            snaps.append(
+                {
+                    "id": snap_id,
+                    "run_id": run_id,
+                    "committed": time.time(),
+                }
+            )
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"snapshots": snaps}, f, indent=1)
+            os.replace(tmp, self._manifest_path(table))  # atomic commit
         return snap_id
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
@@ -254,29 +281,33 @@ class ParquetCatalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
         # optimistic concurrency: abort loudly if anything committed
-        # while the rewrite ran
-        now = self.snapshots(table)
-        if [s["id"] for s in now] != [s["id"] for s in snaps]:
-            shutil.rmtree(data_dir, ignore_errors=True)
-            raise RuntimeError(
-                f"compact({table}): concurrent commit detected "
-                f"({len(now)} snapshots now vs {len(snaps)} at start); "
-                "table untouched — retry the compaction"
-            )
-        manifest = {
-            "snapshots": [
-                {
-                    "id": snap_id,
-                    "run_id": run_id,
-                    "committed": time.time(),
-                    "compacted_from": [s["id"] for s in snaps],
-                }
-            ]
-        }
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path(table))  # atomic flip
+        # while the rewrite ran.  The commit lock makes the check
+        # airtight — append holds the same flock for its manifest
+        # flip, so nothing can land between this re-read and ours
+        # (the race window ADVICE r3 flagged).
+        with self._commit_lock(table):
+            now = self.snapshots(table)
+            if [s["id"] for s in now] != [s["id"] for s in snaps]:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise RuntimeError(
+                    f"compact({table}): concurrent commit detected "
+                    f"({len(now)} snapshots now vs {len(snaps)} at start); "
+                    "table untouched — retry the compaction"
+                )
+            manifest = {
+                "snapshots": [
+                    {
+                        "id": snap_id,
+                        "run_id": run_id,
+                        "committed": time.time(),
+                        "compacted_from": [s["id"] for s in snaps],
+                    }
+                ]
+            }
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path(table))  # atomic flip
         for s in snaps:
             shutil.rmtree(
                 os.path.join(self._tdir(table), "data", f"snap={s['id']}"),

@@ -43,9 +43,17 @@ _HEX_SPAN = 16 ** 8  # uniform u in [0,1) from the first 8 md5 hex chars
 def hex_cutoff(fraction: float) -> str:
     """8-hex-char cutoff c such that P[md5_prefix < c] == fraction (to
     1/2^32).  String comparison on lowercase hex == numeric comparison,
-    identically in Spark, DuckDB, and Python."""
+    identically in Spark, DuckDB, and Python.
+
+    fraction >= 1.0 returns "g": every hex prefix (chars 0-9a-f)
+    compares strictly below it, so a rate-1.0 source keeps ALL rows —
+    clamping to 'ffffffff' under a strict ``<`` would silently drop
+    keys whose 32-bit prefix is all ones (~2^-32 per row; hundreds of
+    documents at 10^12-doc scale — ADVICE r3)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction out of [0,1]: {fraction}")
+    if fraction >= 1.0:
+        return "g"
     return format(min(int(fraction * _HEX_SPAN), _HEX_SPAN - 1), "08x")
 
 

@@ -261,13 +261,33 @@ def minhash_lsh_pairs(
     # PER SIDE.  Pair semantics are identical: members of a bucket are
     # distinct ids, array_sort gives id_a < id_b, and the cross-band
     # dropDuplicates stays.
+    if max_bucket_size is not None:
+        # drop hot buckets BEFORE collecting member arrays (ADVICE r3):
+        # a degenerate bucket (boilerplate docs sharing a band value)
+        # would otherwise materialize its whole membership inside ONE
+        # collect_list aggregation buffer — an executor OOM at corpus
+        # scale.  A constant-state count agg (map-side combinable, so
+        # the hot bucket is just a big long) finds oversized buckets;
+        # that set is tiny by construction and broadcasts into an
+        # anti-join.  The lazy localCheckpoint pins the (id, bucket)
+        # projection so the md5-dominant signature subtree still runs
+        # ONCE even though two plan branches consume it (HOF lambdas
+        # defeat ReusedExchange canonicalization).
+        bucketed = bucketed.localCheckpoint(eager=False)
+        oversized = (
+            bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .where(F.col("n_members") > max_bucket_size)
+            .select("bucket")
+        )
+        bucketed = bucketed.join(
+            F.broadcast(oversized), "bucket", "left_anti"
+        )
     grouped = (
         bucketed.groupBy("bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    if max_bucket_size is not None:
-        grouped = grouped.where(F.size("ids") <= max_bucket_size)
     cand = (
         grouped.select(
             F.explode(
@@ -394,6 +414,18 @@ def simhash_pairs(
     # unfold i<j combinations via HOF — the simhash subtree executes
     # once instead of once per join side (HOF lambdas defeat exchange
     # reuse), and the window pass disappears.
+    if max_bucket_size is not None:
+        # same pre-collect hot-bucket guard as minhash_lsh_pairs
+        # (ADVICE r3): count-filter oversized bands before any
+        # membership array is materialized in an agg buffer.
+        banded = banded.localCheckpoint(eager=False)
+        oversized = (
+            banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .where(F.col("n_members") > max_bucket_size)
+            .select("band")
+        )
+        banded = banded.join(F.broadcast(oversized), "band", "left_anti")
     grouped = (
         banded.groupBy("band")
         .agg(F.array_sort(
@@ -401,8 +433,6 @@ def simhash_pairs(
         ).alias("ms"))
         .where(F.size("ms") >= 2)
     )
-    if max_bucket_size is not None:
-        grouped = grouped.where(F.size("ms") <= max_bucket_size)
     return (
         grouped.select(
             F.explode(

@@ -460,24 +460,49 @@ class HNSWIndex:
 
 _INDEX_CACHE: dict[str, HNSWIndex] = {}
 
+# full-hash memo: id(mat) -> (weakref to mat, fingerprint).  The
+# weakref liveness check makes id reuse safe — CPython only hands an
+# address to a new object after the old one is freed, and a freed mat
+# clears its weakref, so a live ref() identical to the argument proves
+# it IS the object we hashed.
+_FP_MEMO: dict[int, tuple] = {}
+
 
 def _gallery_fingerprint(labels, mat: np.ndarray) -> str:
-    """Stable identity of a gallery payload.  id(broadcast) is NOT a
-    safe cache key in a long-lived Python worker: CPython reuses freed
-    addresses, so a new broadcast can collide with a GC'd one's id and
-    silently serve a stale graph (ADVICE r2).  Hash shape + strided
-    sample rows + boundary labels instead — O(64 rows) regardless of
-    gallery size."""
+    """Stable identity of a gallery payload: a FULL content hash of the
+    embedding matrix and the whole labels array.  id(broadcast) is NOT
+    a safe cache key in a long-lived Python worker (CPython reuses
+    freed addresses — ADVICE r2), and a strided row sample is not a
+    safe content key either: a refreshed gallery differing only in
+    unsampled rows or interior labels would collide and serve a stale
+    graph (ADVICE r3).  The full hash costs one md5 pass over the
+    arrays; a weakref-guarded memo keyed by object identity makes it
+    once-per-gallery per worker, and the prebuilt broadcast path ships
+    the driver-computed hash so workers never hash at all."""
+    import weakref
+
+    key = id(mat)
+    memo = _FP_MEMO.get(key)
+    if memo is not None:
+        ref, fp = memo
+        if ref() is mat:
+            return fp
     h = hashlib.md5()
     h.update(np.int64(len(labels)).tobytes())
     h.update(np.int64(mat.shape[1] if mat.ndim == 2 and len(mat) else 0)
              .tobytes())
     if len(mat):
-        stride = max(1, len(mat) // 64)
-        h.update(np.ascontiguousarray(mat[::stride][:65]).tobytes())
-        h.update(str(labels[0]).encode())
-        h.update(str(labels[-1]).encode())
-    return h.hexdigest()
+        h.update(np.ascontiguousarray(mat, dtype=np.float32).tobytes())
+    for lab in labels:
+        h.update(str(lab).encode())
+        h.update(b"\x00")
+    fp = h.hexdigest()
+    try:
+        _FP_MEMO.clear()  # one live gallery per worker is the norm
+        _FP_MEMO[key] = (weakref.ref(mat), fp)
+    except TypeError:
+        pass  # non-weakref-able array subclass: just skip the memo
+    return fp
 
 
 def executor_index(gallery_arrays, M: int = 15,
@@ -498,7 +523,10 @@ def executor_index(gallery_arrays, M: int = 15,
     if isinstance(value, dict):
         labels = value["labels"]
         p = value["index"]
-        key = _gallery_fingerprint(labels, p["mat"])
+        # prefer the driver-computed full content hash shipped inside
+        # the payload (prebuilt_gallery_payload) — zero worker hashing
+        key = value.get("fingerprint") or _gallery_fingerprint(
+            labels, p["mat"])
         idx = _INDEX_CACHE.get(key)
         if idx is None:
             idx = HNSWIndex.from_payload(p)
@@ -521,11 +549,13 @@ def prebuilt_gallery_payload(gallery_arrays_triple, M: int = 15,
     executor_index).  ``gallery_arrays_triple`` = (labels, mat, norms)
     as produced by linking._gallery_arrays."""
     labels, mat, _norms = gallery_arrays_triple
+    idx = HNSWIndex(mat, M=M, ef_construction=ef_construction)
     return {
         "labels": labels,
-        "index": HNSWIndex(
-            mat, M=M, ef_construction=ef_construction
-        ).to_payload(),
+        "index": idx.to_payload(),
+        # full content hash computed ONCE here on the driver; workers
+        # adopt it as the cache key without rehashing the matrix
+        "fingerprint": _gallery_fingerprint(labels, idx.mat),
     }
 
 
@@ -537,9 +567,14 @@ def hnsw_score_batch(q: np.ndarray, labels: np.ndarray, idx: HNSWIndex,
     neighbors (ties -> nearest first), else 'unknown'.  k=1 (the
     reference default, config.yaml:19) is the fully-vectorized path;
     an empty gallery returns all-'unknown' like lsh_score_batch.
-    ``ef`` tunes the beam width (default = ef_construction, nmslib's
-    default; smaller trades label accuracy for throughput — measured
-    in BASELINE.md's crossover table)."""
+    ``ef`` tunes the beam width; default = the index's ``ef_search``
+    (48 unless overridden at build/payload time).  Note this is
+    NARROWER than nmslib's query-time default (ef = efConstruction =
+    100): with Algorithm-4 diverse selection even ef=16 measured label
+    accuracy 1.0 on clustered galleries, so 48 keeps a 3x margin at
+    ~4x the throughput (BASELINE.md crossover table).  Pass
+    ``ef=idx.ef_construction`` where strict nmslib-default parity is
+    required."""
     n = len(q)
     out_lab = np.full(n, "unknown", dtype=object)
     out_d = np.full(n, np.nan, dtype=np.float32)

@@ -130,3 +130,14 @@ def test_hash_split_validates(spark):
         corpus.hash_split(df, {"a": 0.0})
     with pytest.raises(ValueError):
         corpus.hex_cutoff(1.5)
+
+
+def test_hex_cutoff_rate_one_is_inclusive():
+    """fraction >= 1.0 must keep EVERY key, including those whose
+    32-bit md5 prefix is all ones (~2^-32 per row — unsampleable in
+    test data, so assert on the cutoff directly: ADVICE r3)."""
+    c = corpus.hex_cutoff(1.0)
+    assert "ffffffff" < c  # the old clamp lost exactly this prefix
+    assert "00000000" < c
+    # monotone with real fractions
+    assert corpus.hex_cutoff(0.999999) < c

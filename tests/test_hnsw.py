@@ -145,3 +145,31 @@ def test_hnsw_prebuilt_pipeline_parity(spark):
                 for r in df.select("subj", "pred", "obj").collect()}
 
     assert tset(hnsw_prebuilt=True) == tset()
+
+
+def test_gallery_fingerprint_full_content(gallery):
+    """The cache key must see EVERY row and EVERY label — a strided
+    sample let a gallery differing only in unsampled rows or interior
+    labels collide with the stale cached graph (ADVICE r3)."""
+    from face_hunter_spark.operators.hnsw import _gallery_fingerprint
+
+    labels, mat, _ = gallery
+    labels = list(labels)
+    base = _gallery_fingerprint(labels, mat)
+    assert base == _gallery_fingerprint(labels, mat.copy())
+    # interior embedding perturbation (a row a 64-stride sample skips)
+    m2 = mat.copy()
+    m2[len(m2) // 2 + 1, 0] += 1e-3
+    assert _gallery_fingerprint(labels, m2) != base
+    # interior label remap with unchanged embeddings
+    l2 = list(labels)
+    l2[len(l2) // 2 + 1] = "someone_else"
+    assert _gallery_fingerprint(l2, mat.copy()) != base
+
+
+def test_prebuilt_payload_ships_fingerprint(gallery):
+    from face_hunter_spark.operators import hnsw
+
+    payload = hnsw.prebuilt_gallery_payload(gallery)
+    assert payload["fingerprint"] == hnsw._gallery_fingerprint(
+        payload["labels"], payload["index"]["mat"])
