@@ -520,63 +520,19 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT (VERDICT r3 "Next round" #1): the driver
+    # harness verifies roughly the FIRST 50 entries per round.  The
+    # dict is therefore ordered in three blocks:
+    #   (a) the 33 round-3 entries that had never been through the
+    #       real driver (judged green only via the local mirror),
+    #   (b) entries new this round,
+    #   (c) a representative core of already-driver-green queries
+    #       (the kg pipeline + one per operator family) filling the
+    #       window, then the remaining driver-green ledger.
+    # Every entry keeps its oracle regardless of position — the local
+    # mirror (scripts/driver_check.py) still covers the full ledger.
     return {
-        # relational operator inventory (SURVEY.md §2.2-2.7)
-        "pricing_summary": DQ.q_pricing_summary,
-        "star_join_revenue": DQ.q_star_join_revenue,
-        "orders_per_customer_histogram": DQ.q_orders_per_customer_histogram,
-        "customers_without_orders": DQ.q_customers_without_orders,
-        "nations_with_rich_suppliers": DQ.q_nations_with_rich_suppliers,
-        "top3_orders_per_segment": DQ.q_top3_orders_per_segment,
-        "running_spend": DQ.q_running_spend,
-        "sessionize_events": DQ.q_sessionize_events,
-        "majority_event_type": DQ.q_majority_event_type,
-        "event_type_sets": DQ.q_event_type_sets,
-        "sample_per_nation": DQ.q_sample_per_nation,
-        "custkeys_open_minus_filled": DQ.q_custkeys_open_minus_filled,
-        "custkeys_open_and_filled": DQ.q_custkeys_open_and_filled,
-        "singleton_part_types": DQ.q_singleton_part_types,
-        "json_props": DQ.q_json_props,
-        "hourly_event_rollup": DQ.q_hourly_event_rollup,
-        # text analysis / dedup / fingerprints
-        "token_stats": DQ.q_token_stats,
-        "lang_id_distribution": DQ.q_lang_id_distribution,
-        "fingerprint_profile": DQ.q_fingerprint_profile,
-        "ngram_jaccard_pairs": DQ.q_ngram_jaccard_pairs,
-        "minhash_lsh_pairs": DQ.q_minhash_lsh_pairs,
-        "simhash_fingerprints": DQ.q_simhash_fingerprints,
-        "eval_metrics": DQ.q_eval_metrics,
-        "salted_event_rollup": DQ.q_salted_event_rollup,
-        "event_type_cooccurrence": DQ.q_event_type_cooccurrence,
-        "rolling_fingerprints": DQ.q_rolling_fingerprints,
-        "exact_dup_groups": DQ.q_exact_dup_groups,
-        # similarity search
-        "knn_top1": DQ.q_knn_top1,
-        "knn_top3": DQ.q_knn_top3,
-        "embedding_near_dups": DQ.q_embedding_near_dups,
-        # §2 gap-closers (group-concat, max_by, balancing, union,
-        # video-level accuracy, islands scenes)
-        "scene_islands": DQ.q_scene_islands,
-        "n3_video_blocks": DQ.q_n3_video_blocks,
-        "group_concat_brands": DQ.q_group_concat_brands,
-        "argmax_event_per_user": DQ.q_argmax_event_per_user,
-        "balanced_event_sample": DQ.q_balanced_event_sample,
-        "union_name_catalog": DQ.q_union_name_catalog,
-        "video_level_accuracy": DQ.q_video_level_accuracy,
-        "threshold_sweep": DQ.q_threshold_sweep,
-        "distance_tuning_dataset": DQ.q_distance_tuning_dataset,
-        "kg_scene_search": _q_kg_scene_search,
-        "kg_videos_by_attribute": _q_kg_videos_by_attribute,
-        "kg_entity_mentions": _q_kg_entity_mentions,
-        # graph / pipeline / UDF ops (rows-only where noted in oracle_sql)
-        "connected_components": _q_connected_components,
-        "scene_extraction": _q_scene_extraction,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
-        "multimodal_decode": _q_multimodal_decode,
-        "span_roundtrip": _q_span_roundtrip,
-        "kg_triples_by_pred": _q_kg_triples,
-        "largest_face_geometry": _q_largest_face_geometry,
+        # -- (a) driver-evidence gap: round-3 training-data suite -----
         "connected_components_bigstar": _q_connected_components_bigstar,
         "minhash_dedup_survivors": DQ.q_minhash_dedup_survivors,
         "jsonl_interleaved_spans": _q_jsonl_interleaved_spans,
@@ -610,6 +566,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": DQ.q_event_funnel,
         "event_transitions": DQ.q_event_transitions,
         "kmv_corpus_overlap": DQ.q_kmv_corpus_overlap,
+        # -- (b) new this round ---------------------------------------
+        # -- (c) representative driver-green core ----------------------
+        "kg_triples_by_pred": _q_kg_triples,
+        "kg_scene_search": _q_kg_scene_search,
+        "kg_videos_by_attribute": _q_kg_videos_by_attribute,
+        "kg_entity_mentions": _q_kg_entity_mentions,
+        "largest_face_geometry": _q_largest_face_geometry,
+        "scene_extraction": _q_scene_extraction,
+        "span_roundtrip": _q_span_roundtrip,
+        "multimodal_decode": _q_multimodal_decode,
+        "connected_components": _q_connected_components,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "knn_top1": DQ.q_knn_top1,
+        "minhash_lsh_pairs": DQ.q_minhash_lsh_pairs,
+        "simhash_fingerprints": DQ.q_simhash_fingerprints,
+        "exact_dup_groups": DQ.q_exact_dup_groups,
+        "eval_metrics": DQ.q_eval_metrics,
+        "pricing_summary": DQ.q_pricing_summary,
+        # ---- remaining driver-green ledger (below the ~50 window;
+        # ---- still mirror-verified every round) ----------------------
+        "star_join_revenue": DQ.q_star_join_revenue,
+        "orders_per_customer_histogram": DQ.q_orders_per_customer_histogram,
+        "customers_without_orders": DQ.q_customers_without_orders,
+        "nations_with_rich_suppliers": DQ.q_nations_with_rich_suppliers,
+        "top3_orders_per_segment": DQ.q_top3_orders_per_segment,
+        "running_spend": DQ.q_running_spend,
+        "sessionize_events": DQ.q_sessionize_events,
+        "majority_event_type": DQ.q_majority_event_type,
+        "event_type_sets": DQ.q_event_type_sets,
+        "sample_per_nation": DQ.q_sample_per_nation,
+        "custkeys_open_minus_filled": DQ.q_custkeys_open_minus_filled,
+        "custkeys_open_and_filled": DQ.q_custkeys_open_and_filled,
+        "singleton_part_types": DQ.q_singleton_part_types,
+        "json_props": DQ.q_json_props,
+        "hourly_event_rollup": DQ.q_hourly_event_rollup,
+        "token_stats": DQ.q_token_stats,
+        "lang_id_distribution": DQ.q_lang_id_distribution,
+        "fingerprint_profile": DQ.q_fingerprint_profile,
+        "ngram_jaccard_pairs": DQ.q_ngram_jaccard_pairs,
+        "salted_event_rollup": DQ.q_salted_event_rollup,
+        "event_type_cooccurrence": DQ.q_event_type_cooccurrence,
+        "rolling_fingerprints": DQ.q_rolling_fingerprints,
+        "knn_top3": DQ.q_knn_top3,
+        "embedding_near_dups": DQ.q_embedding_near_dups,
+        "scene_islands": DQ.q_scene_islands,
+        "n3_video_blocks": DQ.q_n3_video_blocks,
+        "group_concat_brands": DQ.q_group_concat_brands,
+        "argmax_event_per_user": DQ.q_argmax_event_per_user,
+        "balanced_event_sample": DQ.q_balanced_event_sample,
+        "union_name_catalog": DQ.q_union_name_catalog,
+        "video_level_accuracy": DQ.q_video_level_accuracy,
+        "threshold_sweep": DQ.q_threshold_sweep,
+        "distance_tuning_dataset": DQ.q_distance_tuning_dataset,
     }
 
 
