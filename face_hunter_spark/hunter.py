@@ -51,6 +51,8 @@ class SparkHunter:
         distance_threshold: float = 0.6,
         frame_threshold: int = 3,
         one_face: bool = False,
+        hnsw_prebuilt: bool = False,
+        cache_index: bool = False,
     ):
         self.spark = spark
         self.catalog = ParquetCatalog(catalog_root)
@@ -73,6 +75,11 @@ class SparkHunter:
         self.frame_threshold = frame_threshold
         # reference one_face mode: link only the largest face per frame
         self.one_face = one_face
+        # hnsw_prebuilt: driver-built broadcast graph; cache_index:
+        # persist/reuse ANN payloads through the catalog, keyed by
+        # gallery content hash (the reference's loadIndex path)
+        self.hnsw_prebuilt = hnsw_prebuilt
+        self.cache_index = cache_index
         self._canon = canonical_map(self.entity_catalog).cache()
         # cached label -> URI map: label searches probe this tiny df
         # instead of re-scanning the catalog per lookup
@@ -102,6 +109,8 @@ class SparkHunter:
             distance_threshold=self.distance_threshold,
             frame_threshold=self.frame_threshold,
             one_face=self.one_face,
+            hnsw_prebuilt=self.hnsw_prebuilt,
+            cache_index=self.cache_index,
         )
         self._refresh_views()
         return stats

@@ -48,6 +48,8 @@ def link_documents(
     encoder: str = "hash",
     hnsw_prebuilt: bool = False,
     mention_labels: DataFrame | None = None,
+    index_catalog=None,
+    index_table: str = "ann_index",
 ) -> DataFrame:
     """documents -> un-partitioned triples DataFrame (pure transform).
 
@@ -84,9 +86,23 @@ def link_documents(
         # the bruteforce path)
         from pyspark.sql import SparkSession
 
-        bc = SparkSession.getActiveSession().sparkContext.broadcast(
-            linking.lsh_gallery_payload(gallery_pdf)
-        )
+        if index_catalog is not None:
+            from . import index_store
+            from .operators.hnsw import _gallery_fingerprint
+
+            arrays = linking._gallery_arrays(gallery_pdf)
+            key = index_store.payload_key(
+                _gallery_fingerprint(arrays[0], arrays[1]),
+                bands=8, rows_per_band=6,
+            )
+            payload, _ = index_store.load_or_build(
+                SparkSession.getActiveSession(), index_catalog, key,
+                "lsh", lambda: linking.lsh_payload_from_arrays(*arrays),
+                table=index_table,
+            )
+        else:
+            payload = linking.lsh_gallery_payload(gallery_pdf)
+        bc = SparkSession.getActiveSession().sparkContext.broadcast(payload)
         linked = vision.detect_embed_link(
             media, bc, distance_threshold, n_entities=n_entities,
             matcher="lsh", one_face=one_face, encoder=encoder,
@@ -99,14 +115,35 @@ def link_documents(
         # finished graph (the reference's saveIndex/loadIndex cache,
         # approximate_k_nearest_neighbors.py:51-62) — the right shape
         # for 100k+ galleries where a per-worker build would dominate.
+        # With an ``index_catalog`` the built payload additionally
+        # PERSISTS across jobs keyed by the gallery content hash
+        # (index_store), so the build is paid once per distinct
+        # gallery, not once per run — and a gallery edit changes the
+        # key, fixing the reference's reload-stale-index-if-file-
+        # exists quirk at the artifact level.
         from pyspark.sql import SparkSession
 
         if hnsw_prebuilt:
-            from .operators.hnsw import prebuilt_gallery_payload
+            from .operators import hnsw as _hnsw
 
-            payload = prebuilt_gallery_payload(
-                linking._gallery_arrays(gallery_pdf)
-            )
+            if index_catalog is not None:
+                from . import index_store
+
+                arrays = linking._gallery_arrays(gallery_pdf)
+                key = index_store.payload_key(
+                    _hnsw._gallery_fingerprint(arrays[0], arrays[1]),
+                    M=15, ef_construction=100,
+                )
+                payload, _ = index_store.load_or_build(
+                    SparkSession.getActiveSession(), index_catalog, key,
+                    "hnsw",
+                    lambda: _hnsw.prebuilt_gallery_payload(arrays),
+                    table=index_table,
+                )
+            else:
+                payload = _hnsw.prebuilt_gallery_payload(
+                    linking._gallery_arrays(gallery_pdf)
+                )
         else:
             payload = linking._gallery_arrays(gallery_pdf)
         bc = SparkSession.getActiveSession().sparkContext.broadcast(payload)
@@ -157,6 +194,11 @@ def run_link_job(
 
     t_start = time.monotonic()
     run_id = run_id or uuid.uuid4().hex[:12]
+
+    # cache_index=True persists/reuses ANN payloads (hnsw prebuilt,
+    # lsh) through THIS catalog, keyed by gallery content hash
+    if kwargs.pop("cache_index", False):
+        kwargs.setdefault("index_catalog", catalog)
 
     if catalog.exists("triples"):
         existing = (
