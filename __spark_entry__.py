@@ -312,14 +312,17 @@ GROUP BY node ORDER BY uri
 def _q_largest_face_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detection geometry + one_face largest-face selection (reference
     face_recognition.py:176-192, :367-371) as a driver-checkable query:
-    the kept (max-box-height) face per frame with milli-pixel height
-    and micro confidence — exact VALUES oracle regenerated by
-    driver_oracle.expected_face_geometry_rows."""
+    the kept (max-box-height) face per frame with milli-pixel height,
+    micro confidence, and the keypoint-derived inter-ocular x distance
+    (MTCNN landmarks, consumed by the affine alignment seam —
+    facial_preprocessing.py:7-60 / operators/align.py) — exact VALUES
+    oracle regenerated by driver_oracle.expected_face_geometry_rows."""
     from face_hunter_spark.operators.spans import media_frames
     from face_hunter_spark.operators.vision import detect_embed_faces
 
     media = media_frames(_interleaved_documents(spark, sf_dir))
     faces = detect_embed_faces(media, n_entities=N_ENTITIES, one_face=True)
+    kp = F.col("keypoints")
     return (
         faces.where(F.col("face_idx").isNotNull())
         .select(
@@ -330,6 +333,12 @@ def _q_largest_face_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("height_milli"),
             F.floor(F.col("confidence").cast("double") * 100000)
             .cast("long").alias("conf_micro"),
+            F.floor(
+                (
+                    F.element_at(kp["right_eye"], 1).cast("double")
+                    - F.element_at(kp["left_eye"], 1).cast("double")
+                ) * 1000
+            ).cast("long").alias("eye_dx_milli"),
         )
         .orderBy("doc_id", "frame_no")
     )

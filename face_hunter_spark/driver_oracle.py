@@ -316,9 +316,10 @@ FROM out ORDER BY link, start, co_entity
 def expected_face_geometry_rows() -> list[tuple]:
     """one_face largest-face selection + detection geometry, expected
     per frame-with-faces: (orig_id, frame_no, kept face_idx,
-    floor(box_height*1000), floor(confidence*100000)).  Regenerated
-    sequentially from fakevision (same math the Spark stage runs,
-    independent of partitioning/batching)."""
+    floor(box_height*1000), floor(confidence*100000),
+    floor((right_eye.x - left_eye.x)*1000) from the MTCNN-style
+    keypoints).  Regenerated sequentially from fakevision (same math
+    the Spark stage runs, independent of partitioning/batching)."""
     import math
 
     rows: list[tuple] = []
@@ -332,26 +333,32 @@ def expected_face_geometry_rows() -> list[tuple]:
                      for j in range(len(faces))]
             j = int(np.argmax([g[0][3] for g in geoms]))
             box, conf = geoms[j]
+            kp = fv.face_keypoints(doc_id, f, j)
+            # float32 landmark values widened to float64 exactly, then
+            # subtracted — mirrors the Spark cast("double") - cast
             rows.append((
                 oid, f, j,
                 math.floor(float(box[3]) * 1000.0),
                 math.floor(float(conf) * 100000.0),
+                math.floor((float(kp[1, 0]) - float(kp[0, 0])) * 1000.0),
             ))
     return rows
 
 
 def sql_largest_face_geometry() -> str:
     vals = ",\n  ".join(
-        f"({o}, {f}, {j}, {h}, {c})"
-        for o, f, j, h, c in expected_face_geometry_rows()
+        f"({o}, {f}, {j}, {h}, {c}, {e})"
+        for o, f, j, h, c, e in expected_face_geometry_rows()
     )
     return f"""
-WITH geo(orig_id, frame_no, face_idx, height_milli, conf_micro) AS (VALUES
+WITH geo(orig_id, frame_no, face_idx, height_milli, conf_micro,
+         eye_dx_milli) AS (VALUES
   {vals})
 SELECT printf('vid_%05d', g.orig_id::INT) AS doc_id,
        g.frame_no::INT AS frame_no, g.face_idx::INT AS face_idx,
        g.height_milli::BIGINT AS height_milli,
-       g.conf_micro::BIGINT AS conf_micro
+       g.conf_micro::BIGINT AS conf_micro,
+       g.eye_dx_milli::BIGINT AS eye_dx_milli
 FROM geo g JOIN documents d ON g.orig_id = d.doc_id
 WHERE {_GUARD}
 ORDER BY doc_id, frame_no

@@ -142,16 +142,78 @@ def face_seed(doc_id: str, frame_no: int, face_idx: int) -> int:
 _GEOM_CTR = 1 << 20
 # counter offset for crop pixels (disjoint from both ranges above)
 _CROP_CTR = 1 << 21
+# counter offset for keypoint draws (disjoint from all ranges above)
+_KP_CTR = 1 << 22
+
+# MTCNN landmark names in the reference's detection-dict order
+# (face_recognition.py:176-192 'keypoints': left_eye, right_eye, nose,
+# mouth_left, mouth_right)
+KEYPOINT_NAMES = ("left_eye", "right_eye", "nose", "mouth_left", "mouth_right")
+
+# box-relative landmark ranges: each landmark's (x, y) is drawn
+# uniformly inside a canonical facial region so the synthetic keypoints
+# have the real detector's rough anatomy (eyes above nose above mouth,
+# left of right) — the alignment solve then does non-degenerate work
+_KP_RANGES = np.array(
+    [  # [x_lo, x_hi, y_lo, y_hi] fractions of the box
+        [0.20, 0.40, 0.30, 0.45],  # left_eye
+        [0.60, 0.80, 0.30, 0.45],  # right_eye
+        [0.40, 0.60, 0.45, 0.62],  # nose
+        [0.25, 0.45, 0.65, 0.82],  # mouth_left
+        [0.55, 0.75, 0.65, 0.82],  # mouth_right
+    ],
+    dtype=np.float32,
+)
+
+
+def face_keypoints_rel_batch(seeds: np.ndarray) -> np.ndarray:
+    """Deterministic box-RELATIVE 5-landmark positions for a BATCH of
+    face seeds: (n,) uint64 -> (n, 5, 2) float32 fractions in [0,1)².
+    Same SplitMix64 counter stream as the embeddings/geometry, on a
+    disjoint counter range, so keypoints are reproducible anywhere the
+    face is (Spark stage, sequential oracle, driver VALUES literal).
+
+    Frame-coordinate keypoints = box[:2] + rel * box[2:4]; patch-local
+    keypoints (for the alignment kernel) = rel * patch_size — both
+    derive from this one draw, so the emitted FACES keypoints and the
+    crops fed to the encoder are consistent by construction."""
+    s = seeds.astype(np.uint64).reshape(-1, 1)
+    c = (np.arange(10, dtype=np.uint64) + np.uint64(_KP_CTR)).reshape(1, -1)
+    u = (_splitmix64(s + c) >> np.uint64(40)).astype(np.float32) \
+        / np.float32(1 << 24)
+    u = u.reshape(-1, 5, 2)
+    lo = _KP_RANGES[:, [0, 2]]
+    hi = _KP_RANGES[:, [1, 3]]
+    return lo + u * (hi - lo)
+
+
+def face_keypoints_batch(
+    seeds: np.ndarray, boxes: np.ndarray
+) -> np.ndarray:
+    """FRAME-coordinate keypoints: (n,) seeds + (n, 4) [x,y,w,h] boxes
+    -> (n, 5, 2) float32, mirroring the reference detector's absolute
+    pixel landmarks (face_recognition.py:176-192)."""
+    rel = face_keypoints_rel_batch(seeds)
+    return (boxes[:, None, :2] + rel * boxes[:, None, 2:4]).astype(np.float32)
+
+
+def face_keypoints(doc_id: str, frame_no: int, face_idx: int) -> np.ndarray:
+    """Single-face frame-coordinate keypoints (oracle path): (5, 2)."""
+    seed = np.array([face_seed(doc_id, frame_no, face_idx)], dtype=np.uint64)
+    box, _ = face_geometry_batch(seed)
+    return face_keypoints_batch(seed, box)[0]
 
 
 def face_crops_batch(seeds: np.ndarray,
                      hw: tuple[int, int] = (112, 112)) -> np.ndarray:
-    """Deterministic aligned-face crops for a BATCH of face seeds:
-    (n,) uint64 -> (n, h, w, 3) float32 in [0,1).  Stands in for the
-    decode+detect+align pixel pipeline whose output a production
-    encoder consumes (facial_preprocessing.py:7-60 affine alignment +
-    /255 normalization; ArcFace input is 112x112x3).  Same SplitMix64
-    counter scheme as the embeddings, on a disjoint counter range."""
+    """Deterministic RAW detected-face patches for a BATCH of face
+    seeds: (n,) uint64 -> (n, h, w, 3) float32 in [0,1).  Stands in
+    for the decode+detect crop the real pipeline cuts out of the frame
+    BEFORE alignment; the encoder seam then runs the keypoint-based
+    affine alignment (operators/align.py, mirroring
+    facial_preprocessing.py:7-60) and feeds the aligned 112x112x3
+    result to the encoder.  Same SplitMix64 counter scheme as the
+    embeddings, on a disjoint counter range."""
     h, w = hw
     dim = h * w * 3
     s = seeds.astype(np.uint64).reshape(-1, 1)

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 
 from .. import fakevision as fv
 from ..schemas import FACES
+from .align import align_crops_batch
 
 EMBED_DIM = 512
 
@@ -87,10 +88,19 @@ def _encoder_instance(name: str, factory):
 
 
 def _encode_with(enc, seeds: np.ndarray) -> np.ndarray:
-    """Decode crops for ``seeds`` and run the registered encoder,
-    validating the output contract loudly."""
+    """Decode raw crops for ``seeds``, run keypoint-based affine
+    alignment to the ArcFace template (the reference's
+    facial_preprocessing.py:7-60 step between detect and encode, here
+    the batched numpy kernel in operators/align.py), then run the
+    registered encoder, validating the output contract loudly."""
     crops = fv.face_crops_batch(seeds)
-    emb = np.asarray(enc.encode_batch(crops))
+    # patch-local landmark pixels from the same deterministic draw the
+    # FACES keypoints column uses (frame coords there, crop coords here)
+    rel = fv.face_keypoints_rel_batch(seeds)
+    h, w = crops.shape[1], crops.shape[2]
+    kps = rel * np.array([w, h], dtype=np.float32)
+    aligned = align_crops_batch(crops, kps)
+    emb = np.asarray(enc.encode_batch(aligned))
     if emb.shape != (len(seeds), EMBED_DIM) or emb.dtype != np.float32:
         raise ValueError(
             f"encoder contract violated: expected float32 "
@@ -119,7 +129,7 @@ def detect_embed_faces(
         enc = None if factory is None else _encoder_instance(encoder, factory)
         for pdf in batches:
             out_doc, out_frame, out_ts, out_idx = [], [], [], []
-            out_box, out_conf, out_emb = [], [], []
+            out_box, out_conf, out_kp, out_emb = [], [], [], []
             pending: list[tuple[int, int]] = []  # (out row, face seed)
             for doc_id, frame_no, ts_ms in zip(
                 pdf["doc_id"], pdf["frame_no"], pdf["ts_ms"]
@@ -132,6 +142,7 @@ def detect_embed_faces(
                     out_idx.append(None)
                     out_box.append(None)
                     out_conf.append(None)
+                    out_kp.append(None)
                     out_emb.append(None)
                     continue
                 geoms = [
@@ -144,12 +155,17 @@ def detect_embed_faces(
                 for j in keep:
                     kind, ent = faces[j]
                     box, conf = geoms[j]
+                    kp = fv.face_keypoints(doc_id, int(frame_no), j)
                     out_doc.append(doc_id)
                     out_frame.append(frame_no)
                     out_ts.append(ts_ms)
                     out_idx.append(j)
                     out_box.append([float(x) for x in box])
                     out_conf.append(conf)
+                    out_kp.append({
+                        name: [float(x), float(y)]
+                        for name, (x, y) in zip(fv.KEYPOINT_NAMES, kp)
+                    })
                     if enc is None:
                         out_emb.append(
                             fv.face_embedding(
@@ -180,6 +196,7 @@ def detect_embed_faces(
                     "face_idx": pd.array(out_idx, dtype="Int32"),
                     "box": out_box,
                     "confidence": pd.array(out_conf, dtype="Float32"),
+                    "keypoints": out_kp,
                     "embedding": out_emb,
                 }
             )

@@ -17,6 +17,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -66,9 +67,12 @@ ENTITY_CATALOG = StructType(
 # One row per detected face (vision stage output).  face_idx is the
 # within-frame face ordinal (reference keeps per-frame face lists
 # ordered by detector output, face_recognition.py:176-192); box/
-# confidence mirror the reference's detection dict ({box, confidence,
-# keypoints} at :176-192 — box = [x, y, w, h], height drives one_face
-# largest-face selection at :367-371).
+# confidence/keypoints mirror the reference's detection dict ({box,
+# confidence, keypoints} at :176-192 — box = [x, y, w, h], height
+# drives one_face largest-face selection at :367-371; keypoints are
+# the 5 MTCNN landmarks name -> [x, y] in frame pixels, consumed by
+# the affine alignment before encoding,
+# facial_preprocessing.py:7-60 / operators/align.py).
 FACES = StructType(
     [
         StructField("doc_id", StringType(), False),
@@ -77,6 +81,9 @@ FACES = StructType(
         StructField("face_idx", IntegerType(), True),    # null => empty frame marker
         StructField("box", ArrayType(FloatType()), True),  # [x, y, w, h]
         StructField("confidence", FloatType(), True),
+        StructField(
+            "keypoints", MapType(StringType(), ArrayType(FloatType())), True
+        ),
         StructField("embedding", ArrayType(FloatType()), True),
     ]
 )
