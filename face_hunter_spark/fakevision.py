@@ -317,3 +317,35 @@ def parse_media_ref(media_ref: str) -> tuple[str, int]:
     body = media_ref[len("frame://"):]
     doc_id, frame_no = body.rsplit("/", 1)
     return doc_id, int(frame_no)
+
+
+# -- scraped-thumbnail decode (gallery enrichment seam) ---------------------
+# The reference's enrichment scrapes candidate photos per entity and
+# keeps only those where its detector finds EXACTLY one face
+# (enrich_with_photos.py:103-180: fetch -> single-face check -> embed
+# -> extend gallery).  The fake analogue: a candidate thumbnail is
+# fully determined by its 'thumb://{label}/{idx}' ref; ~2/3 decode to
+# one face (valid), the rest to 0 or 2 faces (rejected), and a valid
+# thumb's face embeds to gallery_embedding(label, idx) — the same
+# distribution make_gallery_pdf seeds with.
+
+def thumb_ref(label: str, idx: int) -> str:
+    return f"thumb://{label}/{idx}"
+
+
+def parse_thumb_ref(ref: str) -> tuple[str, int]:
+    body = ref[len("thumb://"):]
+    label, idx = body.rsplit("/", 1)
+    return label, int(idx)
+
+
+def thumb_face_count(label: str, idx: int) -> int:
+    """Faces the detector finds in a scraped candidate photo: mostly 1
+    (valid), sometimes 0 (no face) or 2 (group shot) -> rejected by
+    the single-face check."""
+    return (1, 1, 1, 0, 1, 2)[_h(f"thumbfaces/{label}/{idx}") % 6]
+
+
+def thumb_seed(label: str, idx: int) -> int:
+    """Counter seed for a candidate thumbnail's crop/encoder path."""
+    return _h(f"thumbemb/{label}/{idx}")

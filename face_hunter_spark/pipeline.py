@@ -177,6 +177,37 @@ def link_documents(
     return out
 
 
+def canonicalized_triples(
+    new_triples: DataFrame,
+    entity_catalog: DataFrame,
+    canon: DataFrame | None = None,
+) -> DataFrame:
+    """north_rule materialization shape, shared by the link and relink
+    jobs: depicts rows gain obj_canonical (QID via connected components
+    over catalog same-as edges) and the doc-level
+    (doc, sdo:depicts, QID) rows are unioned in, distinct per
+    (doc, entity)."""
+    from .operators.canonical import canonical_map, canonicalize_depicts
+
+    new_triples = canonicalize_depicts(
+        new_triples,
+        canon if canon is not None else canonical_map(entity_catalog),
+    )
+    doc_depicts = (
+        new_triples.where(F.col("pred") == NS["foaf_depicts"])
+        .select(
+            F.split(F.col("subj"), "#t=").getItem(0).alias("subj"),
+            F.lit(NS["sdo_depicts"]).alias("pred"),
+            F.col("obj_canonical").alias("obj"),
+            *[c for c in new_triples.columns
+              if c not in ("subj", "pred", "obj")],
+        )
+        .withColumn("obj_canonical", F.col("obj"))
+        .dropDuplicates(["subj", "obj"])
+    )
+    return new_triples.unionByName(doc_depicts)
+
+
 def run_link_job(
     spark: SparkSession,
     catalog: ParquetCatalog,
@@ -210,36 +241,19 @@ def run_link_job(
         )
         documents = documents.join(existing, "doc_id", "left_anti")
 
-    new_triples = T.with_partitioning(
-        link_documents(documents, gallery_pdf, entity_catalog, **kwargs), run_id
+    # north_rule: mentions canonicalize to QIDs IN the materialized
+    # table (obj_canonical next to the DBpedia-preferred obj) + the
+    # doc-level (doc, sdo:depicts, QID) rows.  canon is recomputable
+    # from the catalog but involves an iterative CC loop; repeated
+    # callers (facade, streaming foreachBatch) pass their cached map.
+    new_triples = canonicalized_triples(
+        T.with_partitioning(
+            link_documents(documents, gallery_pdf, entity_catalog, **kwargs),
+            run_id,
+        ),
+        entity_catalog,
+        canon,
     )
-    # north_rule: mentions canonicalize to QIDs (connected components
-    # over catalog same-as edges) IN the materialized table — depicts
-    # rows carry obj_canonical next to the DBpedia-preferred obj
-    from .operators.canonical import canonical_map, canonicalize_depicts
-
-    # canon is recomputable from the catalog but involves an iterative
-    # CC loop; repeated callers (facade, streaming foreachBatch) pass
-    # their cached map instead
-    new_triples = canonicalize_depicts(
-        new_triples, canon if canon is not None else canonical_map(entity_catalog)
-    )
-    # north_star's doc-level triple shape: (doc, sdo:depicts, QID) —
-    # the video URI is the scene URI's '#t=' prefix, the object is the
-    # canonical QID; distinct per (doc, entity)
-    doc_depicts = (
-        new_triples.where(F.col("pred") == NS["foaf_depicts"])
-        .select(
-            F.split(F.col("subj"), "#t=").getItem(0).alias("subj"),
-            F.lit(NS["sdo_depicts"]).alias("pred"),
-            F.col("obj_canonical").alias("obj"),
-            *[c for c in new_triples.columns
-              if c not in ("subj", "pred", "obj")],
-        )
-        .withColumn("obj_canonical", F.col("obj"))
-        .dropDuplicates(["subj", "obj"])
-    )
-    new_triples = new_triples.unionByName(doc_depicts)
 
     # One pass: cache the job's output so triples + lineage + metrics
     # come from the same computation (per-partition lineage is derived

@@ -204,6 +204,26 @@ def entity_catalog_df(spark, **kw):
 
 # ------------------------------------------------------------- jsonl
 
+def make_enrich_candidates_pdf(
+    labels: list[str], per_label: int = 8
+) -> pd.DataFrame:
+    """Scraped-thumbnail candidate batch for the enrichment job: rows
+    (label, entity_uri, media_ref='thumb://{label}/{idx}').  The fake
+    decode (fv.thumb_face_count) rejects ~1/3 of them (0- or 2-face
+    photos), mirroring the reference's single-face filter
+    (enrich_with_photos.py:118-151)."""
+    rows = []
+    for label in labels:
+        uri = dbpedia_uri(label)
+        for t in range(per_label):
+            rows.append({
+                "label": label,
+                "entity_uri": uri,
+                "media_ref": fv.thumb_ref(label, t),
+            })
+    return pd.DataFrame(rows)
+
+
 def make_interleaved_jsonl_rows(n_docs: int) -> list[dict]:
     """Deterministic interleaved docs for the JSONL ingestion path
     (sources.read_interleaved_jsonl): same (doc_id, spans) shape as
