@@ -25,10 +25,16 @@ def api(spark, tmp_path_factory):
             spark, n_entities=N_ENT, distractors=2),
     )
     h.link(synth.documents_df(spark, 15, N_ENT))
-    server = serve(h)
+    attrs = spark.createDataFrame(
+        synth.make_entity_attributes_pdf(n_entities=N_ENT, distractors=2)
+    )
+    server = serve(h, attributes=attrs, allow_raw_sql=True)
+    locked = serve(h)  # default posture: no raw sql, scene columns only
     base = f"http://127.0.0.1:{server.server_address[1]}"
-    yield base, h
+    lbase = f"http://127.0.0.1:{locked.server_address[1]}"
+    yield base, lbase, h
     server.shutdown()
+    locked.shutdown()
 
 
 def _get(url):
@@ -52,7 +58,7 @@ def _post(url, payload):
 
 
 def test_youtube_route(api):
-    base, h = api
+    base, _, h = api
     code, body = _get(f"{base}/api/youtube/vid_00000")
     assert code == 200 and body["success"]
     assert body["scenes"] == [
@@ -63,7 +69,7 @@ def test_youtube_route(api):
 
 
 def test_entity_route(api):
-    base, h = api
+    base, _, h = api
     label = urllib.parse.quote("Entity 001")
     code, body = _get(f"{base}/api/entity/{label}")
     assert code == 200 and body["scenes"]
@@ -75,7 +81,7 @@ def test_entity_route(api):
 
 
 def test_query_route(api):
-    base, _ = api
+    base, _, _ = api
     code, body = _post(f"{base}/api/query",
                        {"where": "entity LIKE '%Entity_001'"})
     assert code == 200 and body["rows"]
@@ -86,3 +92,67 @@ def test_query_route(api):
     assert code == 200 and body["rows"][0]["n"] > 0
     code, body = _post(f"{base}/api/query", {})
     assert code == 400
+
+
+def test_query_where_allowlist(api):
+    """VERDICT r3 #6: the WHERE fragment is validated before splicing —
+    non-allowlisted expressions are rejected with 400, the reference's
+    documented example still passes (attribute columns included)."""
+    base, _, _ = api
+    # the reference's flagship filter (graph.py:194-244 docstring)
+    code, body = _post(f"{base}/api/query", {
+        "where": "wikidata_entity LIKE '%www.wikidata.org%' "
+                 "AND gender = 'male' AND birth_date < '1970-01-01'"
+    })
+    assert code == 200, body
+    for bad in (
+        "entity = 'x'; DROP TABLE triples",       # statement smuggling
+        "java_method('java.lang.Runtime') = 'x'",  # function call
+        "entity IN (SELECT subj FROM triples)",    # subquery
+        "secret_col = 1",                          # unknown column
+        "entity = 'x' -- comment",                 # comment syntax
+    ):
+        code, body = _post(f"{base}/api/query", {"where": bad})
+        assert code == 400, (bad, body)
+        assert not body["success"]
+
+
+def test_query_structured_filters(api):
+    """{'filters': [{column, op, value}]} builds the predicate
+    server-side — values are literals, never raw SQL."""
+    base, _, _ = api
+    code, body = _post(f"{base}/api/query", {
+        "filters": [
+            {"column": "gender", "op": "=", "value": "male"},
+            {"column": "birth_date", "op": "<", "value": "1970-01-01"},
+        ]
+    })
+    assert code == 200, body
+    code, body = _post(f"{base}/api/query", {
+        "filters": [{"column": "entity", "op": "like",
+                     "value": "%'; DROP TABLE x; --%"}]
+    })
+    assert code == 200, body  # hostile VALUE is just a literal
+    assert body["rows"] == []
+    code, _ = _post(f"{base}/api/query", {
+        "filters": [{"column": "entity", "op": "rlike", "value": "x"}]
+    })
+    assert code == 400
+    code, _ = _post(f"{base}/api/query", {
+        "filters": [{"column": "nope", "op": "=", "value": "x"}]
+    })
+    assert code == 400
+
+
+def test_locked_server_posture(api):
+    """Default serve(): raw sql 403s; attribute columns are NOT
+    filterable (no attributes joined); scene columns still work."""
+    _, lbase, _ = api
+    code, body = _post(f"{lbase}/api/query",
+                       {"sql": "SELECT 1 AS x"})
+    assert code == 403 and not body["success"]
+    code, _ = _post(f"{lbase}/api/query", {"where": "gender = 'male'"})
+    assert code == 400
+    code, body = _post(f"{lbase}/api/query",
+                       {"where": "entity LIKE '%Entity_001'"})
+    assert code == 200 and body["rows"]
