@@ -47,6 +47,7 @@ def link_documents(
     one_face: bool = False,
     encoder: str = "hash",
     hnsw_prebuilt: bool = False,
+    hnsw_shards: int | None = None,
     mention_labels: DataFrame | None = None,
     index_catalog=None,
     index_table: str = "ann_index",
@@ -123,27 +124,37 @@ def link_documents(
         # exists quirk at the artifact level.
         from pyspark.sql import SparkSession
 
-        if hnsw_prebuilt:
+        if hnsw_prebuilt or hnsw_shards:
             from .operators import hnsw as _hnsw
 
+            spark_ = SparkSession.getActiveSession()
+            arrays = linking._gallery_arrays(gallery_pdf)
+            # hnsw_shards parallelizes the one superlinear single-
+            # threaded step (the graph build) across executors — the
+            # >10^5-gallery path; the monolithic driver build remains
+            # for small galleries / parity
+            if hnsw_shards:
+                build = lambda: _hnsw.sharded_payload_spark(  # noqa: E731
+                    spark_, arrays, n_shards=hnsw_shards
+                )
+                params = dict(M=15, ef_construction=100,
+                              shards=int(hnsw_shards))
+            else:
+                build = lambda: _hnsw.prebuilt_gallery_payload(arrays)  # noqa: E731
+                params = dict(M=15, ef_construction=100)
             if index_catalog is not None:
                 from . import index_store
 
-                arrays = linking._gallery_arrays(gallery_pdf)
                 key = index_store.payload_key(
                     _hnsw._gallery_fingerprint(arrays[0], arrays[1]),
-                    M=15, ef_construction=100,
+                    **params,
                 )
                 payload, _ = index_store.load_or_build(
-                    SparkSession.getActiveSession(), index_catalog, key,
-                    "hnsw",
-                    lambda: _hnsw.prebuilt_gallery_payload(arrays),
+                    spark_, index_catalog, key, "hnsw", build,
                     table=index_table,
                 )
             else:
-                payload = _hnsw.prebuilt_gallery_payload(
-                    linking._gallery_arrays(gallery_pdf)
-                )
+                payload = build()
         else:
             payload = linking._gallery_arrays(gallery_pdf)
         bc = SparkSession.getActiveSession().sparkContext.broadcast(payload)

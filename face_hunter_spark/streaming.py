@@ -257,6 +257,144 @@ def streaming_scene_runs(
     )
 
 
+STREAM_SCENES_KERNEL = (
+    "doc_id string, scene_idx int, entities string, "
+    "start_ms double, end_ms double"
+)
+# pos = frames consumed; win_* = the sliding t-frame window ending at
+# the last frame (lens / comma-joined sorted sigs / timestamps);
+# active = open scene signature (null = none); opened_at = frame index
+# the open scene started at (the final-frame drop quirk needs it)
+_KERNEL_STATE = (
+    "pos int, win_lens array<int>, win_sigs array<string>, "
+    "win_ts array<double>, active string, start_ts double, "
+    "opened_at int, n_emitted int, last_ts double"
+)
+
+
+def streaming_scene_kernel(
+    frames: DataFrame,
+    frame_threshold: int = 3,
+    stale_gap_ms: int = 60_000,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """The QUIRK-FAITHFUL scene kernel (operators/scenes.py
+    extract_scenes_kernel — the reference's graph_postprocessing.py:8-59
+    semantics, cardinality-only close check, backdated scene ends,
+    positional empty-frame sentinels, final-frame drop quirk) as an
+    incremental stateful streaming operator.
+
+    Unlike ``streaming_scene_runs`` (gaps-and-islands, the *intended*
+    semantics), this operator emits, for frames arriving in order per
+    doc, EXACTLY the scenes the batch kernel emits on the concatenated
+    input — verified side-by-side in tests/test_streaming_kernel.py.
+    The batch kernel's end-of-sequence behavior (an open scene closes
+    at the last frame; a scene opened ON the last frame is dropped)
+    maps to the stale-doc event-time timeout: when the watermark moves
+    ``stale_gap_ms`` past a doc's last frame, that frame IS the doc's
+    final frame.
+
+    State per live doc is O(frame_threshold): the t-frame sliding
+    window (lengths, signatures, timestamps) + the open scene — so the
+    state store scales with live docs, not corpus size, and the
+    operator shuffles each frame exactly once (the doc_id state
+    partitioning), same as the batch applyInPandas shape.
+    """
+    import pandas as pd
+
+    t = int(frame_threshold)
+    cols = ["doc_id", "scene_idx", "entities", "start_ms", "end_ms"]
+
+    def fn(key, pdf_iter, state):
+        doc_id = key[0]
+        if state.hasTimedOut:
+            (pos, _wl, _ws, _wt, active, start_ts, opened_at,
+             n_emitted, last_ts) = state.get
+            if active is not None and opened_at < pos - 1:
+                # batch kernel: an open scene closes at the final
+                # frame's timestamp; one opened ON the final frame is
+                # dropped.  Two-phase retire keeps scene_idx continuity
+                # for a doc that resumes (see streaming_scene_runs).
+                state.update((0, [], [], [], None, 0.0, -1,
+                              n_emitted + 1, 0.0))
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + 10 * stale_gap_ms
+                )
+                yield pd.DataFrame(
+                    [(doc_id, n_emitted, active, start_ts, last_ts)],
+                    columns=cols,
+                )
+            else:
+                state.remove()
+            return
+        if state.exists:
+            (pos, win_lens, win_sigs, win_ts, active, start_ts,
+             opened_at, n_emitted, last_ts) = state.get
+            win_lens, win_sigs, win_ts = (
+                list(win_lens), list(win_sigs), list(win_ts)
+            )
+        else:
+            pos, win_lens, win_sigs, win_ts = 0, [], [], []
+            active, start_ts, opened_at, n_emitted = None, 0.0, -1, 0
+            last_ts = 0.0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_ms", "frame_no"])
+            for ts, labels in zip(pdf["ts_ms"], pdf["labels"]):
+                f = pos
+                rec = sorted(x for x in labels if x != "unknown")
+                if not rec:
+                    rec = [str(f)]  # positional sentinel (:24-33)
+                sig = ",".join(rec)
+                ln = len(rec)
+                win_lens.append(ln)
+                win_sigs.append(sig)
+                win_ts.append(float(ts))
+                if len(win_lens) > t:
+                    del win_lens[0], win_sigs[0], win_ts[0]
+                last_ts = float(ts)
+                pos += 1
+                if f - (t - 1) < 0:
+                    continue
+                lo_ts = win_ts[0]
+                if active is not None:
+                    a_len = active.count(",") + 1
+                    # close: cardinality-only match over lo..f (:40-43)
+                    if not any(l == a_len for l in win_lens):
+                        out.append((doc_id, n_emitted, active,
+                                    start_ts, lo_ts))
+                        n_emitted += 1
+                        active = None
+                # start skip-guard: prior t-1 frames' lengths (:49-51)
+                if any(l != ln for l in win_lens[:-1]):
+                    continue
+                if active is None and all(
+                    s == sig for s in win_sigs[:-1]
+                ):
+                    active, start_ts, opened_at = sig, lo_ts, f
+        state.update((pos, win_lens, win_sigs, win_ts, active,
+                      start_ts, opened_at, n_emitted, last_ts))
+        state.setTimeoutTimestamp(
+            max(int(last_ts) + stale_gap_ms,
+                state.getCurrentWatermarkMs() + 1)
+        )
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    with_wm = frames.withColumn(
+        "event_time", F.timestamp_millis(F.col("ts_ms").cast("long"))
+    ).withWatermark("event_time", watermark_delay)
+    return with_wm.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType=STREAM_SCENES_KERNEL,
+        stateStructType=_KERNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_enrich(
     stream_df: DataFrame,
     dim: DataFrame,

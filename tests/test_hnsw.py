@@ -173,3 +173,122 @@ def test_prebuilt_payload_ships_fingerprint(gallery):
     payload = hnsw.prebuilt_gallery_payload(gallery)
     assert payload["fingerprint"] == hnsw._gallery_fingerprint(
         payload["labels"], payload["index"]["mat"])
+
+
+# ---------------------------------------------------------------------------
+# sharded build (VERDICT r3 'Next round' #3: the >10^5-gallery path)
+# ---------------------------------------------------------------------------
+
+def test_sharded_search_matches_exact(gallery):
+    """ShardedHNSW top-1 agrees with exact brute force at least as
+    often as the monolithic graph (exact merge over per-shard
+    approximate top-k), and global ids map to the right rows."""
+    from face_hunter_spark.operators.hnsw import ShardedHNSW
+
+    labels, mat, norms = gallery
+    n = len(mat)
+    bounds = np.linspace(0, n, 5).astype(np.int64)
+    shards = [HNSWIndex(mat[lo:hi]) for lo, hi in zip(bounds[:-1], bounds[1:])]
+    sidx = ShardedHNSW(shards, bounds[:-1], n)
+    rng = np.random.default_rng(7)
+    pick = rng.integers(0, n, 200)
+    q = (mat[pick] + rng.standard_normal((200, mat.shape[1])).astype(
+        np.float32) * 0.04)
+    qn = np.linalg.norm(q, axis=1)
+    mn = mat / norms[:, None]
+    d = 1.0 - (q / qn[:, None]) @ mn.T
+    brute = np.argmin(d, axis=1)
+    ids, ds = sidx.search_batch(q, k=1)
+    assert (ids[:, 0] == brute).mean() >= 0.95
+    # returned distances equal the recomputed cosine distance of the
+    # returned GLOBAL id — proves offset mapping is right
+    got = 1.0 - np.einsum("ij,ij->i", q / qn[:, None], mn[ids[:, 0]])
+    np.testing.assert_allclose(ds[:, 0], got, atol=1e-5)
+
+
+def test_sharded_payload_roundtrip_and_score(gallery):
+    from face_hunter_spark.operators.hnsw import ShardedHNSW
+
+    labels, mat, _ = gallery
+    n = len(mat)
+    bounds = np.linspace(0, n, 4).astype(np.int64)
+    shards = [HNSWIndex(mat[lo:hi]) for lo, hi in zip(bounds[:-1], bounds[1:])]
+    sidx = ShardedHNSW(shards, bounds[:-1], n)
+    s2 = ShardedHNSW.from_payload(sidx.to_payload())
+    rng = np.random.default_rng(5)
+    q = mat[rng.integers(0, n, 60)] * 1.01
+    a, b = sidx.search_batch(q, k=3), s2.search_batch(q, k=3)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    la, _ = hnsw_score_batch(q, labels, s2, 0.6)
+    lb, _ = hnsw_score_batch(q, labels, HNSWIndex(mat), 0.6)
+    assert list(la) == list(lb)  # same labels as the monolithic graph
+
+
+def test_sharded_payload_spark_build(spark, gallery):
+    """Executor-parallel build: sharded_payload_spark produces the
+    same artifact a local shard-by-shard build does, and the pipeline
+    with hnsw_shards emits the bruteforce strategy's triples."""
+    from face_hunter_spark.operators import hnsw
+    from face_hunter_spark.pipeline import link_documents
+    from face_hunter_spark.schemas import ENTITY_CATALOG
+
+    labels, mat, _ = gallery
+    p = hnsw.sharded_payload_spark(spark, gallery, n_shards=4)
+    assert p["sharded"] and len(p["shards"]) == 4
+    assert p["fingerprint"] == hnsw._gallery_fingerprint(labels, mat)
+    sidx = hnsw.ShardedHNSW.from_payload(p)
+    n = len(mat)
+    bounds = np.linspace(0, n, 5).astype(np.int64)
+    local = hnsw.ShardedHNSW(
+        [HNSWIndex(mat[lo:hi]) for lo, hi in zip(bounds[:-1], bounds[1:])],
+        bounds[:-1], n,
+    )
+    q = mat[:40] * 1.01
+    a, b = sidx.search_batch(q, k=2), local.search_batch(q, k=2)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+    docs = synth.documents_df(spark, 10, 8)
+    gal = synth.make_gallery_pdf(n_entities=8, thumbs_per_entity=5,
+                                 distractors=2)
+    cat = spark.createDataFrame(
+        synth.make_entity_catalog_pdf(n_entities=8, distractors=2),
+        ENTITY_CATALOG,
+    )
+
+    def tset(**kw):
+        df = link_documents(docs, gal, cat, n_entities=8, **kw)
+        return {(r.subj, r.pred, r.obj)
+                for r in df.select("subj", "pred", "obj").collect()}
+
+    assert tset(strategy="hnsw", hnsw_shards=3) == tset(strategy="bruteforce")
+
+
+def test_sharded_payload_persists_through_index_store(spark, tmp_path):
+    """hnsw_shards + cache_index: built once, reloaded (not rebuilt)
+    on the second job, invalidated by a gallery change."""
+    from face_hunter_spark import index_store
+    from face_hunter_spark.catalog import ParquetCatalog
+    from face_hunter_spark.operators import hnsw
+    from face_hunter_spark.operators.linking import _gallery_arrays
+
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    gal = synth.make_gallery_pdf(n_entities=6, thumbs_per_entity=4)
+    arrays = _gallery_arrays(gal)
+    key = index_store.payload_key(
+        hnsw._gallery_fingerprint(arrays[0], arrays[1]),
+        M=15, ef_construction=100, shards=2,
+    )
+    builds = []
+
+    def build():
+        builds.append(1)
+        return hnsw.sharded_payload_spark(spark, arrays, n_shards=2)
+
+    p1, built1 = index_store.load_or_build(spark, cat, key, "hnsw", build)
+    p2, built2 = index_store.load_or_build(spark, cat, key, "hnsw", build)
+    assert built1 and not built2 and len(builds) == 1
+    assert p2["sharded"] and len(p2["shards"]) == 2
+    q = arrays[1][:10] * 1.01
+    a = hnsw.ShardedHNSW.from_payload(p1).search_batch(q, k=1)
+    b = hnsw.ShardedHNSW.from_payload(p2).search_batch(q, k=1)
+    assert np.array_equal(a[0], b[0])
