@@ -524,6 +524,129 @@ def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_enrich_candidate_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gallery-enrichment candidate validation (reference
+    enrich_with_photos.py:118-151 single-face check) as a driver query:
+    validate a fixed synthetic candidate batch distributed
+    (enrich.validate_candidates mapInPandas) and roll up kept
+    thumbnails per label.  Oracle: the same single-face filter
+    regenerated in pure Python as a VALUES literal."""
+    from face_hunter_spark import enrich, synth
+
+    labels = [f"Entity {i:03d}" for i in range(6)]
+    cands = spark.createDataFrame(
+        synth.make_enrich_candidates_pdf(labels, 12), enrich.CANDIDATES
+    )
+    validated = enrich.validate_candidates(cands)
+    return (
+        validated.withColumn(
+            "idx",
+            F.element_at(F.split(F.col("thumb_ref"), "/"), -1).cast("int"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_valid"),
+            F.concat_ws(",", F.array_sort(F.collect_list("idx")))
+            .alias("kept_idxs"),
+        )
+        .orderBy("label")
+    )
+
+
+def _oracle_enrich_validation() -> str:
+    from face_hunter_spark import fakevision as fv
+
+    rows = []
+    for i in range(6):
+        label = f"Entity {i:03d}"
+        kept = [t for t in range(12) if fv.thumb_face_count(label, t) == 1]
+        rows.append(
+            f"('{label}', {len(kept)}, "
+            f"'{','.join(str(t) for t in kept)}')"
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT label, n_valid::BIGINT AS n_valid, kept_idxs
+FROM (VALUES
+  {values}) t(label, n_valid, kept_idxs)
+ORDER BY label
+"""
+
+
+def _q_aligned_crop_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keypoint-based affine alignment (operators/align.py; reference
+    facial_preprocessing.py:7-60) as a driver query: per synthetic
+    face, integer-quantized checksums of the RAW detector patch and the
+    ALIGNED 112x112 crop, computed distributed in one mapInPandas
+    stage.  float64 accumulation over fixed-shape arrays is
+    bit-deterministic, so the pure-Python oracle regenerates the exact
+    same longs (and raw != aligned proves the warp really ran)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from face_hunter_spark import fakevision as fv
+        from face_hunter_spark.operators.align import align_crops_batch
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            seeds = np.array(
+                [fv.face_seed("vid_align", int(i), 0) for i in ids],
+                dtype=np.uint64,
+            )
+            raw = fv.face_crops_batch(seeds)
+            rel = fv.face_keypoints_rel_batch(seeds)
+            kps = rel * np.array([112, 112], dtype=np.float32)
+            aligned = align_crops_batch(raw, kps)
+            yield pd.DataFrame({
+                "frame_no": ids.astype("int64"),
+                "raw_milli": np.floor(
+                    raw.sum(axis=(1, 2, 3), dtype=np.float64) * 1000.0
+                ).astype("int64"),
+                "aligned_milli": np.floor(
+                    aligned.sum(axis=(1, 2, 3), dtype=np.float64) * 1000.0
+                ).astype("int64"),
+            })
+
+    return (
+        spark.range(40).repartition(8)
+        .mapInPandas(fn, "frame_no long, raw_milli long, aligned_milli long")
+        .orderBy("frame_no")
+    )
+
+
+def _oracle_aligned_checksums() -> str:
+    import math
+
+    import numpy as np
+
+    from face_hunter_spark import fakevision as fv
+    from face_hunter_spark.operators.align import align_crops_batch
+
+    rows = []
+    for i in range(40):
+        seed = np.array([fv.face_seed("vid_align", i, 0)], dtype=np.uint64)
+        raw = fv.face_crops_batch(seed)
+        rel = fv.face_keypoints_rel_batch(seed)
+        kps = rel * np.array([112, 112], dtype=np.float32)
+        aligned = align_crops_batch(raw, kps)
+        rows.append(
+            f"({i}, "
+            f"{math.floor(float(raw.sum(dtype=np.float64)) * 1000.0)}, "
+            f"{math.floor(float(aligned.sum(dtype=np.float64)) * 1000.0)})"
+        )
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT frame_no::BIGINT AS frame_no, raw_milli::BIGINT AS raw_milli,
+       aligned_milli::BIGINT AS aligned_milli
+FROM (VALUES
+  {values}) t(frame_no, raw_milli, aligned_milli)
+ORDER BY frame_no
+"""
+
+
 # --------------------------------------------------------------------------
 # the contract
 # --------------------------------------------------------------------------
@@ -576,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": DQ.q_event_transitions,
         "kmv_corpus_overlap": DQ.q_kmv_corpus_overlap,
         # -- (b) new this round ---------------------------------------
+        "enrich_candidate_validation": _q_enrich_candidate_validation,
+        "aligned_crop_checksums": _q_aligned_crop_checksums,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -717,6 +842,8 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": DQ.ORACLE_FUNNEL,
         "event_transitions": DQ.ORACLE_TRANSITIONS,
         "kmv_corpus_overlap": DQ._oracle_kmv_overlap(),
+        "enrich_candidate_validation": _oracle_enrich_validation(),
+        "aligned_crop_checksums": _oracle_aligned_checksums(),
         # Every queries() entry has an exact oracle.  The pipeline
         # queries check against driver_oracle's Python-regenerated
         # expected output; the two ANN queries run in their

@@ -564,50 +564,118 @@ def prebuilt_gallery_payload(gallery_arrays_triple, M: int = 15,
     }
 
 
+def kmeans_shard_assign(
+    mat: np.ndarray, k: int, iters: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic spherical k-means partitioning for routed shards:
+    (n, dim) -> (assignments (n,) int64, normalized centroids (k, dim)
+    float32).  Init = evenly-strided rows (content-deterministic, no
+    RNG); ties in the argmax resolve to the lowest centroid id.  The
+    driver-side cost is iters GEMMs of (n x dim)·(dim x k) — seconds at
+    10^6 rows, negligible next to the build it parallelizes."""
+    n = len(mat)
+    matn = (mat / np.maximum(
+        np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+    )).astype(np.float32)
+    C = matn[np.linspace(0, n - 1, k).astype(np.int64)].copy()
+    assign = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        assign = np.argmax(matn @ C.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = matn[m].sum(axis=0)
+                nc = np.linalg.norm(c)
+                if nc > 1e-30:
+                    C[j] = (c / nc).astype(np.float32)
+    return np.argmax(matn @ C.T, axis=1), C
+
+
 class ShardedHNSW:
-    """IVF-style sharded HNSW: S independent subgraphs over contiguous
-    gallery slices, ALL searched per query batch, results merged by an
-    exact top-k over the S*k per-shard candidates.
+    """IVF-HNSW: S independent subgraphs over content-clustered gallery
+    shards, searched with centroid ROUTING (each query probes only its
+    ``n_probe`` nearest shards), candidates merged by an exact stable
+    top-k.
 
     This is the >10^5-gallery BUILD story (VERDICT r3 'What's wrong'
     #1): a monolithic driver build is single-threaded and superlinear
     (measured 1,257s at 200k rows), while S shard builds run in
-    PARALLEL inside executors (sharded_payload_spark) and each costs
-    ~(n/S)·log(n/S) — the build becomes minutes at 10^6 rows on one
-    host and embarrassingly parallel on a real cluster.  Search does S
-    lockstep walks per batch instead of one, each over a smaller graph
-    (fewer beam rounds), and the exact merge keeps recall at-or-above
-    the monolithic graph's (each shard's approximate top-k is over a
-    subset; the union is then reduced exactly).
+    PARALLEL inside executors (sharded_payload_spark) — 231s measured
+    at 200k on local[32], and embarrassingly parallel on a real
+    cluster.  Routing keeps the search side competitive with the
+    monolithic graph: probing all S small graphs costs S lockstep
+    walks per chunk (measured ~15x slower than monolithic at S=32),
+    while top-``n_probe`` centroid routing does 2-4 walks over graphs
+    an S-th the size — the IVF trade, with per-shard HNSW instead of
+    flat cells.  Shards from ``kmeans_shard_assign`` hold whole
+    face-cluster neighborhoods, so the nearest neighbor's shard is the
+    query's nearest centroid with overwhelming margin (accuracy
+    measured 1.0 at n_probe=2, BENCH_HNSW_SHARD_BUILD.json).
 
-    Deterministic end-to-end: contiguous slicing, per-shard seeded
-    builds, stable merge (ties resolve to the lower shard/global id).
+    Contiguous (non-clustered) shards with ``centroids=None`` fall back
+    to probing every shard — the exact-merge mode used by parity tests.
+
+    Deterministic end-to-end: deterministic partitioning, per-shard
+    seeded builds, stable routing and merge (ties resolve to the lower
+    shard/global id).
     """
 
-    def __init__(self, shards: list, offsets: np.ndarray, n_items: int):
+    def __init__(self, shards: list, ids: list, n_items: int,
+                 centroids: np.ndarray | None = None, n_probe: int = 2):
         self.shards = shards
-        self.offsets = np.asarray(offsets, dtype=np.int64)
+        # global gallery ids per shard (int64 arrays)
+        self.ids = [np.asarray(i, dtype=np.int64) for i in ids]
         self.n_items = int(n_items)
+        self.centroids = centroids
+        self.n_probe = int(n_probe)
         self.ef_search = shards[0].ef_search if shards else 48
 
+    @classmethod
+    def from_offsets(cls, shards: list, offsets: np.ndarray,
+                     n_items: int) -> "ShardedHNSW":
+        """Contiguous-slice construction (all-probe mode)."""
+        offsets = np.asarray(offsets, dtype=np.int64)
+        ends = np.append(offsets[1:], n_items)
+        ids = [np.arange(lo, hi, dtype=np.int64)
+               for lo, hi in zip(offsets, ends)]
+        return cls(shards, ids, n_items, centroids=None)
+
     def search_batch(self, q: np.ndarray, k: int = 1,
-                     ef: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+                     ef: int | None = None,
+                     n_probe: int | None = None
+                     ) -> tuple[np.ndarray, np.ndarray]:
         q = np.asarray(q, dtype=np.float32)
         B = len(q)
         out_ids = np.full((B, k), -1, dtype=np.int64)
         out_d = np.full((B, k), np.inf, dtype=np.float32)
         if B == 0 or self.n_items == 0:
             return out_ids, out_d
-        all_ids, all_ds = [], []
-        for off, sh in zip(self.offsets, self.shards):
-            ids, ds = sh.search_batch(q, k=k, ef=ef)
-            all_ids.append(np.where(ids >= 0, ids + off, -1))
-            all_ds.append(ds)
-        ids = np.concatenate(all_ids, axis=1)   # (B, S*k), shard-major
-        ds = np.concatenate(all_ds, axis=1)     # misses carry +inf
-        order = np.argsort(ds, axis=1, kind="stable")[:, :k]
+        S = len(self.shards)
+        if self.centroids is None:
+            probes = np.tile(np.arange(S, dtype=np.int64), (B, 1))
+        else:
+            P = min(max(1, n_probe or self.n_probe), S)
+            qn = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-30
+            )
+            sim = qn @ self.centroids.T                     # (B, S)
+            probes = np.argsort(-sim, axis=1, kind="stable")[:, :P]
+        P = probes.shape[1]
+        cand_ids = np.full((B, P * k), -1, dtype=np.int64)
+        cand_ds = np.full((B, P * k), np.inf, dtype=np.float32)
+        for s in range(S):
+            rows_q, slots = np.nonzero(probes == s)
+            if len(rows_q) == 0:
+                continue
+            ids_l, ds = self.shards[s].search_batch(q[rows_q], k=k, ef=ef)
+            gids = np.where(ids_l >= 0, self.ids[s][ids_l], -1)
+            col0 = slots * k
+            for j in range(k):
+                cand_ids[rows_q, col0 + j] = gids[:, j]
+                cand_ds[rows_q, col0 + j] = ds[:, j]
+        order = np.argsort(cand_ds, axis=1, kind="stable")[:, :k]
         rows = np.arange(B)[:, None]
-        return ids[rows, order], ds[rows, order]
+        return cand_ids[rows, order], cand_ds[rows, order]
 
     def search(self, q: np.ndarray, k: int = 1,
                ef: int | None = None) -> tuple[np.ndarray, np.ndarray]:
@@ -620,22 +688,27 @@ class ShardedHNSW:
     def to_payload(self) -> dict:
         return {
             "sharded": True,
-            "offsets": self.offsets,
+            "ids": self.ids,
             "n_items": self.n_items,
+            "centroids": self.centroids,
+            "n_probe": self.n_probe,
             "shards": [sh.to_payload() for sh in self.shards],
         }
 
     @classmethod
     def from_payload(cls, p: dict) -> "ShardedHNSW":
-        return cls(
-            [HNSWIndex.from_payload(sp) for sp in p["shards"]],
-            p["offsets"], p["n_items"],
-        )
+        shards = [HNSWIndex.from_payload(sp) for sp in p["shards"]]
+        if "ids" in p:
+            return cls(shards, p["ids"], p["n_items"],
+                       centroids=p.get("centroids"),
+                       n_probe=p.get("n_probe", 2))
+        return cls.from_offsets(shards, p["offsets"], p["n_items"])
 
 
 def sharded_payload_spark(
     spark, gallery_arrays_triple, n_shards: int | None = None,
     M: int = 15, ef_construction: int = 100,
+    partitioner: str = "kmeans", n_probe: int = 2,
 ) -> dict:
     """Build the per-shard subgraphs IN EXECUTORS (one Spark task per
     shard over the broadcast gallery) and assemble the broadcastable
@@ -643,6 +716,13 @@ def sharded_payload_spark(
     threaded step of the hnsw strategy; everything shipped back to the
     driver is the finished adjacency arrays (~n·(M0+M·levels)·4 bytes
     total across shards — the same volume a monolithic payload has).
+
+    ``partitioner='kmeans'`` (default) clusters the gallery with
+    deterministic spherical k-means so queries route to their
+    ``n_probe`` nearest shards at search time (IVF-HNSW — the shape
+    that keeps search competitive with the monolithic graph);
+    ``'contiguous'`` slices by row order and probes every shard
+    (exact-merge mode, the parity baseline).
 
     ``n_shards`` defaults to the session parallelism, capped so shards
     keep >=4096 rows (tiny graphs waste merge work); pass explicitly to
@@ -660,17 +740,29 @@ def sharded_payload_spark(
         idx = HNSWIndex(mat, M=M, ef_construction=ef_construction)
         return {"labels": labels, "index": idx.to_payload(),
                 "fingerprint": fp}
-    bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
+    if partitioner == "kmeans":
+        assign, centroids = kmeans_shard_assign(mat, n_shards)
+        ids = [np.flatnonzero(assign == s).astype(np.int64)
+               for s in range(n_shards)]
+    elif partitioner == "contiguous":
+        bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
+        ids = [np.arange(lo, hi, dtype=np.int64)
+               for lo, hi in zip(bounds[:-1], bounds[1:])]
+        centroids = None
+    else:
+        raise ValueError(partitioner)
     bc = spark.sparkContext.broadcast(np.ascontiguousarray(mat, np.float32))
+    bc_ids = spark.sparkContext.broadcast(ids)
 
     def fn(batches):
         import pickle
 
         for pdf in batches:
             out_s, out_p = [], []
-            for s, lo, hi in zip(pdf["shard"], pdf["lo"], pdf["hi"]):
+            for s in pdf["shard"]:
+                rows_s = bc_ids.value[int(s)]
                 idx = HNSWIndex(
-                    bc.value[int(lo):int(hi)], M=M,
+                    bc.value[rows_s], M=M,
                     ef_construction=ef_construction,
                 )
                 out_s.append(int(s))
@@ -678,10 +770,7 @@ def sharded_payload_spark(
             yield pd.DataFrame({"shard": out_s, "payload": out_p})
 
     plan = spark.createDataFrame(
-        pd.DataFrame({
-            "shard": np.arange(n_shards, dtype=np.int64),
-            "lo": bounds[:-1], "hi": bounds[1:],
-        })
+        pd.DataFrame({"shard": np.arange(n_shards, dtype=np.int64)})
     ).repartition(n_shards, "shard")
     rows = plan.mapInPandas(fn, "shard long, payload binary").collect()
     import pickle
@@ -689,11 +778,14 @@ def sharded_payload_spark(
     payloads = [pickle.loads(r.payload)
                 for r in sorted(rows, key=lambda r: r.shard)]
     bc.unpersist()
+    bc_ids.unpersist()
     return {
         "labels": labels,
         "sharded": True,
-        "offsets": bounds[:-1],
+        "ids": ids,
         "n_items": n,
+        "centroids": centroids,
+        "n_probe": n_probe,
         "shards": payloads,
         "fingerprint": fp,
     }

@@ -43,6 +43,12 @@ def main() -> int:
     ap.add_argument("--hnsw-prebuilt", action="store_true",
                     help="with --strategy hnsw: build the graph once on "
                          "the driver and broadcast it (loadIndex analogue)")
+    ap.add_argument("--hnsw-shards", type=int, default=None,
+                    help="with --strategy hnsw: executor-parallel "
+                         "sharded build (the >10^5-gallery path)")
+    ap.add_argument("--cache-index", action="store_true",
+                    help="persist/reuse ANN payloads through the "
+                         "catalog, keyed by gallery content hash")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--export-n3", default=None, metavar="PATH",
                     help="after the commit, also write the full triple "
@@ -97,6 +103,8 @@ def main() -> int:
         gallery_df=gallery_df,
         one_face=args.one_face,
         hnsw_prebuilt=args.hnsw_prebuilt,
+        hnsw_shards=args.hnsw_shards,
+        cache_index=args.cache_index,
     )
     if args.export_n3:
         from face_hunter_spark.operators import rdf

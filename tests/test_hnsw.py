@@ -180,16 +180,17 @@ def test_prebuilt_payload_ships_fingerprint(gallery):
 # ---------------------------------------------------------------------------
 
 def test_sharded_search_matches_exact(gallery):
-    """ShardedHNSW top-1 agrees with exact brute force at least as
-    often as the monolithic graph (exact merge over per-shard
-    approximate top-k), and global ids map to the right rows."""
+    """ShardedHNSW (all-probe contiguous mode) top-1 agrees with exact
+    brute force at least as often as the monolithic graph (exact merge
+    over per-shard approximate top-k), and global ids map to the right
+    rows."""
     from face_hunter_spark.operators.hnsw import ShardedHNSW
 
     labels, mat, norms = gallery
     n = len(mat)
     bounds = np.linspace(0, n, 5).astype(np.int64)
     shards = [HNSWIndex(mat[lo:hi]) for lo, hi in zip(bounds[:-1], bounds[1:])]
-    sidx = ShardedHNSW(shards, bounds[:-1], n)
+    sidx = ShardedHNSW.from_offsets(shards, bounds[:-1], n)
     rng = np.random.default_rng(7)
     pick = rng.integers(0, n, 200)
     q = (mat[pick] + rng.standard_normal((200, mat.shape[1])).astype(
@@ -213,7 +214,7 @@ def test_sharded_payload_roundtrip_and_score(gallery):
     n = len(mat)
     bounds = np.linspace(0, n, 4).astype(np.int64)
     shards = [HNSWIndex(mat[lo:hi]) for lo, hi in zip(bounds[:-1], bounds[1:])]
-    sidx = ShardedHNSW(shards, bounds[:-1], n)
+    sidx = ShardedHNSW.from_offsets(shards, bounds[:-1], n)
     s2 = ShardedHNSW.from_payload(sidx.to_payload())
     rng = np.random.default_rng(5)
     q = mat[rng.integers(0, n, 60)] * 1.01
@@ -233,19 +234,35 @@ def test_sharded_payload_spark_build(spark, gallery):
     from face_hunter_spark.schemas import ENTITY_CATALOG
 
     labels, mat, _ = gallery
-    p = hnsw.sharded_payload_spark(spark, gallery, n_shards=4)
+    p = hnsw.sharded_payload_spark(
+        spark, gallery, n_shards=4, partitioner="contiguous"
+    )
     assert p["sharded"] and len(p["shards"]) == 4
     assert p["fingerprint"] == hnsw._gallery_fingerprint(labels, mat)
     sidx = hnsw.ShardedHNSW.from_payload(p)
     n = len(mat)
     bounds = np.linspace(0, n, 5).astype(np.int64)
-    local = hnsw.ShardedHNSW(
+    local = hnsw.ShardedHNSW.from_offsets(
         [HNSWIndex(mat[lo:hi]) for lo, hi in zip(bounds[:-1], bounds[1:])],
         bounds[:-1], n,
     )
     q = mat[:40] * 1.01
     a, b = sidx.search_batch(q, k=2), local.search_batch(q, k=2)
     assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    # routed (kmeans) build: same Spark-vs-local equality, plus the
+    # routing must keep exact top-1 agreement on the clustered gallery
+    pk = hnsw.sharded_payload_spark(spark, gallery, n_shards=4)
+    assert pk["centroids"] is not None
+    ridx = hnsw.ShardedHNSW.from_payload(pk)
+    rng = np.random.default_rng(11)
+    qq = (mat[rng.integers(0, n, 150)]
+          + rng.standard_normal((150, mat.shape[1])).astype(np.float32)
+          * 0.04)
+    qqn = qq / np.linalg.norm(qq, axis=1, keepdims=True)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    brute = np.argmin(1.0 - qqn @ mn.T, axis=1)
+    rids, _ = ridx.search_batch(qq, k=1)
+    assert (rids[:, 0] == brute).mean() >= 0.95
 
     docs = synth.documents_df(spark, 10, 8)
     gal = synth.make_gallery_pdf(n_entities=8, thumbs_per_entity=5,
