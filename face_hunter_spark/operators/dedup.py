@@ -266,22 +266,20 @@ def minhash_lsh_pairs(
         # a degenerate bucket (boilerplate docs sharing a band value)
         # would otherwise materialize its whole membership inside ONE
         # collect_list aggregation buffer — an executor OOM at corpus
-        # scale.  A constant-state count agg (map-side combinable, so
-        # the hot bucket is just a big long) finds oversized buckets;
-        # that set is tiny by construction and broadcasts into an
-        # anti-join.  The lazy localCheckpoint pins the (id, bucket)
-        # projection so the md5-dominant signature subtree still runs
-        # ONCE even though two plan branches consume it (HOF lambdas
-        # defeat ReusedExchange canonicalization).
-        bucketed = bucketed.localCheckpoint(eager=False)
-        oversized = (
-            bucketed.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n_members"))
-            .where(F.col("n_members") > max_bucket_size)
-            .select("bucket")
-        )
-        bucketed = bucketed.join(
-            F.broadcast(oversized), "bucket", "left_anti"
+        # scale.  An ORDER-BY-free window count rides the SAME
+        # bucket exchange the collect uses (Window's hash partitioning
+        # satisfies the downstream groupBy, so Catalyst adds no second
+        # exchange and the md5-dominant signature subtree still runs
+        # exactly once); hot-bucket rows sit in a spillable shuffle
+        # partition, never in an aggregation buffer — only <=cap
+        # buckets reach collect_list.  (The r4 first cut used a
+        # count-agg + broadcast anti-join: correct, but it re-ran the
+        # exchange and cost ~2x on the bench.)
+        w = Window.partitionBy("bucket")
+        bucketed = (
+            bucketed.withColumn("n_members", F.count(F.lit(1)).over(w))
+            .where(F.col("n_members") <= max_bucket_size)
+            .drop("n_members")
         )
     grouped = (
         bucketed.groupBy("bucket")
@@ -416,16 +414,16 @@ def simhash_pairs(
     # reuse), and the window pass disappears.
     if max_bucket_size is not None:
         # same pre-collect hot-bucket guard as minhash_lsh_pairs
-        # (ADVICE r3): count-filter oversized bands before any
-        # membership array is materialized in an agg buffer.
-        banded = banded.localCheckpoint(eager=False)
-        oversized = (
-            banded.groupBy("band")
-            .agg(F.count(F.lit(1)).alias("n_members"))
-            .where(F.col("n_members") > max_bucket_size)
-            .select("band")
+        # (ADVICE r3): an ORDER-BY-free window count on the band
+        # exchange the collect reuses — oversized bands drop before any
+        # membership array is materialized in an agg buffer, with no
+        # second exchange of the simhash subtree.
+        wb = Window.partitionBy("band")
+        banded = (
+            banded.withColumn("n_members", F.count(F.lit(1)).over(wb))
+            .where(F.col("n_members") <= max_bucket_size)
+            .drop("n_members")
         )
-        banded = banded.join(F.broadcast(oversized), "band", "left_anti")
     grouped = (
         banded.groupBy("band")
         .agg(F.array_sort(
