@@ -49,7 +49,7 @@ def main() -> int:
 
     from face_hunter_spark import enrich, synth
     from face_hunter_spark.catalog import ParquetCatalog
-    from face_hunter_spark.schemas import DOCUMENTS, ENTITY_CATALOG
+    from face_hunter_spark.schemas import ENTITY_CATALOG
 
     catalog = ParquetCatalog(args.catalog_root)
     candidates = spark.read.parquet(args.candidates)
@@ -61,9 +61,16 @@ def main() -> int:
     if args.relink_documents:
         docs = spark.read.parquet(args.relink_documents)
         if "spans" not in docs.columns:
-            docs = spark.createDataFrame(
-                synth.make_documents_pdf(docs.count(), args.n_entities),
-                DOCUMENTS,
+            # driver-corpus shape -> interleaved contract (same
+            # wrapping link_job applies, so the two jobs agree on
+            # doc ids and the relink anti-join lines up)
+            import os
+
+            sys.path.insert(0, ".")
+            import __spark_entry__ as em
+
+            docs = em._interleaved_documents(
+                spark, os.path.dirname(args.relink_documents.rstrip("/"))
             )
         ecat = spark.createDataFrame(
             synth.make_entity_catalog_pdf(n_entities=args.n_entities),
