@@ -420,6 +420,52 @@ def _q_jsonl_interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bgp_scene_depicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basic-graph-pattern compiler (operators/bgp.py — the SPARQL
+    analogue of graph.py:194-244) over the pipeline's triples:
+    {?v hasScene ?s . ?s sdo:depicts ?e}.  Exact oracle: the same two
+    patterns as SQL over the driver_oracle VALUES-mirrored scenes."""
+    from face_hunter_spark.operators.bgp import graph_pattern
+    from face_hunter_spark.schemas import NS
+
+    triples = _kg_pipeline(spark, sf_dir)
+    return graph_pattern(
+        triples,
+        [("?v", NS["hunter_has_scene"], "?s"),
+         ("?s", NS["sdo_depicts"], "?e")],
+        select=["v", "s", "e"],
+        distinct=True,
+    ).orderBy("v", "s", "e")
+
+
+def _q_bgp_entity_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-anchored 3-pattern chain: {?s sdo:depicts <E> .
+    ?s video:sceneFrom ?v . ?v dc:title ?t} — the compiled form of the
+    reference's docstring SPARQL example (graph.py:224-236).  The
+    anchor is Entity 001's preferred URI, derived from the synthetic
+    catalog exactly as the pipeline derives it."""
+    from face_hunter_spark import synth
+    from face_hunter_spark.operators.bgp import graph_pattern
+    from face_hunter_spark.schemas import NS
+
+    cat = synth.make_entity_catalog_pdf(n_entities=N_ENTITIES, distractors=3)
+    grp = cat[cat["name"] == "Entity 001"]
+    db = grp[grp["source_kg"] == "dbpedia"]["entity"]
+    anchor = db.iloc[0] if len(db) else grp[
+        grp["source_kg"] == "wikidata"
+    ]["entity"].iloc[0]
+
+    triples = _kg_pipeline(spark, sf_dir)
+    return graph_pattern(
+        triples,
+        [("?s", NS["sdo_depicts"], anchor),
+         ("?s", NS["video_scene_from"], "?v"),
+         ("?v", NS["dc_title"], "?t")],
+        select=["s", "v", "t"],
+        distinct=True,
+    ).orderBy("s", "v", "t")
+
+
 def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read path (SURVEY.md §2.8, graph.py:153-192): run the pipeline,
     register the scene_view, and search scenes depicting the busiest
@@ -701,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) new this round ---------------------------------------
         "enrich_candidate_validation": _q_enrich_candidate_validation,
         "aligned_crop_checksums": _q_aligned_crop_checksums,
+        "bgp_scene_depicts": _q_bgp_scene_depicts,
+        "bgp_entity_titles": _q_bgp_entity_titles,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -804,6 +852,8 @@ def oracle_sql() -> dict[str, str]:
         "span_roundtrip": ORACLE_SPAN_ROUNDTRIP,
         "scene_extraction": ORACLE_SCENE_EXTRACTION,
         "multimodal_decode": _oracle_multimodal(),
+        "bgp_scene_depicts": _DO.sql_bgp_scene_depicts(),
+        "bgp_entity_titles": _DO.sql_bgp_entity_titles(),
         "kg_triples_by_pred": _DO.sql_kg_triples_by_pred(),
         "largest_face_geometry": _DO.sql_largest_face_geometry(),
         "kg_scene_search": _DO.sql_kg_scene_search(),

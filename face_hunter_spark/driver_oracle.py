@@ -28,7 +28,7 @@ import numpy as np
 from . import fakevision as fv
 from . import reference_oracle as ro
 from . import synth
-from .schemas import NS
+from .schemas import HOME_URI, NS
 
 MAX_ORIG_ID = 500  # covers sf0.001 and sf0.01 (ids 0..499)
 
@@ -281,6 +281,43 @@ present AS (
 SELECT entity AS entity_uri, count(*)::BIGINT AS n_scenes
 FROM present GROUP BY entity
 ORDER BY n_scenes DESC, entity_uri
+"""
+
+
+def sql_bgp_scene_depicts() -> str:
+    """{?v hasScene ?s . ?s sdo:depicts ?e} over the expected KG —
+    scene URI reconstructed exactly as triples.scene_uri formats it."""
+    return f"""
+WITH scenes(orig_id, scene_idx, start_str, finish_str, entity) AS (VALUES
+  {_values_scenes()})
+SELECT DISTINCT
+  '{HOME_URI}' || printf('vid_%05d', doc.doc_id::INT) AS v,
+  '{HOME_URI}' || printf('vid_%05d', doc.doc_id::INT)
+    || '#t=' || sc.start_str || ',' || sc.finish_str AS s,
+  sc.entity AS e
+FROM scenes sc JOIN documents doc ON sc.orig_id = doc.doc_id
+WHERE sc.entity IS NOT NULL AND {_GUARD}
+ORDER BY v, s, e
+"""
+
+
+def sql_bgp_entity_titles(name: str = "Entity 001") -> str:
+    """{?s sdo:depicts <anchor> . ?s video:sceneFrom ?v . ?v dc:title ?t}
+    with the anchor resolved through the same dbpedia-preferred map the
+    pipeline uses; titles fall back to the doc_id (the interleaved
+    corpus carries no title column)."""
+    anchor = uri_by_name()[name]
+    return f"""
+WITH scenes(orig_id, scene_idx, start_str, finish_str, entity) AS (VALUES
+  {_values_scenes()})
+SELECT DISTINCT
+  '{HOME_URI}' || printf('vid_%05d', doc.doc_id::INT)
+    || '#t=' || sc.start_str || ',' || sc.finish_str AS s,
+  '{HOME_URI}' || printf('vid_%05d', doc.doc_id::INT) AS v,
+  printf('vid_%05d', doc.doc_id::INT) AS t
+FROM scenes sc JOIN documents doc ON sc.orig_id = doc.doc_id
+WHERE sc.entity = '{anchor}' AND {_GUARD}
+ORDER BY s, v, t
 """
 
 

@@ -230,6 +230,35 @@ class SparkHunter:
             scene_view="scene_view" + self._view_suffix,
         ))
 
+    def match(
+        self,
+        patterns,
+        select: list[str] | None = None,
+        distinct: bool = False,
+        allow_cartesian: bool = False,
+    ) -> DataFrame | None:
+        """SPARQL-style basic-graph-pattern matching over the committed
+        triple table (operators/bgp.py) — the compiled form of what
+        ``hunter.sql`` asks you to write as one self-join per pattern
+        (and of the reference's spliced SPARQL patterns,
+        graph.py:194-244).  Terms starting with ``?`` are variables,
+        ``None`` is an anonymous wildcard, anything else is a constant::
+
+            h.match([("?v", NS["hunter_has_scene"], "?s"),
+                     ("?s", NS["sdo_depicts"],      "?e")])
+
+        None before any link() commit (see search)."""
+        from .operators.bgp import graph_pattern
+
+        if not self.catalog.exists("triples"):
+            return None
+        self._refresh_views()
+        triples = self.spark.table("triples" + self._view_suffix)
+        return graph_pattern(
+            triples, patterns, select=select, distinct=distinct,
+            allow_cartesian=allow_cartesian,
+        )
+
     def export_n3(self, path: str, sharded: bool = False) -> int:
         """The reference's ``commit()`` artifact (memory_store.py:48-59
         serializes the rdflib graph as n3): write the committed triple

@@ -1,0 +1,141 @@
+"""Basic-graph-pattern matching over the triple table — the declarative
+analogue of the reference's SPARQL query surface.
+
+The reference templates SPARQL basic graph patterns against Virtuoso
+(src/kg/graph.py:194-244: the user's triple patterns are spliced into a
+SELECT template; api/api.py:81-97 exposes that over HTTP).  SparkHunter
+already offers the raw-SQL escape hatch (``hunter.sql``, one self-join
+per pattern written BY HAND); this module closes the gap by compiling a
+pattern list into that self-join plan automatically:
+
+    graph_pattern(triples, [
+        ("?v", NS["hunter_has_scene"], "?s"),
+        ("?s", NS["sdo_depicts"],      "?e"),
+    ])                       # -> DataFrame(v, s, e)
+
+Terms: a string starting with ``?`` is a variable; ``None`` is an
+anonymous wildcard (matches anything, binds nothing); any other string
+is a constant matched against the column value (URIs and literals look
+the same here — the triple table stores both in ``obj``).
+
+Scale shape (10^12 triples): each pattern compiles to constant
+equality filters directly on the scan — Catalyst pushes them into the
+parquet reader, and because the committed table is bucketed by doc_id
+(triples.with_partitioning) subject-chained patterns co-locate.  The
+patterns are joined most-constrained-first (more constants = smaller
+side first), every join is a hash equi-join on the shared variables
+(never a theta join), and a pattern sharing no variable with the
+accumulated plan raises by default instead of silently emitting a
+10^12 x 10^12 cross product (``allow_cartesian=True`` opts in).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(term) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _compile_pattern(triples: DataFrame, pattern, idx: int) -> tuple:
+    """One triple pattern -> (DataFrame with one column per bound
+    variable, frozenset of its variable names)."""
+    if len(pattern) != 3:
+        raise ValueError(f"pattern {idx} must be (subj, pred, obj): {pattern!r}")
+    df = triples
+    bound: dict[str, str] = {}  # var -> first position that binds it
+    for pos, term in zip(_POS, pattern):
+        if term is None:
+            continue
+        if _is_var(term):
+            var = term[1:]
+            if not var:
+                raise ValueError(f"pattern {idx}: bare '?' is not a variable")
+            if var in bound:
+                # repeated variable inside one pattern = equality
+                df = df.where(F.col(bound[var]) == F.col(pos))
+            else:
+                bound[var] = pos
+        else:
+            df = df.where(F.col(pos) == F.lit(term))
+    if bound:
+        out = df.select(
+            *(F.col(pos).alias(var) for var, pos in bound.items())
+        )
+    else:
+        # all-constant (ASK-style) pattern: keeps the result iff the
+        # triple exists; a broadcast 1-row marker, dropped after the join
+        out = df.limit(1).select(F.lit(1).alias(f"_exists_{idx}"))
+    return out, frozenset(bound)
+
+
+def graph_pattern(
+    triples: DataFrame,
+    patterns,
+    select: list[str] | None = None,
+    distinct: bool = False,
+    allow_cartesian: bool = False,
+) -> DataFrame:
+    """Match a list of (subj, pred, obj) patterns against a triple
+    DataFrame (columns ``subj``, ``pred``, ``obj``; extra columns are
+    ignored) and return one row per variable binding.
+
+    ``select`` projects (and orders) the output variables; default is
+    every variable, sorted.  ``distinct=True`` applies SPARQL
+    ``SELECT DISTINCT`` semantics; the default keeps duplicate
+    bindings, matching SPARQL's bag semantics.
+    """
+    if not patterns:
+        raise ValueError("need at least one pattern")
+    compiled = [
+        _compile_pattern(triples, p, i) for i, p in enumerate(patterns)
+    ]
+    all_vars = frozenset().union(*(v for _, v in compiled))
+    if select is not None:
+        missing = [v for v in select if v not in all_vars]
+        if missing:
+            raise ValueError(f"select names unbound variables: {missing}")
+
+    # greedy most-constrained-first along the variable-sharing graph:
+    # start from the pattern with the fewest variables (= most pushed
+    # constants), then always extend with a connected pattern when one
+    # exists — reordering never introduces a cross product the user's
+    # order avoided; ties keep the original order
+    remaining = sorted(
+        range(len(compiled)),
+        # all-constant markers sort LAST as a seed (a marker-only plan
+        # has no variables to join on); among variable-bearing patterns
+        # fewest-variables-first
+        key=lambda i: (not compiled[i][1], len(compiled[i][1]), i),
+    )
+    plan, bound = compiled[remaining.pop(0)]
+    while remaining:
+        i = next(
+            (j for j in remaining if bound & compiled[j][1]
+             or not compiled[j][1]),
+            remaining[0],
+        )
+        remaining.remove(i)
+        df, vars_i = compiled[i]
+        shared = sorted(bound & vars_i)
+        if shared:
+            plan = plan.join(df, on=shared, how="inner")
+        elif not vars_i:
+            # existence marker: tiny by construction, broadcast it
+            plan = plan.crossJoin(F.broadcast(df))
+        elif allow_cartesian:
+            plan = plan.crossJoin(df)
+        else:
+            raise ValueError(
+                f"pattern {i} shares no variable with the preceding "
+                "patterns — this is a cross product; pass "
+                "allow_cartesian=True if you really mean it"
+            )
+        bound = bound | vars_i
+    out_cols = select if select is not None else sorted(all_vars)
+    plan = plan.select(*out_cols)
+    return plan.distinct() if distinct else plan
