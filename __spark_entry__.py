@@ -749,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aligned_crop_checksums": _q_aligned_crop_checksums,
         "bgp_scene_depicts": _q_bgp_scene_depicts,
         "bgp_entity_titles": _q_bgp_entity_titles,
+        "property_path_khop": DQ.q_property_path_khop,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -854,6 +855,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _oracle_multimodal(),
         "bgp_scene_depicts": _DO.sql_bgp_scene_depicts(),
         "bgp_entity_titles": _DO.sql_bgp_entity_titles(),
+        "property_path_khop": DQ.ORACLE_PROPERTY_PATH,
         "kg_triples_by_pred": _DO.sql_kg_triples_by_pred(),
         "largest_face_geometry": _DO.sql_largest_face_geometry(),
         "kg_scene_search": _DO.sql_kg_scene_search(),

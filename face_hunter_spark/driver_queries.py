@@ -2214,6 +2214,53 @@ GROUP BY x ORDER BY vertex
 """
 
 
+def q_property_path_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path reachability (operators/graph.py::
+    property_path, layered frontier BFS with min-hop labels) over a
+    deterministic out-degree-2 functional graph on customer keys
+    1..150 (sf-agnostic: present from sf0.001 up).  The oracle replays
+    the walk as a bounded recursive CTE with min(hops) aggregation —
+    a different enumeration (exponential walks vs layered frontier),
+    so agreement checks the BFS layering, not just the joins."""
+    from .operators.graph import property_path
+
+    load_views(spark, sf_dir)
+    edges = spark.sql("""
+        SELECT format_string('n%05d', c_custkey) AS src,
+               format_string('n%05d', (c_custkey * 2) % 150 + 1) AS dst
+        FROM customer WHERE c_custkey <= 150
+        UNION ALL
+        SELECT format_string('n%05d', c_custkey),
+               format_string('n%05d', (c_custkey * 3) % 150 + 1)
+        FROM customer WHERE c_custkey <= 150
+    """)
+    return property_path(edges, "n00001", max_hops=6).orderBy("node")
+
+
+ORACLE_PROPERTY_PATH = """
+WITH RECURSIVE edges AS (
+  SELECT printf('n%05d', c_custkey) AS src,
+         printf('n%05d', (c_custkey * 2) % 150 + 1) AS dst
+  FROM customer WHERE c_custkey <= 150
+  UNION ALL
+  SELECT printf('n%05d', c_custkey),
+         printf('n%05d', (c_custkey * 3) % 150 + 1)
+  FROM customer WHERE c_custkey <= 150),
+walk(node, hops) AS (
+  SELECT 'n00001', 0
+  UNION ALL
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN (SELECT DISTINCT src, dst FROM edges) e
+    ON e.src = w.node
+  WHERE w.hops < 6)
+SELECT node, min(hops)::INT AS hops
+FROM walk
+GROUP BY node
+HAVING min(hops) > 0
+ORDER BY node
+"""
+
+
 def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profiler (operators/profile.py) over the four
     string/int customer columns (c_acctbal excluded: double->string

@@ -31,7 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "property_path"]
 
 SCALE = 10**12
 
@@ -210,3 +210,59 @@ def triangle_count(
             F.count("*").alias("n_edges"),
         )
     ).crossJoin(deg.agg(F.count("*").alias("n_vertices")))
+
+
+def property_path(
+    edges: DataFrame,
+    start: str,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    include_start: bool = False,
+) -> DataFrame:
+    """SPARQL property-path reachability (``pred{1,k}`` — and ``pred*``
+    with ``include_start=True``): nodes reachable from ``start`` in at
+    most ``max_hops`` directed edge traversals, with the MINIMUM hop
+    count.  The reference's SPARQL endpoint would answer this with a
+    Virtuoso transitive pattern (graph.py:194-244 splices arbitrary
+    patterns); over the triple table, pass
+    ``triples.where(pred == P).select(subj.alias('src'), obj.alias('dst'))``.
+
+    Returns (node:string, hops:int), ordered by nothing (caller sorts).
+
+    Scale shape: layered frontier BFS — each hop is ONE equi-join of
+    the current frontier against the edge list plus one anti-join
+    against the visited set, both hash joins on the node key (the edge
+    list keeps its partitioning across hops, so AQE reuses the
+    exchange).  The frontier is localCheckpointed every hop: lineage
+    stays O(1) and a hop's join never re-runs prior hops.  Visited
+    grows to the reachable set — at 10^9-vertex scale that is the
+    same O(|V|) state every distributed BFS carries; the anti-join is
+    the bounded alternative to the exponential walk a recursive
+    UNION ALL would do on cyclic graphs.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    e = edges.select(
+        F.col(src).cast("string").alias("e_src"),
+        F.col(dst).cast("string").alias("e_dst"),
+    ).distinct()
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(start,)], "node string").localCheckpoint()
+    visited = frontier.withColumn("hops", F.lit(0)).localCheckpoint()
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["e_src"], "inner")
+            .select(F.col("e_dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()  # eager: truncate per-hop lineage
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(
+            nxt.withColumn("hops", F.lit(h))
+        ).localCheckpoint()
+        frontier = nxt
+    out = visited if include_start else visited.where(F.col("hops") > 0)
+    return out.select("node", F.col("hops").cast("int").alias("hops"))
