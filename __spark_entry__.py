@@ -750,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_scene_depicts": _q_bgp_scene_depicts,
         "bgp_entity_titles": _q_bgp_entity_titles,
         "property_path_khop": DQ.q_property_path_khop,
+        "semantic_dedup_survivors": DQ.q_semantic_dedup_survivors,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -856,6 +857,9 @@ def oracle_sql() -> dict[str, str]:
         "bgp_scene_depicts": _DO.sql_bgp_scene_depicts(),
         "bgp_entity_titles": _DO.sql_bgp_entity_titles(),
         "property_path_khop": DQ.ORACLE_PROPERTY_PATH,
+        "semantic_dedup_survivors": DQ._oracle_semantic_dedup(
+            tau_num=7, tau_den=20
+        ),
         "kg_triples_by_pred": _DO.sql_kg_triples_by_pred(),
         "largest_face_geometry": _DO.sql_largest_face_geometry(),
         "kg_scene_search": _DO.sql_kg_scene_search(),

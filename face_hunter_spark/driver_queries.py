@@ -1420,8 +1420,9 @@ def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_kmeans(k: int = 6, n_iter: int = 4, dim: int = 64) -> str:
-    """Unrolled-CTE Lloyd's: c0 = md5-ordered prefix; a{t} assigns with
+def _kmeans_cte_parts(k: int, n_iter: int, dim: int) -> tuple[list, str]:
+    """Shared CTE chain for the kmeans-family oracles: returns
+    (cte_parts, dist_expr).  c0 = md5-ordered prefix; a{t} assigns with
     c{t-1} (argmin of the 64-term left-associated squared-distance sum
     — the same IEEE add order as the Spark fold); c{t} averages exact
     integer sums; empty clusters COALESCE to their previous centroid."""
@@ -1452,6 +1453,11 @@ c{t} AS (
       CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) t
       GROUP BY a{t}.j, t.i) g
     GROUP BY j) m USING (j))""")
+    return parts, dist
+
+
+def _oracle_kmeans(k: int = 6, n_iter: int = 4, dim: int = 64) -> str:
+    parts, dist = _kmeans_cte_parts(k, n_iter, dim)
     ctes = ",\n".join(parts)
     return f"""
 WITH {ctes}
@@ -1459,6 +1465,59 @@ SELECT vec_id, j::INT AS cluster FROM (
   SELECT q.vec_id, c.j, {dist} AS dist
   FROM q CROSS JOIN c{n_iter} c) d
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1
+ORDER BY vec_id
+"""
+
+
+def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py::semantic_dedup): kmeans blocks the
+    embedding table, within-cluster cosine >= 7/20 pairs drop the
+    larger id (the synthetic embeddings are spread out — max pairwise
+    cosine is ~0.51 — so the production-style 0.8+ threshold would
+    drop nothing; 0.35 exercises real drops).  All math is
+    integer-exact (quantized vectors, squared threshold inequality),
+    so the oracle replays it verbatim: the unrolled kmeans CTEs plus
+    one integer self-join — no precomputed values on either side."""
+    from .operators.dedup import semantic_dedup
+
+    load_views(spark, sf_dir)
+    return semantic_dedup(
+        spark.table("embeddings"), vec_col="embedding", id_col="vec_id",
+        k=6, n_iter=4, tau_num=7, tau_den=20,
+    ).select(
+        F.col("id").alias("vec_id"), F.col("cluster").cast("int").alias("cluster")
+    ).orderBy("vec_id")
+
+
+def _oracle_semantic_dedup(k: int = 6, n_iter: int = 4, dim: int = 64,
+                           tau_num: int = 4, tau_den: int = 5) -> str:
+    """The kmeans oracle's CTE chain (shared via _kmeans_cte_parts, so
+    the two oracles stay in lockstep) + an integer pair join: same
+    quantization, same final assignment, same squared-cosine test."""
+    parts, dist = _kmeans_cte_parts(k, n_iter, dim)
+    dot_ab = " + ".join(f"a.v[{i}] * b.v[{i}]" for i in range(1, dim + 1))
+    n2 = lambda t: " + ".join(  # noqa: E731
+        f"{t}.v[{i}] * {t}.v[{i}]" for i in range(1, dim + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+assign AS (
+  SELECT vec_id, j FROM (
+    SELECT q.vec_id, c.j, {dist} AS dist
+    FROM q CROSS JOIN c{n_iter} c) d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1),
+vl AS (
+  SELECT q.vec_id, a.j, list_transform(q.v, x -> x::BIGINT) AS v
+  FROM q JOIN assign a USING (vec_id)),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS id_b
+  FROM vl a JOIN vl b ON a.j = b.j AND a.vec_id < b.vec_id
+  WHERE ({dot_ab}) >= 0
+    AND {tau_den * tau_den} * ({dot_ab}) * ({dot_ab})
+        >= {tau_num * tau_num} * ({n2('a')}) * ({n2('b')}))
+SELECT vec_id, j::INT AS cluster FROM vl
+WHERE vec_id NOT IN (SELECT id_b FROM dropped)
 ORDER BY vec_id
 """
 

@@ -608,3 +608,88 @@ def dedup_corpus(
         .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------- semantic dedup
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 4,
+    tau_num: int = 4,
+    tau_den: int = 5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
+    clusters the embedding space, near-duplicate pairs are searched
+    WITHIN clusters only, and one representative per duplicate pair
+    survives.  Returns the surviving rows as (id, cluster).
+
+    Survivor rule (deterministic, one pass): a row is dropped iff some
+    same-cluster row with a SMALLER id is within the cosine threshold
+    tau_num/tau_den.  (The transitive-closure variant is
+    ``dup_clusters`` over the pair set.)
+
+    Exactness: vectors are quantized to integer-valued doubles
+    (floor(x*100 + 0.5)) before clustering — the same contract as
+    operators/cluster.kmeans — and the threshold test runs in pure
+    integer arithmetic (``dot >= 0 AND tau_den^2*dot^2 >=
+    tau_num^2*|a|^2*|b|^2``), so survivors are bit-identical at any
+    partitioning and replayable by a SQL oracle.
+
+    Scale shape (the whole point of SemDeDup): clustering bounds the
+    candidate set — the pair search is ONE equi-join on the cluster
+    id, never an all-pairs scan; at 10^9 embeddings with k sized so
+    clusters hold ~10^4-10^5 rows, per-cluster pair work stays
+    executor-local and the only global stages are the k-centroid
+    broadcast argmax of kmeans."""
+    from .cluster import kmeans
+
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * 100.0 + 0.5),
+        ).alias("v"),
+    )
+    assigned, _ = kmeans(q, vec_col="v", id_col="id", k=k, n_iter=n_iter)
+    with_vec = assigned.join(
+        q.select(
+            "id",
+            F.transform("v", lambda x: x.cast("long")).alias("vl"),
+        ),
+        "id",
+    )
+    n2 = F.aggregate("vl", F.lit(0).cast("long"), lambda a, x: a + x * x)
+    e = with_vec.select("id", "cluster", "vl", n2.alias("n2"))
+    a = e.select(
+        F.col("id").alias("id_a"), "cluster",
+        F.col("vl").alias("va"), F.col("n2").alias("na2"),
+    )
+    b = e.select(
+        F.col("id").alias("id_b"), "cluster",
+        F.col("vl").alias("vb"), F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot)
+        .where(
+            (F.col("dot") >= 0)
+            & (
+                F.lit(tau_den * tau_den) * F.col("dot") * F.col("dot")
+                >= F.lit(tau_num * tau_num) * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select("id_b")
+        .distinct()
+    )
+    return e.join(
+        dropped, e["id"] == dropped["id_b"], "left_anti"
+    ).select("id", "cluster")
