@@ -294,6 +294,33 @@ def _q_connected_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFra
     return connected_components(edges, algorithm="bigstar").orderBy("uri")
 
 
+def _q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-batch component maintenance: a standing labeling built from
+    the first slice of the edge set (c_custkey < 400) updated with the
+    remaining edges (400-499) via incremental_components — the KG
+    sameAs-merge maintenance path.  Exact against the SAME recursive-CTE
+    oracle as the full recompute (the contraction argument in the
+    operator docstring makes incremental == full bit-identical)."""
+    from face_hunter_spark.operators.canonical import (
+        connected_components,
+        incremental_components,
+    )
+
+    DQ.load_views(spark, sf_dir)
+    old = spark.sql("""
+        SELECT format_string('c%05d', c_custkey) AS uri_a,
+               format_string('hub%02d', c_nationkey) AS uri_b
+        FROM customer WHERE c_custkey < 400
+    """)
+    delta = spark.sql("""
+        SELECT format_string('c%05d', c_custkey) AS uri_a,
+               format_string('hub%02d', c_nationkey) AS uri_b
+        FROM customer WHERE c_custkey >= 400 AND c_custkey < 500
+    """)
+    labels = connected_components(old)
+    return incremental_components(labels, delta).orderBy("uri")
+
+
 ORACLE_CC = """
 WITH RECURSIVE edges AS (
   SELECT printf('c%05d', c_custkey) AS a, printf('hub%02d', c_nationkey) AS b
@@ -751,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_entity_titles": _q_bgp_entity_titles,
         "property_path_khop": DQ.q_property_path_khop,
         "semantic_dedup_survivors": DQ.q_semantic_dedup_survivors,
+        "incremental_cc": _q_incremental_cc,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -841,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": DQ.ORACLE_NEAR_DUP,
         "connected_components": ORACLE_CC,
         "connected_components_bigstar": ORACLE_CC,
+        "incremental_cc": ORACLE_CC,
         "minhash_dedup_survivors": DQ._oracle_minhash_dedup(),
         "scene_islands": DQ.ORACLE_ISLANDS,
         "n3_video_blocks": DQ.ORACLE_N3_VIDEO,

@@ -188,3 +188,62 @@ def test_bigstar_path_graph_bounded_rounds(spark):
            for r in connected_components(edges, algorithm="bigstar")
            .collect()}
     assert got == {f"p{i:04d}": "p0000" for i in range(n)}
+
+
+def _full_vs_incremental(spark, old_pairs, new_pairs, algorithm="hashmin"):
+    from face_hunter_spark.operators.canonical import incremental_components
+
+    old = spark.createDataFrame(old_pairs, ["uri_a", "uri_b"])
+    new = spark.createDataFrame(new_pairs, ["uri_a", "uri_b"])
+    labels = connected_components(old)
+    inc = {
+        r.uri: r.component
+        for r in incremental_components(
+            labels, new, algorithm=algorithm
+        ).collect()
+    }
+    full = {
+        r.uri: r.component
+        for r in connected_components(old.unionByName(new)).collect()
+    }
+    assert inc == full
+    return inc
+
+
+def test_incremental_cc_merges_components(spark):
+    # two standing components merged by one new edge; one untouched
+    got = _full_vs_incremental(
+        spark,
+        [("a", "b"), ("c", "d"), ("x", "y")],
+        [("b", "c")],
+    )
+    assert got["d"] == "a" and got["x"] == "x"
+
+
+def test_incremental_cc_new_nodes_and_internal_edges(spark):
+    # new edge internal to a component (no-op), brand-new pair, and a
+    # brand-new uri that becomes the new min root of an old component
+    got = _full_vs_incremental(
+        spark,
+        [("b", "c"), ("m", "n")],
+        [("b", "c"), ("p", "q"), ("a0", "n")],
+    )
+    assert got == {
+        "b": "b", "c": "b",
+        "m": "a0", "n": "a0", "a0": "a0",
+        "p": "p", "q": "p",
+    }
+
+
+def test_incremental_cc_chain_across_three_components_bigstar(spark):
+    _full_vs_incremental(
+        spark,
+        [("a", "b"), ("d", "e"), ("g", "h")],
+        [("b", "d"), ("e", "g")],
+        algorithm="bigstar",
+    )
+
+
+def test_incremental_cc_empty_delta(spark):
+    got = _full_vs_incremental(spark, [("a", "b")], [("a", "b")])
+    assert got == {"a": "a", "b": "a"}
