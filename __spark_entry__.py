@@ -493,6 +493,25 @@ def _q_bgp_entity_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("s", "v", "t")
 
 
+def _q_bgp_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL + FILTER through the BGP compiler (the reference's
+    OPTIONAL{dbp:name}/FILTER(LANG) template shape,
+    knowledge_graphs.py:103-104): entity-less scenes survive with a
+    NULL ?e, then the filter keeps NULLs and dbpedia URIs only."""
+    from face_hunter_spark.operators.bgp import graph_pattern
+    from face_hunter_spark.schemas import NS
+
+    triples = _kg_pipeline(spark, sf_dir)
+    return graph_pattern(
+        triples,
+        [("?v", NS["hunter_has_scene"], "?s")],
+        optional=[[("?s", NS["sdo_depicts"], "?e")]],
+        filters=["e IS NULL OR e LIKE 'http://dbpedia.org/%'"],
+        select=["v", "s", "e"],
+        distinct=True,
+    ).orderBy("v", "s", "e")
+
+
 def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read path (SURVEY.md §2.8, graph.py:153-192): run the pipeline,
     register the scene_view, and search scenes depicting the busiest
@@ -779,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_path_khop": DQ.q_property_path_khop,
         "semantic_dedup_survivors": DQ.q_semantic_dedup_survivors,
         "incremental_cc": _q_incremental_cc,
+        "bgp_optional_filter": _q_bgp_optional_filter,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -885,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _oracle_multimodal(),
         "bgp_scene_depicts": _DO.sql_bgp_scene_depicts(),
         "bgp_entity_titles": _DO.sql_bgp_entity_titles(),
+        "bgp_optional_filter": _DO.sql_bgp_optional_filter(),
         "property_path_khop": DQ.ORACLE_PROPERTY_PATH,
         "semantic_dedup_survivors": DQ._oracle_semantic_dedup(
             tau_num=7, tau_den=20

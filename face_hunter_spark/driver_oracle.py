@@ -321,6 +321,36 @@ ORDER BY s, v, t
 """
 
 
+def sql_bgp_optional_filter() -> str:
+    """{?v hasScene ?s OPTIONAL{?s sdo:depicts ?e}
+    FILTER(e IS NULL OR dbpedia)} — OPTIONAL preserves entity-less
+    scenes with a NULL ?e; the FILTER then keeps NULLs and dbpedia URIs
+    (dropping the wikidata-only entities), exactly the reference's
+    OPTIONAL-name + FILTER-lang shape (knowledge_graphs.py:103-104)."""
+    return f"""
+WITH scenes(orig_id, scene_idx, start_str, finish_str, entity) AS (VALUES
+  {_values_scenes()}),
+nodes AS (
+  SELECT DISTINCT
+    '{HOME_URI}' || printf('vid_%05d', doc.doc_id::INT) AS v,
+    '{HOME_URI}' || printf('vid_%05d', doc.doc_id::INT)
+      || '#t=' || sc.start_str || ',' || sc.finish_str AS s
+  FROM scenes sc JOIN documents doc ON sc.orig_id = doc.doc_id
+  WHERE {_GUARD}),
+dep AS (
+  SELECT DISTINCT
+    '{HOME_URI}' || printf('vid_%05d', doc.doc_id::INT)
+      || '#t=' || sc.start_str || ',' || sc.finish_str AS s,
+    sc.entity AS e
+  FROM scenes sc JOIN documents doc ON sc.orig_id = doc.doc_id
+  WHERE sc.entity IS NOT NULL AND {_GUARD})
+SELECT DISTINCT n.v, n.s, d.e
+FROM nodes n LEFT JOIN dep d USING (s)
+WHERE d.e IS NULL OR d.e LIKE 'http://dbpedia.org/%'
+ORDER BY v, s, e
+"""
+
+
 def sql_kg_scene_search() -> str:
     return f"""
 WITH scenes(orig_id, scene_idx, start_str, finish_str, entity) AS (VALUES

@@ -236,6 +236,8 @@ class SparkHunter:
         select: list[str] | None = None,
         distinct: bool = False,
         allow_cartesian: bool = False,
+        optional=None,
+        filters=None,
     ) -> DataFrame | None:
         """SPARQL-style basic-graph-pattern matching over the committed
         triple table (operators/bgp.py) — the compiled form of what
@@ -256,7 +258,8 @@ class SparkHunter:
         triples = self.spark.table("triples" + self._view_suffix)
         return graph_pattern(
             triples, patterns, select=select, distinct=distinct,
-            allow_cartesian=allow_cartesian,
+            allow_cartesian=allow_cartesian, optional=optional,
+            filters=filters,
         )
 
     def export_n3(self, path: str, sharded: bool = False) -> int:

@@ -79,6 +79,8 @@ def graph_pattern(
     select: list[str] | None = None,
     distinct: bool = False,
     allow_cartesian: bool = False,
+    optional=None,
+    filters=None,
 ) -> DataFrame:
     """Match a list of (subj, pred, obj) patterns against a triple
     DataFrame (columns ``subj``, ``pred``, ``obj``; extra columns are
@@ -88,18 +90,69 @@ def graph_pattern(
     every variable, sorted.  ``distinct=True`` applies SPARQL
     ``SELECT DISTINCT`` semantics; the default keeps duplicate
     bindings, matching SPARQL's bag semantics.
+
+    ``optional`` is a list of pattern GROUPS (each a list of patterns,
+    or a single pattern tuple); each group is matched like ``patterns``
+    and then LEFT-joined onto the required plan on the shared variables
+    — SPARQL ``OPTIONAL{...}`` (the reference's templates use it for
+    names: knowledge_graphs.py:103,123).  Unmatched optional variables
+    come back NULL.  An optional group must share at least one variable
+    with the required patterns (otherwise it would be a cross product).
+
+    ``filters`` is a list of SQL boolean expressions over variable
+    names, applied after all joins — SPARQL ``FILTER(...)``
+    (knowledge_graphs.py:45-46,104).  Expressed declaratively so
+    Catalyst pushes each predicate as deep as join semantics allow
+    (below the joins for required vars, post-join where an optional
+    NULL is observable) — no hand-scheduling.
     """
     if not patterns:
         raise ValueError("need at least one pattern")
     compiled = [
         _compile_pattern(triples, p, i) for i, p in enumerate(patterns)
     ]
-    all_vars = frozenset().union(*(v for _, v in compiled))
+    plan, bound = _join_compiled(compiled, allow_cartesian)
+
+    for g, group in enumerate(optional or []):
+        if isinstance(group, tuple):
+            group = [group]
+        if not group:
+            raise ValueError(f"optional group {g} is empty")
+        gcompiled = [
+            _compile_pattern(triples, p, f"opt{g}_{i}")
+            for i, p in enumerate(group)
+        ]
+        gplan, gvars = _join_compiled(gcompiled, allow_cartesian=False)
+        shared = sorted(bound & gvars)
+        if not shared:
+            raise ValueError(
+                f"optional group {g} shares no variable with the "
+                "required patterns — OPTIONAL must be correlated"
+            )
+        if not gvars - bound:
+            raise ValueError(
+                f"optional group {g} binds no new variable — use a "
+                "required pattern (or drop it) instead"
+            )
+        plan = plan.join(gplan, on=shared, how="left")
+        bound = bound | gvars
+
+    for expr in filters or []:
+        plan = plan.where(F.expr(expr))
+
+    all_vars = bound
     if select is not None:
         missing = [v for v in select if v not in all_vars]
         if missing:
             raise ValueError(f"select names unbound variables: {missing}")
+    out_cols = select if select is not None else sorted(all_vars)
+    plan = plan.select(*out_cols)
+    return plan.distinct() if distinct else plan
 
+
+def _join_compiled(compiled, allow_cartesian: bool):
+    """Join a list of compiled (df, vars) patterns into one plan;
+    returns (plan, bound_vars)."""
     # greedy most-constrained-first along the variable-sharing graph:
     # start from the pattern with the fewest variables (= most pushed
     # constants), then always extend with a connected pattern when one
@@ -136,6 +189,4 @@ def graph_pattern(
                 "allow_cartesian=True if you really mean it"
             )
         bound = bound | vars_i
-    out_cols = select if select is not None else sorted(all_vars)
-    plan = plan.select(*out_cols)
-    return plan.distinct() if distinct else plan
+    return plan, bound

@@ -171,3 +171,81 @@ def test_hunter_match_facade(spark, tmp_path):
         map(tuple, want.collect())
     )
     assert got.count() > 0
+
+
+# ------------------------------------------------------- OPTIONAL/FILTER
+
+def test_optional_preserves_unmatched(triples):
+    # s2 has no depicts triple -> e comes back NULL (SPARQL OPTIONAL)
+    got = sorted(
+        (r.v, r.s, r.e) for r in graph_pattern(
+            triples,
+            [("?v", P_SCENE, "?s")],
+            optional=[[("?s", P_DEPICTS, "?e")]],
+            select=["v", "s", "e"],
+        ).collect()
+    )
+    assert got == [
+        ("v1", "s1", "e1"), ("v1", "s1", "e2"), ("v1", "s2", None),
+        ("v2", "s3", "e1"),
+    ]
+
+
+def test_optional_multi_pattern_group(triples):
+    # group {?s depicts ?e . ?e sameAs ?x}: only e1 has sameAs rows;
+    # s1's e2 branch and s2 both fall back to NULLs as one unit
+    got = sorted(
+        (r.s, r.e, r.x) for r in graph_pattern(
+            triples,
+            [("?v", P_SCENE, "?s")],
+            optional=[[("?s", P_DEPICTS, "?e"), ("?e", P_SAME, "?x")]],
+            select=["s", "e", "x"],
+        ).collect()
+    )
+    assert got == [
+        ("s1", "e1", "e1"), ("s1", "e1", "e9"), ("s2", None, None),
+        ("s3", "e1", "e1"), ("s3", "e1", "e9"),
+    ]
+
+
+def test_filter_observes_optional_null(triples):
+    got = sorted(
+        (r.s, r.e) for r in graph_pattern(
+            triples,
+            [("?v", P_SCENE, "?s")],
+            optional=[[("?s", P_DEPICTS, "?e")]],
+            filters=["e IS NULL OR e = 'e1'"],
+            select=["s", "e"],
+        ).collect()
+    )
+    assert got == [("s1", "e1"), ("s2", None), ("s3", "e1")]
+
+
+def test_filter_on_required_var(triples):
+    got = sorted(
+        r.v for r in graph_pattern(
+            triples,
+            [("?v", P_TITLE, "?t")],
+            filters=["t LIKE 't_o%'"],
+            select=["v"],
+        ).collect()
+    )
+    assert got == ["v1"]
+
+
+def test_uncorrelated_optional_raises(triples):
+    with pytest.raises(ValueError, match="correlated"):
+        graph_pattern(
+            triples,
+            [("?v", P_TITLE, "?t")],
+            optional=[[("?s", P_DEPICTS, "?e")]],
+        )
+
+
+def test_optional_with_no_new_vars_raises(triples):
+    with pytest.raises(ValueError, match="binds no new"):
+        graph_pattern(
+            triples,
+            [("?v", P_SCENE, "?s"), ("?s", P_DEPICTS, "?e")],
+            optional=[[("?s", P_DEPICTS, "?e")]],
+        )
