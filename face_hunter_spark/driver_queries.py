@@ -2945,3 +2945,74 @@ FROM (SELECT n_union, n_both,
              n_both::DOUBLE / greatest(n_union::DOUBLE, 1.0) AS j
       FROM agg)
 """
+
+
+def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS forward chaining (operators/graph.py::rdfs_entail —
+    path-doubling rdfs11 closure + broadcast rdfs9 type inheritance)
+    over a 4-level TPC-H-derived ontology (nation < region <
+    hemisphere < world) with customers 1..199 as typed instances.
+    One nation<world triple is pre-asserted to exercise the
+    inferred-only anti-join.  Oracle: recursive-CTE closure + the same
+    set algebra in DuckDB."""
+    from .operators.graph import rdfs_entail
+
+    SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    TYP = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    load_views(spark, sf_dir)
+    triples = spark.sql(f"""
+        SELECT format_string('nation_%d', n_nationkey) AS subj,
+               '{SUB}' AS pred,
+               format_string('region_%d', n_regionkey) AS obj
+        FROM nation
+        UNION ALL
+        SELECT format_string('region_%d', r_regionkey), '{SUB}',
+               format_string('hemisphere_%d', r_regionkey % 2)
+        FROM region
+        UNION ALL
+        SELECT format_string('hemisphere_%d', r_regionkey % 2), '{SUB}',
+               'world'
+        FROM region
+        UNION ALL
+        SELECT 'nation_0', '{SUB}', 'world'
+        UNION ALL
+        SELECT format_string('cust_%d', c_custkey), '{TYP}',
+               format_string('nation_%d', c_nationkey)
+        FROM customer WHERE c_custkey < 200
+    """)
+    return rdfs_entail(triples).orderBy("subj", "pred", "obj")
+
+
+ORACLE_RDFS_ENTAILMENT = """
+WITH RECURSIVE sub(src, dst) AS (
+  SELECT DISTINCT * FROM (
+    SELECT printf('nation_%d', n_nationkey), printf('region_%d', n_regionkey)
+    FROM nation
+    UNION ALL
+    SELECT printf('region_%d', r_regionkey),
+           printf('hemisphere_%d', r_regionkey % 2) FROM region
+    UNION ALL
+    SELECT printf('hemisphere_%d', r_regionkey % 2), 'world' FROM region
+    UNION ALL
+    SELECT 'nation_0', 'world')),
+clos(src, dst) AS (
+  SELECT src, dst FROM sub
+  UNION
+  SELECT c.src, s.dst FROM clos c JOIN sub s ON c.dst = s.src),
+types(x, c) AS (
+  SELECT printf('cust_%d', c_custkey), printf('nation_%d', c_nationkey)
+  FROM customer WHERE c_custkey < 200),
+asserted(subj, pred, obj) AS (
+  SELECT src, 'http://www.w3.org/2000/01/rdf-schema#subClassOf', dst FROM sub
+  UNION ALL
+  SELECT x, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', c FROM types),
+inferred(subj, pred, obj) AS (
+  SELECT src, 'http://www.w3.org/2000/01/rdf-schema#subClassOf', dst
+  FROM clos WHERE src <> dst
+  UNION
+  SELECT t.x, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', c.dst
+  FROM types t JOIN clos c ON t.c = c.src)
+SELECT subj, pred, obj FROM inferred
+EXCEPT SELECT subj, pred, obj FROM asserted
+ORDER BY subj, pred, obj
+"""

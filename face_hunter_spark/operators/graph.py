@@ -31,7 +31,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["pagerank", "triangle_count", "property_path"]
+__all__ = [
+    "pagerank", "triangle_count", "property_path",
+    "transitive_closure", "rdfs_entail",
+]
 
 SCALE = 10**12
 
@@ -266,3 +269,97 @@ def property_path(
         frontier = nxt
     out = visited if include_start else visited.where(F.col("hops") > 0)
     return out.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """All (src, dst) pairs connected by a directed path — the
+    materialized form of SPARQL ``pred+`` and the engine of rdfs11
+    (subClassOf transitivity).  Path-doubling iteration: after round i
+    the closure covers every path of length <= 2^i, so rounds =
+    ceil(log2(longest simple path)) — each round is ONE self-equi-join
+    on the node key + union + distinct, and localCheckpoint keeps the
+    lineage O(1).  Safe on cycles (the distinct pair set is the
+    fixpoint; self-pairs from cycles are kept — (C, C) means C sits on
+    a cycle, mirroring SPARQL pred+ reaching itself)."""
+    r = (
+        edges.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    n = r.count()
+    for _ in range(max_iter):
+        hop = r.select(F.col("src").alias("mid"), F.col("dst"))
+        grown = (
+            r.select("src", F.col("dst").alias("mid"))
+            .join(hop, "mid")
+            .select("src", "dst")
+            .unionByName(r)
+            .distinct()
+            .localCheckpoint()
+        )
+        n2 = grown.count()
+        r = grown
+        if n2 == n:
+            break
+        n = n2
+    return r
+
+
+def rdfs_entail(
+    triples: DataFrame,
+    subclass_pred: str = "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+    type_pred: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    max_iter: int = 30,
+) -> DataFrame:
+    """RDFS entailment materialization over a (subj, pred, obj) triple
+    table — the forward-chaining pass a KG-construction pipeline runs
+    after the write path so SPARQL consumers need no reasoner:
+
+    * rdfs11: (C subClassOf D) . (D subClassOf E)  ->  (C subClassOf E)
+    * rdfs9:  (x type C) . (C subClassOf D)        ->  (x type D)
+
+    Returns ONLY the inferred triples (subj, pred, obj), already
+    anti-joined against the input — append them through the catalog
+    like any link-job output (idempotent by construction).
+
+    Scale shape: the ontology (subClassOf rows) is tiny next to the
+    instance data, so its closure is an iterated small self-join; the
+    instance-side rdfs9 join streams the 10^12-row type slice once
+    against a BROADCAST closure — no shuffle of the big table."""
+    onto = triples.where(F.col("pred") == subclass_pred).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    closure = transitive_closure(onto, max_iter=max_iter).where(
+        F.col("src") != F.col("dst")
+    )
+    inferred_sub = closure.select(
+        F.col("src").alias("subj"),
+        F.lit(subclass_pred).alias("pred"),
+        F.col("dst").alias("obj"),
+    )
+    types = triples.where(F.col("pred") == type_pred).select(
+        "subj", F.col("obj").alias("cls")
+    )
+    inferred_type = types.join(
+        F.broadcast(closure.withColumnRenamed("src", "cls")), "cls"
+    ).select(
+        "subj", F.lit(type_pred).alias("pred"), F.col("dst").alias("obj")
+    )
+    return (
+        inferred_sub.unionByName(inferred_type)
+        .distinct()
+        .join(
+            triples.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"],
+            "left_anti",
+        )
+    )
