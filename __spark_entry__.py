@@ -800,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": _q_incremental_cc,
         "bgp_optional_filter": _q_bgp_optional_filter,
         "rdfs_entailment": DQ.q_rdfs_entailment,
+        "negative_samples": DQ.q_negative_samples,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -908,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_entity_titles": _DO.sql_bgp_entity_titles(),
         "bgp_optional_filter": _DO.sql_bgp_optional_filter(),
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,
+        "negative_samples": DQ.ORACLE_NEGATIVE_SAMPLES,
         "property_path_khop": DQ.ORACLE_PROPERTY_PATH,
         "semantic_dedup_survivors": DQ._oracle_semantic_dedup(
             tau_num=7, tau_den=20

@@ -3016,3 +3016,52 @@ SELECT subj, pred, obj FROM inferred
 EXCEPT SELECT subj, pred, obj FROM asserted
 ORDER BY subj, pred, obj
 """
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered corrupt-tail negative sampling (operators/negatives.py,
+    Bordes et al. NeurIPS'13 protocol) over customer->nation membership
+    triples with the 25-nation vocabulary as the corruption pool.
+    Content-keyed on md5, so DuckDB replays the exact sample: the
+    oracle recomputes vocabulary ranks with a window row_number, the
+    hash index with the same 15-hex-char md5 prefix, and the filtered
+    protocol with NOT EXISTS."""
+    from .operators.negatives import negative_samples
+
+    load_views(spark, sf_dir)
+    pos = spark.sql("""
+        SELECT format_string('c%d', c_custkey) AS subj,
+               'in_nation' AS pred,
+               format_string('n%d', c_nationkey) AS obj
+        FROM customer WHERE c_custkey < 150
+    """)
+    pool = spark.sql(
+        "SELECT format_string('n%d', n_nationkey) AS ent FROM nation"
+    )
+    return negative_samples(pos, k=4, pool=pool, pool_col="ent").orderBy(
+        "subj", "pred", "obj_neg", "neg_idx"
+    )
+
+
+ORACLE_NEGATIVE_SAMPLES = """
+WITH pos AS (
+  SELECT DISTINCT printf('c%d', c_custkey) AS subj,
+         'in_nation' AS pred,
+         printf('n%d', c_nationkey) AS obj
+  FROM customer WHERE c_custkey < 150),
+vocab AS (
+  SELECT row_number() OVER (ORDER BY v) - 1 AS idx, v
+  FROM (SELECT DISTINCT printf('n%d', n_nationkey) AS v FROM nation)),
+cand AS (
+  SELECT subj, pred, obj, r.i AS neg_idx,
+         ('0x' || substr(md5('neg' || chr(31) || subj || chr(31) || pred
+            || chr(31) || obj || chr(31) || r.i), 1, 15))::BIGINT
+           % (SELECT count(*) FROM vocab) AS idx
+  FROM pos CROSS JOIN range(4) r(i))
+SELECT c.subj, c.pred, v.v AS obj_neg, c.neg_idx
+FROM cand c JOIN vocab v USING (idx)
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos p
+  WHERE p.subj = c.subj AND p.pred = c.pred AND p.obj = v.v)
+ORDER BY subj, pred, obj_neg, neg_idx
+"""
