@@ -512,6 +512,27 @@ def _q_bgp_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("v", "s", "e")
 
 
+def _q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT analogue (operators/bgp.py::construct): derive
+    an inverse 'appearsIn' edge and a schema:about edge from the
+    hasScene/depicts chain — CONSTRUCT's graph-set semantics (distinct,
+    NULL-skipping) over the pipeline KG.  Exact oracle: the same two
+    projections as a deduping UNION over the VALUES-mirrored scenes."""
+    from face_hunter_spark.operators.bgp import construct
+    from face_hunter_spark.schemas import NS
+
+    triples = _kg_pipeline(spark, sf_dir)
+    return construct(
+        triples,
+        [("?v", NS["hunter_has_scene"], "?s"),
+         ("?s", NS["sdo_depicts"], "?e")],
+        template=[
+            ("?e", "http://face-hunter.org/ontology/appearsIn", "?v"),
+            ("?v", "https://schema.org/about", "?e"),
+        ],
+    ).orderBy("subj", "pred", "obj")
+
+
 def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read path (SURVEY.md §2.8, graph.py:153-192): run the pipeline,
     register the scene_view, and search scenes depicting the busiest
@@ -801,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional_filter": _q_bgp_optional_filter,
         "rdfs_entailment": DQ.q_rdfs_entailment,
         "negative_samples": DQ.q_negative_samples,
+        "sparql_construct": _q_sparql_construct,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -910,6 +932,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_optional_filter": _DO.sql_bgp_optional_filter(),
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,
         "negative_samples": DQ.ORACLE_NEGATIVE_SAMPLES,
+        "sparql_construct": _DO.sql_sparql_construct(),
         "property_path_khop": DQ.ORACLE_PROPERTY_PATH,
         "semantic_dedup_survivors": DQ._oracle_semantic_dedup(
             tau_num=7, tau_den=20

@@ -351,6 +351,28 @@ ORDER BY v, s, e
 """
 
 
+def sql_sparql_construct() -> str:
+    """CONSTRUCT {?e appearsIn ?v . ?v schema:about ?e} over the
+    expected KG: both template projections of the (v, e) bindings,
+    deduped by UNION (SPARQL's graph-set semantics)."""
+    return f"""
+WITH scenes(orig_id, scene_idx, start_str, finish_str, entity) AS (VALUES
+  {_values_scenes()}),
+b AS (
+  SELECT DISTINCT
+    '{HOME_URI}' || printf('vid_%05d', doc.doc_id::INT) AS v,
+    sc.entity AS e
+  FROM scenes sc JOIN documents doc ON sc.orig_id = doc.doc_id
+  WHERE sc.entity IS NOT NULL AND {_GUARD})
+SELECT e AS subj, 'http://face-hunter.org/ontology/appearsIn' AS pred,
+       v AS obj
+FROM b
+UNION
+SELECT v, 'https://schema.org/about', e FROM b
+ORDER BY subj, pred, obj
+"""
+
+
 def sql_kg_scene_search() -> str:
     return f"""
 WITH scenes(orig_id, scene_idx, start_str, finish_str, entity) AS (VALUES

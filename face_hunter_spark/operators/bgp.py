@@ -150,6 +150,88 @@ def graph_pattern(
     return plan.distinct() if distinct else plan
 
 
+def construct(
+    triples: DataFrame,
+    patterns,
+    template,
+    optional=None,
+    filters=None,
+    allow_cartesian: bool = False,
+    exclude_asserted: bool = False,
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT`` analogue: match ``patterns`` (with the same
+    ``optional``/``filters`` semantics as :func:`graph_pattern`), then
+    instantiate every (subj, pred, obj) triple in ``template`` once per
+    binding and return the resulting GRAPH — a distinct set of triples,
+    per the SPARQL spec (a graph is a set, so CONSTRUCT dedups).
+
+    Template terms are variables (``"?v"``) or constants; per the spec,
+    a template triple whose instantiation contains an unbound (NULL)
+    term — an unmatched OPTIONAL variable — is skipped for that binding,
+    not emitted with a NULL.
+
+    ``exclude_asserted=True`` anti-joins the result against the input
+    triple table, returning only NOVEL triples — the natural form for a
+    materialization job that appends inferences to the catalog
+    idempotently (the same anti-join identity pipeline.py uses).
+
+    Scale shape: the bindings plan is built ONCE and every template
+    triple is a projection of it (Spark unions the projections without
+    recomputing the joins when the plan is materialized below a single
+    distinct); the only added exchange is the distinct on the output
+    triples, which set semantics require.
+    """
+    if not template:
+        raise ValueError("need at least one template triple")
+    bindings = graph_pattern(
+        triples,
+        patterns,
+        select=None,
+        distinct=False,
+        allow_cartesian=allow_cartesian,
+        optional=optional,
+        filters=filters,
+    )
+    bound = set(bindings.columns)
+    out = None
+    for t, tpl in enumerate(template):
+        if len(tpl) != 3:
+            raise ValueError(
+                f"template {t} must be (subj, pred, obj): {tpl!r}"
+            )
+        cols = []
+        for pos, term in zip(_POS, tpl):
+            if term is None:
+                raise ValueError(
+                    f"template {t}: wildcard None is not allowed in a "
+                    "CONSTRUCT template"
+                )
+            if _is_var(term):
+                var = term[1:]
+                if var not in bound:
+                    raise ValueError(
+                        f"template {t} uses unbound variable ?{var}"
+                    )
+                cols.append(F.col(var).alias(pos))
+            else:
+                cols.append(F.lit(term).alias(pos))
+        proj = bindings.select(*cols)
+        out = proj if out is None else out.unionByName(proj)
+    # drop instantiations with an unbound (NULL) term, then set-dedup
+    out = out.where(
+        F.col("subj").isNotNull()
+        & F.col("pred").isNotNull()
+        & F.col("obj").isNotNull()
+    ).distinct()
+    if exclude_asserted:
+        out = out.join(
+            triples.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"],
+            "left_anti",
+        )
+    return out
+
+
 def _join_compiled(compiled, allow_cartesian: bool):
     """Join a list of compiled (df, vars) patterns into one plan;
     returns (plan, bound_vars)."""

@@ -4,7 +4,7 @@ module promises (hash equi-joins, no cartesian without opt-in)."""
 
 import pytest
 
-from face_hunter_spark.operators.bgp import graph_pattern
+from face_hunter_spark.operators.bgp import construct, graph_pattern
 
 P_SCENE = "http://face-hunter.org/ontology/hasScene"
 P_DEPICTS = "https://schema.org/depicts"
@@ -249,3 +249,61 @@ def test_optional_with_no_new_vars_raises(triples):
             [("?v", P_SCENE, "?s"), ("?s", P_DEPICTS, "?e")],
             optional=[[("?s", P_DEPICTS, "?e")]],
         )
+
+
+# ------------------------------------------------------------ CONSTRUCT
+
+def test_construct_materializes_template_graph(triples):
+    got = sorted(tuple(r) for r in construct(
+        triples,
+        [("?v", P_SCENE, "?s"), ("?s", P_DEPICTS, "?e")],
+        template=[("?e", "appears_in", "?v"),
+                  ("?v", "features", "?e")],
+    ).collect())
+    # graph = SET: e1 appears in v1 via s1 only once
+    assert got == sorted([
+        ("e1", "appears_in", "v1"), ("e2", "appears_in", "v1"),
+        ("e1", "appears_in", "v2"),
+        ("v1", "features", "e1"), ("v1", "features", "e2"),
+        ("v2", "features", "e1"),
+    ])
+
+
+def test_construct_skips_null_instantiations(triples):
+    # s2 has no depicts -> its binding has e = NULL; the ?e template
+    # triple is skipped for it but the ?s one still fires (SPARQL spec)
+    got = sorted(tuple(r) for r in construct(
+        triples,
+        [("?v", P_SCENE, "?s")],
+        optional=[[("?s", P_DEPICTS, "?e")]],
+        template=[("?v", "shows", "?e"), ("?v", "has", "?s")],
+    ).collect())
+    assert ("v1", "has", "s2") in got
+    assert not any(r[1] == "shows" and r[2] is None for r in got)
+    assert ("v1", "shows", "e1") in got and ("v2", "shows", "e1") in got
+
+
+def test_construct_exclude_asserted(triples):
+    # reconstructing an already-asserted triple yields nothing novel
+    base = construct(
+        triples,
+        [("?s", P_DEPICTS, "?e")],
+        template=[("?s", P_DEPICTS, "?e"), ("?e", "depicted_in", "?s")],
+        exclude_asserted=True,
+    )
+    got = sorted(tuple(r) for r in base.collect())
+    assert got == sorted([
+        ("e1", "depicted_in", "s1"), ("e2", "depicted_in", "s1"),
+        ("e1", "depicted_in", "s3"),
+    ])
+
+
+def test_construct_validates_template(triples):
+    with pytest.raises(ValueError, match="unbound variable"):
+        construct(triples, [("?v", P_SCENE, "?s")],
+                  template=[("?v", "p", "?nope")])
+    with pytest.raises(ValueError, match="wildcard"):
+        construct(triples, [("?v", P_SCENE, "?s")],
+                  template=[("?v", "p", None)])
+    with pytest.raises(ValueError, match="at least one template"):
+        construct(triples, [("?v", P_SCENE, "?s")], template=[])
