@@ -823,6 +823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entailment": DQ.q_rdfs_entailment,
         "negative_samples": DQ.q_negative_samples,
         "sparql_construct": _q_sparql_construct,
+        "shacl_violations": DQ.q_shacl_violations,
+        "void_predicate_partitions": DQ.q_void_predicate_partitions,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -933,6 +935,8 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,
         "negative_samples": DQ.ORACLE_NEGATIVE_SAMPLES,
         "sparql_construct": _DO.sql_sparql_construct(),
+        "shacl_violations": DQ.ORACLE_SHACL_VIOLATIONS,
+        "void_predicate_partitions": DQ.ORACLE_VOID_PARTITIONS,
         "property_path_khop": DQ.ORACLE_PROPERTY_PATH,
         "semantic_dedup_survivors": DQ._oracle_semantic_dedup(
             tau_num=7, tau_den=20

@@ -3065,3 +3065,92 @@ WHERE NOT EXISTS (
   WHERE p.subj = c.subj AND p.pred = c.pred AND p.obj = v.v)
 ORDER BY subj, pred, obj_neg, neg_idx
 """
+
+
+# one SQL body, two engines: Spark (load_views) and DuckDB (the oracle
+# CTE) both build the same deterministic TPC-H-derived mini-KG with
+# PLANTED violations — customers divisible by 7 are left untyped
+_MINI_KG_SQL = """
+SELECT {fmt}('c%d', c_custkey) AS subj, 'rdf:type' AS pred,
+       'ex:Customer' AS obj
+FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey < 500
+UNION ALL
+SELECT {fmt}('c%d', o_custkey), 'ex:placed', {fmt}('o%d', o_orderkey)
+FROM orders WHERE o_custkey < 500
+UNION ALL
+SELECT {fmt}('c%d', c_custkey), 'ex:segment', c_mktsegment
+FROM customer WHERE c_custkey < 500
+"""
+
+
+def _mini_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(_MINI_KG_SQL.format(fmt="format_string"))
+
+
+def q_shacl_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite validation (operators/shacl.py) over a TPC-H-derived
+    mini-KG with planted violations: untyped customers caught by the
+    domain shape, order-less typed customers by min_count, and
+    non-'B%' market segments by the pattern shape.  Oracle: the same
+    three constraint kinds as NOT EXISTS / LEFT-JOIN-count / NOT LIKE
+    over an identical CTE."""
+    from .operators.shacl import validate
+
+    rep = validate(
+        _mini_kg(spark, sf_dir),
+        [
+            {"id": "dom", "kind": "domain", "pred": "ex:placed",
+             "cls": "ex:Customer"},
+            {"id": "min", "kind": "min_count", "pred": "ex:placed",
+             "cls": "ex:Customer", "n": 1},
+            {"id": "pat", "kind": "pattern", "pred": "ex:segment",
+             "pattern": "B%"},
+        ],
+        rdf_type="rdf:type",
+    )
+    return rep.orderBy("shape_id", "kind", "focus", "pred", "value")
+
+
+ORACLE_SHACL_VIOLATIONS = f"""
+WITH t AS ({_MINI_KG_SQL.format(fmt="printf")}),
+types AS (SELECT subj AS node FROM t
+          WHERE pred = 'rdf:type' AND obj = 'ex:Customer'),
+placed AS (SELECT subj, obj FROM t WHERE pred = 'ex:placed'),
+seg AS (SELECT subj, obj FROM t WHERE pred = 'ex:segment')
+SELECT * FROM (
+  SELECT 'dom' AS shape_id, 'domain' AS kind, subj AS focus,
+         'ex:placed' AS pred, obj AS value
+  FROM placed p
+  WHERE NOT EXISTS (SELECT 1 FROM types WHERE node = p.subj)
+  UNION ALL
+  SELECT 'min', 'min_count', m.node, 'ex:placed',
+         CAST(coalesce(c.n, 0) AS VARCHAR)
+  FROM types m
+  LEFT JOIN (SELECT subj, count(DISTINCT obj) AS n
+             FROM placed GROUP BY subj) c ON m.node = c.subj
+  WHERE coalesce(c.n, 0) < 1
+  UNION ALL
+  SELECT 'pat', 'pattern', subj, 'ex:segment', obj
+  FROM seg WHERE obj NOT LIKE 'B%')
+ORDER BY shape_id, kind, focus, pred, value
+"""
+
+
+def q_void_predicate_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID property partitions (operators/void_stats.py) over the same
+    mini-KG: per-predicate triple / distinct-subject / distinct-object
+    counts in one grouped pass.  Oracle: GROUP BY pred with the same
+    three aggregates."""
+    from .operators.void_stats import predicate_partitions
+
+    return predicate_partitions(_mini_kg(spark, sf_dir)).orderBy("pred")
+
+
+ORACLE_VOID_PARTITIONS = f"""
+WITH t AS ({_MINI_KG_SQL.format(fmt="printf")})
+SELECT pred, count(*)::BIGINT AS n_triples,
+       count(DISTINCT subj)::BIGINT AS n_subjects,
+       count(DISTINCT obj)::BIGINT AS n_objects
+FROM t GROUP BY pred ORDER BY pred
+"""
