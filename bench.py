@@ -102,6 +102,31 @@ def n_docs(spark, sf_dir) -> int:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
 
+def _bench_kg_triples(spark, sf_dir):
+    """TPC-H-derived triple table at full SF (no row caps, unlike the
+    driver query's oracle-sized mini-KG): one triple per typed customer
+    (customers divisible by 7 planted untyped), one per order, one per
+    customer segment — ~2.6 rows/customer + 1/order, so it scales with
+    the SF like a real KG materialization."""
+    import face_hunter_spark.driver_queries as DQm
+
+    DQm.load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT format_string('c%d', c_custkey) AS subj,
+               'rdf:type' AS pred, 'ex:Customer' AS obj
+        FROM customer WHERE c_custkey % 7 <> 0
+        UNION ALL
+        SELECT format_string('c%d', o_custkey), 'ex:placed',
+               format_string('o%d', o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT format_string('c%d', c_custkey), 'ex:segment', c_mktsegment
+        FROM customer
+        """
+    )
+
+
 def headline_queries(spark, sf_dir):
     """name -> zero-arg callable returning a row count (forces full
     execution)."""
@@ -111,6 +136,61 @@ def headline_queries(spark, sf_dir):
     from face_hunter_spark.operators import dedup, similarity
 
     DQ = em.DQ
+
+    def shacl_validate():
+        from face_hunter_spark.operators.shacl import validate
+
+        return _count(
+            validate(
+                _bench_kg_triples(spark, sf_dir),
+                [
+                    {"id": "dom", "kind": "domain", "pred": "ex:placed",
+                     "cls": "ex:Customer"},
+                    {"id": "min", "kind": "min_count", "pred": "ex:placed",
+                     "cls": "ex:Customer", "n": 1},
+                    {"id": "pat", "kind": "pattern", "pred": "ex:segment",
+                     "pattern": "B%"},
+                ],
+                rdf_type="rdf:type",
+            )
+        )
+
+    def void_partitions():
+        from face_hunter_spark.operators.void_stats import (
+            predicate_partitions,
+        )
+
+        return _count(predicate_partitions(_bench_kg_triples(spark, sf_dir)))
+
+    def sparql_construct():
+        from face_hunter_spark.operators.bgp import construct
+
+        return _count(
+            construct(
+                _bench_kg_triples(spark, sf_dir),
+                [("?c", "ex:placed", "?o"), ("?c", "ex:segment", "?s")],
+                template=[("?o", "ex:placedBy", "?c"),
+                          ("?o", "ex:inSegment", "?s")],
+            )
+        )
+
+    def negative_samples():
+        from face_hunter_spark.operators.negatives import (
+            negative_samples as neg,
+        )
+
+        import face_hunter_spark.driver_queries as DQm
+
+        DQm.load_views(spark, sf_dir)
+        pos = spark.sql(
+            "SELECT format_string('c%d', c_custkey) AS subj,"
+            " 'in_nation' AS pred,"
+            " format_string('n%d', c_nationkey) AS obj FROM customer"
+        )
+        pool = spark.sql(
+            "SELECT format_string('n%d', n_nationkey) AS ent FROM nation"
+        )
+        return _count(neg(pos, k=4, pool=pool, pool_col="ent"))
 
     def knn_gemm():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -156,6 +236,10 @@ def headline_queries(spark, sf_dir):
         "profile_customer": lambda: _count(
             DQ.q_profile_customer(spark, sf_dir)
         ),
+        "shacl_validate": shacl_validate,
+        "void_partitions": void_partitions,
+        "sparql_construct": sparql_construct,
+        "negative_samples": negative_samples,
     }
 
 

@@ -472,3 +472,48 @@ class IcebergCatalog:
             f"ORDER BY committed_at DESC LIMIT 1"
         ).collect()
         return str(last[0].snapshot_id) if last else ""
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    catalog,
+    table: str,
+    from_snapshot: str | None,
+    to_snapshot: str | None = None,
+) -> DataFrame:
+    """Set difference between two committed states of a table: rows
+    'added' (in ``to`` but not ``from``) and 'removed' (in ``from`` but
+    not ``to``), with an ``op`` column — the audit primitive for KG
+    maintenance (what did this run change?) and for validating that a
+    compaction/migration preserved content exactly.
+
+    Works against any catalog with ``read``/``read_as_of``
+    (ParquetCatalog or IcebergCatalog).  ``from_snapshot=None`` means
+    the empty table (everything in ``to`` is 'added');
+    ``to_snapshot=None`` means the latest state.  Internal partition
+    bookkeeping columns (``snap``) are excluded from the comparison.
+
+    For the append-only fast path (both snapshots live, no compaction
+    between them) prefer ``read_incremental`` — it touches only the
+    delta files.  This function is the general form: EXCEPT in both
+    directions, correct across compactions because it compares CONTENT,
+    not snapshot lineage.  Each EXCEPT is one hash aggregation over the
+    union of both sides — 10^12-row tables should diff a partition
+    predicate's slice, not the world.
+    """
+    latest = (
+        catalog.read(spark, table)
+        if to_snapshot is None
+        else catalog.read_as_of(spark, table, to_snapshot)
+    )
+    cols = [c for c in latest.columns if c != "snap"]
+    after = latest.select(*cols)
+    if from_snapshot is None:
+        before = after.limit(0)
+    else:
+        before = catalog.read_as_of(spark, table, from_snapshot).select(*cols)
+    added = after.subtract(before)
+    removed = before.subtract(after)
+    return added.withColumn("op", F.lit("added")).unionByName(
+        removed.withColumn("op", F.lit("removed"))
+    )

@@ -175,11 +175,12 @@ def construct(
     materialization job that appends inferences to the catalog
     idempotently (the same anti-join identity pipeline.py uses).
 
-    Scale shape: the bindings plan is built ONCE and every template
-    triple is a projection of it (Spark unions the projections without
-    recomputing the joins when the plan is materialized below a single
-    distinct); the only added exchange is the distinct on the output
-    triples, which set semantics require.
+    Scale shape: the bindings plan (the expensive BGP self-join chain)
+    executes ONCE — the templates are instantiated by exploding an
+    array of per-template structs over the binding rows, not by
+    unioning one projection per template (which would re-execute the
+    join subtree once per template triple); the only added exchange is
+    the distinct on the output triples, which set semantics require.
     """
     if not template:
         raise ValueError("need at least one template triple")
@@ -193,7 +194,7 @@ def construct(
         filters=filters,
     )
     bound = set(bindings.columns)
-    out = None
+    structs = []
     for t, tpl in enumerate(template):
         if len(tpl) != 3:
             raise ValueError(
@@ -215,8 +216,10 @@ def construct(
                 cols.append(F.col(var).alias(pos))
             else:
                 cols.append(F.lit(term).alias(pos))
-        proj = bindings.select(*cols)
-        out = proj if out is None else out.unionByName(proj)
+        structs.append(F.struct(*cols))
+    out = bindings.select(
+        F.explode(F.array(*structs)).alias("_t")
+    ).select("_t.subj", "_t.pred", "_t.obj")
     # drop instantiations with an unbound (NULL) term, then set-dedup
     out = out.where(
         F.col("subj").isNotNull()

@@ -134,7 +134,16 @@ def scene_triples(scenes: DataFrame, entity_catalog: DataFrame) -> DataFrame:
         td_str(F.col("start_ms")).alias("start_str"),
         td_str(F.col("end_ms") - F.col("start_ms")).alias("dur_str"),
         td_str(F.col("end_ms")).alias("finish_str"),
-        F.posexplode_outer("entities").alias("pos", "name"),
+        # set semantics at the emission boundary: a frame with two faces
+        # linked to the SAME entity must yield one depicts triple per
+        # (scene, entity), not two — the reference inserts into an
+        # rdflib Graph / Virtuoso store, both SETS, so duplicates
+        # collapse there (memory_store.py:48-54); array_distinct is
+        # exchange-free (segmentation upstream still sees the raw
+        # per-frame lists, so scene boundaries are untouched)
+        F.posexplode_outer(F.array_distinct("entities")).alias(
+            "pos", "name"
+        ),
     )
     uris = resolve_entity_uris(entity_catalog)
     joined = exploded.join(F.broadcast(uris), "name", "left")

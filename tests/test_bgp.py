@@ -298,6 +298,21 @@ def test_construct_exclude_asserted(triples):
     ])
 
 
+def test_construct_executes_bgp_join_once(triples):
+    # the templates explode over one binding pass — the join subtree
+    # must not be duplicated per template triple
+    plan = construct(
+        triples,
+        [("?v", P_SCENE, "?s"), ("?s", P_DEPICTS, "?e")],
+        template=[("?e", "appearsIn", "?v"), ("?v", "about", "?e"),
+                  ("?s", "shows", "?e")],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert (
+        plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+    )
+    assert plan.count("Generate") == 1
+
+
 def test_construct_validates_template(triples):
     with pytest.raises(ValueError, match="unbound variable"):
         construct(triples, [("?v", P_SCENE, "?s")],

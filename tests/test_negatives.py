@@ -69,3 +69,31 @@ def test_negative_samples_empty_pool_raises(spark, positives):
     empty = spark.createDataFrame([], "ent string")
     with pytest.raises(ValueError, match="empty vocabulary"):
         negative_samples(positives, k=1, pool=empty, pool_col="ent")
+
+
+# ---------------------------------------------------------- property
+
+
+def test_indexed_vocabulary_property(spark):
+    """Fuzz the scale-safe ranking against sorted-enumerate across
+    duplicate-heavy, unicode-ish, and skewed-partition inputs.  One
+    Spark round per case (hypothesis would respawn jobs per example,
+    so the cases are enumerated explicitly)."""
+    cases = [
+        ["a"],
+        ["a", "a", "a"],
+        [f"{i:03d}" for i in range(97)] * 3,
+        ["é", "e", "E", "É", "z" * 50, ""],
+        [f"k{(i * 7919) % 257}" for i in range(514)],
+    ]
+    from face_hunter_spark.operators.negatives import indexed_vocabulary
+
+    for vals in cases:
+        for parts in (1, 5):
+            df = spark.createDataFrame([(v,) for v in vals], ["x"])
+            got = sorted(
+                (r.idx, r.value)
+                for r in indexed_vocabulary(df, "x", parts).collect()
+            )
+            exp = list(enumerate(sorted(set(vals))))
+            assert got == exp, (vals[:5], parts)

@@ -227,3 +227,33 @@ def test_face_geometry_columns(spark, corpus):
         .groupBy("doc_id", "frame_no").count()
     )
     assert per_frame.where(F.col("count") != 1).count() == 0
+
+
+def test_scene_triples_set_semantics_on_duplicate_entities(spark):
+    """A frame with two faces linked to the SAME entity yields ONE
+    depicts triple per (scene, entity) — the reference's rdflib Graph /
+    Virtuoso store are sets, so duplicates collapse there
+    (memory_store.py:48-54); the triple table must match."""
+    from face_hunter_spark.operators.triples import scene_triples
+    from face_hunter_spark.schemas import NS
+
+    scenes = spark.createDataFrame(
+        [("vid_x", 0, 4000, ["Entity 001", "Entity 001", "Entity 002"])],
+        "doc_id string, start_ms long, end_ms long, entities array<string>",
+    )
+    cat = spark.createDataFrame(
+        [("Entity 001", "http://dbpedia.org/resource/Entity_001", "dbpedia"),
+         ("Entity 002", "http://dbpedia.org/resource/Entity_002", "dbpedia")],
+        "name string, entity string, source_kg string",
+    )
+    out = scene_triples(scenes, cat)
+    dep = out.where(out.pred == NS["foaf_depicts"]).collect()
+    assert sorted(r.obj for r in dep) == [
+        "http://dbpedia.org/resource/Entity_001",
+        "http://dbpedia.org/resource/Entity_002",
+    ]
+    # full output has zero duplicate (subj, pred, obj) rows
+    assert (
+        out.groupBy("subj", "pred", "obj").count().where("count > 1").count()
+        == 0
+    )

@@ -208,3 +208,28 @@ def test_ensure_parallelism_skips_already_wide_input(spark):
     fanned = ensure_parallelism(narrow, by="doc_id")
     assert fanned is not narrow
     assert "Exchange hashpartitioning" in plan_of(fanned)
+
+
+def test_shacl_pred_filters_push_to_scan(spark, tmp_path):
+    """Each SHACL shape touches only its predicate's slice: the pred
+    equality must reach the parquet scan as a pushed filter, and the
+    class-membership checks must be hash joins (never nested-loop)."""
+    from face_hunter_spark.operators.shacl import validate
+
+    path = str(tmp_path / "triples.parquet")
+    spark.createDataFrame(
+        [(f"s{i}", "ex:p" if i % 2 else "rdf:type", f"o{i}")
+         for i in range(64)],
+        "subj string, pred string, obj string",
+    ).write.parquet(path)
+    tri = spark.read.parquet(path)
+    rep = validate(
+        tri,
+        [{"id": "d", "kind": "domain", "pred": "ex:p", "cls": "ex:T"},
+         {"id": "m", "kind": "max_count", "pred": "ex:p", "n": 1}],
+        rdf_type="rdf:type",
+    )
+    plan = plan_of(rep)
+    assert "PushedFilters: [" in plan and "EqualTo(pred,ex:p)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
