@@ -262,6 +262,56 @@ class SparkHunter:
             filters=filters,
         )
 
+    def construct(
+        self,
+        patterns,
+        template,
+        optional=None,
+        filters=None,
+        exclude_asserted: bool = False,
+    ) -> DataFrame | None:
+        """SPARQL CONSTRUCT over the committed triple table
+        (operators/bgp.py::construct): match ``patterns``, materialize
+        ``template`` triples per binding, return the distinct graph.
+        ``exclude_asserted=True`` returns only triples not already in
+        the table — feed that straight back into the catalog for an
+        idempotent inference append.  None before any link() commit."""
+        from .operators.bgp import construct as _construct
+
+        if not self.catalog.exists("triples"):
+            return None
+        self._refresh_views()
+        triples = self.spark.table("triples" + self._view_suffix)
+        return _construct(
+            triples, patterns, template, optional=optional,
+            filters=filters, exclude_asserted=exclude_asserted,
+        )
+
+    def validate(self, shapes=None) -> dict | None:
+        """Run the KG quality gate (quality.py) on this handle's
+        catalog: SHACL-lite validation (default: the pipeline's
+        intended-vocabulary shapes) + VoID statistics, committing the
+        report and stats tables.  Returns the stats dict, or None
+        before any link() commit."""
+        from .quality import run_validate_job
+
+        if not self.catalog.exists("triples"):
+            return None
+        return run_validate_job(self.spark, self.catalog, shapes=shapes)
+
+    def stats(self) -> DataFrame | None:
+        """VoID property partitions of the committed triple table —
+        per-predicate triple / distinct subject / distinct object
+        counts.  None before any link() commit."""
+        from .operators.void_stats import predicate_partitions
+
+        if not self.catalog.exists("triples"):
+            return None
+        self._refresh_views()
+        return predicate_partitions(
+            self.spark.table("triples" + self._view_suffix)
+        )
+
     def export_n3(self, path: str, sharded: bool = False) -> int:
         """The reference's ``commit()`` artifact (memory_store.py:48-59
         serializes the rdflib graph as n3): write the committed triple

@@ -122,3 +122,34 @@ def test_raw_graph_pattern_sql(spark, tmp_path):
     assert [(r.title, r.doc_entity_qid) for r in got] == [
         (r.title, r.doc_entity_qid) for r in want
     ]
+
+
+def test_construct_validate_stats_facade(spark, tmp_path):
+    """Round-4 facade surfaces: CONSTRUCT materialization, the quality
+    gate, and VoID stats on one handle (all None pre-commit)."""
+    from face_hunter_spark import synth
+    from face_hunter_spark.hunter import SparkHunter
+    from face_hunter_spark.schemas import NS
+
+    h = SparkHunter(spark, str(tmp_path / "kg"), n_entities=8)
+    assert h.construct([("?v", NS["hunter_has_scene"], "?s")],
+                       [("?s", "x:of", "?v")]) is None
+    assert h.validate() is None
+    assert h.stats() is None
+
+    h.link(synth.documents_df(spark, 10, 8))
+    derived = h.construct(
+        [("?v", NS["hunter_has_scene"], "?s"),
+         ("?s", NS["sdo_depicts"], "?e")],
+        [("?e", "x:appearsIn", "?v")],
+        exclude_asserted=True,
+    )
+    n = derived.count()
+    assert n > 0 and derived.distinct().count() == n
+
+    out = h.validate()
+    assert out["conformant"] and h.catalog.exists("triples_quality_report")
+
+    pp = {r.pred: r.n_triples for r in h.stats().collect()}
+    assert pp[NS["hunter_has_scene"]] > 0
+    assert sum(pp.values()) == h.catalog.read(spark, "triples").count()
