@@ -825,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct": _q_sparql_construct,
         "shacl_violations": DQ.q_shacl_violations,
         "void_predicate_partitions": DQ.q_void_predicate_partitions,
+        "duplicate_spans": DQ.q_duplicate_spans,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -937,6 +938,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_construct": _DO.sql_sparql_construct(),
         "shacl_violations": DQ.ORACLE_SHACL_VIOLATIONS,
         "void_predicate_partitions": DQ.ORACLE_VOID_PARTITIONS,
+        "duplicate_spans": DQ.ORACLE_DUPLICATE_SPANS,
         "property_path_khop": DQ.ORACLE_PROPERTY_PATH,
         "semantic_dedup_survivors": DQ._oracle_semantic_dedup(
             tau_num=7, tau_den=20

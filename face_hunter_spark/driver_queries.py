@@ -3154,3 +3154,50 @@ SELECT pred, count(*)::BIGINT AS n_triples,
        count(DISTINCT obj)::BIGINT AS n_objects
 FROM t GROUP BY pred ORDER BY pred
 """
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (operators/dedup.py::
+    duplicate_spans, the Lee et al. 2022 detection): maximal merged
+    spans of 8-token windows repeated anywhere in the corpus.  Oracle:
+    identical tokenize/window/mark/merge pipeline in DuckDB SQL
+    (regexp_split_to_array + generate_series windows + the same
+    running-max island merge)."""
+    from .operators.dedup import duplicate_spans
+
+    load_views(spark, sf_dir)
+    return duplicate_spans(
+        spark.table("documents"), n=8
+    ).orderBy("id", "span_start")
+
+
+ORACLE_DUPLICATE_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+           AS t
+  FROM documents),
+wins AS (
+  SELECT doc_id, u.gs - 1 AS pos,
+         array_to_string(t[u.gs : u.gs + 7], ' ') AS win
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(gs)
+  WHERE len(t) >= 8),
+rep AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN rep USING (win)),
+flag AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS is_new
+  FROM marked),
+sp AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM flag)
+SELECT doc_id AS id, min(pos) AS span_start,
+       max(pos) + 8 AS span_end, count(*)::BIGINT AS n_windows
+FROM sp GROUP BY doc_id, span_id
+ORDER BY id, span_start
+"""

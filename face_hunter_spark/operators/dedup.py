@@ -693,3 +693,91 @@ def semantic_dedup(
     return e.join(
         dropped, e["id"] == dropped["id_b"], "left_anti"
     ).select("id", "cluster")
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Span-level exact substring dedup (the operator behind
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 — their suffix-array pass finds verbatim substrings
+    repeated across the corpus; this is the n-token-window form of the
+    same detection, sized for a shuffle engine).
+
+    Every n-token window of every document is emitted with its
+    position; windows whose text occurs >= ``min_repeats`` times in
+    the WHOLE corpus (within- or cross-document) mark their tokens as
+    duplicated; overlapping marked windows merge into maximal spans.
+    Output: (id, span_start, span_end, n_windows) with token-index
+    spans, span_end exclusive — the caller cuts or drops those ranges
+    before training.
+
+    Scale shape (10^9 docs): the window explode is O(total corpus
+    tokens) rows — the inherent cost of substring-level detection (a
+    suffix array is the same size); the only wide exchange is the
+    groupBy on the window text, map-side-combined, and the merge pass
+    partitions by document (one narrow window function).  Whitespace
+    tokenization keeps everything in the scan stage; no Python.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_repeats < 2:
+        raise ValueError("min_repeats must be >= 2")
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    # guard: sequence(0, k) with k < 0 would count DOWN; short docs
+    # emit no windows
+    wins = d.where(F.size("toks") >= n).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.array_join(
+                    F.slice("toks", i + 1, n), " "
+                ),
+            )
+        ).alias("pos", "win"),
+    )
+    rep = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_repeats)
+        .select("win")
+    )
+    marked = wins.join(rep, "win").select("id", "pos")
+    # merge overlapping [pos, pos + n) windows per doc: a window starts
+    # a new span iff it begins after every previous window's end
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        marked.withColumn(
+            "prev_max_end",
+            F.max(F.col("pos") + n).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "is_new",
+            (F.col("prev_max_end").isNull())
+            | (F.col("pos") > F.col("prev_max_end")),
+        )
+        .withColumn(
+            "span_id",
+            F.sum(F.col("is_new").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("span_id")
+    )
+    return spans

@@ -380,3 +380,64 @@ def test_redact_pii_and_counts(spark):
     assert (r.e, r.i, r.p) == (1, 1, 1)
     # ordering: the IP must NOT be swallowed by the phone pattern
     assert "<IP>," in r.red
+
+
+# ------------------------------------------------- span-level dedup
+
+
+def test_duplicate_spans_marks_shared_substring(spark):
+    from face_hunter_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame([
+        ("d1", "the quick brown fox jumps over the lazy dog and then "
+               "some unique tail one"),
+        ("d2", "prefix words here the quick brown fox jumps over the "
+               "lazy dog end bits"),
+        ("d3", "totally unrelated content with no repeats at all in "
+               "this document text"),
+    ], "doc_id string, text string")
+    got = sorted(map(tuple, duplicate_spans(docs, n=4).collect()))
+    # the 9-token shared phrase = 6 overlapping 4-gram windows,
+    # merged into one maximal span per document
+    assert got == [("d1", 0, 9, 6), ("d2", 3, 12, 6)]
+
+
+def test_duplicate_spans_within_one_doc(spark):
+    from face_hunter_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [("d1", "a b c d X Y Z a b c d")], "doc_id string, text string"
+    )
+    got = sorted(map(tuple, duplicate_spans(docs, n=4).collect()))
+    # 'a b c d' occurs twice IN the same doc -> both spans marked
+    assert got == [("d1", 0, 4, 1), ("d1", 7, 11, 1)]
+
+
+def test_duplicate_spans_disjoint_spans_stay_separate(spark):
+    from face_hunter_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame([
+        ("d1", "p q r s GAP1 GAP2 w x y z"),
+        ("d2", "p q r s OTHER FILL w x y z"),
+    ], "doc_id string, text string")
+    got = sorted(map(tuple, duplicate_spans(docs, n=4).collect()))
+    assert got == [
+        ("d1", 0, 4, 1), ("d1", 6, 10, 1),
+        ("d2", 0, 4, 1), ("d2", 6, 10, 1),
+    ]
+
+
+def test_duplicate_spans_short_docs_and_validation(spark):
+    from face_hunter_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [("d1", "too short"), ("d2", "too short")],
+        "doc_id string, text string",
+    )
+    assert duplicate_spans(docs, n=8).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_repeats"):
+        duplicate_spans(docs, n=2, min_repeats=1)
+    with _pytest.raises(ValueError, match="n must"):
+        duplicate_spans(docs, n=0)
