@@ -75,6 +75,20 @@ def validate(
     types = t.where(F.col("pred") == F.lit(rdf_type)).select(
         F.col("subj").alias("node"), F.col("obj").alias("cls")
     )
+    # Every class-referencing shape joins against the rdf:type slice;
+    # without a cut, Catalyst re-scans the full triple table once PER
+    # shape (the unionByName keeps each branch's scan alive).  With >=2
+    # consumers, materialize the slice once — same eager-checkpoint
+    # pattern as graph.py's shared-subtree fix (plan-audited there at
+    # 18x rescan).  One consumer: checkpointing is pure overhead, skip.
+    n_cls_shapes = sum(
+        1
+        for s in shapes
+        if s.get("kind") in ("domain", "range")
+        or (s.get("kind") in ("min_count", "max_count") and s.get("cls"))
+    )
+    if n_cls_shapes >= 2:
+        types = types.localCheckpoint()
     out = None
     for i, s in enumerate(shapes):
         kind = s.get("kind")

@@ -441,3 +441,21 @@ def test_duplicate_spans_short_docs_and_validation(spark):
         duplicate_spans(docs, n=2, min_repeats=1)
     with _pytest.raises(ValueError, match="n must"):
         duplicate_spans(docs, n=0)
+    with _pytest.raises(ValueError, match="key must"):
+        duplicate_spans(docs, n=2, key="md5")
+
+
+def test_duplicate_spans_hash_key_matches_text_key(spark):
+    from face_hunter_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame([
+        ("d1", "the quick brown fox jumps over the lazy dog and then "
+               "some unique tail one a b c d more a b c d"),
+        ("d2", "prefix words here the quick brown fox jumps over the "
+               "lazy dog end bits"),
+        ("d3", "totally unrelated content with no repeats at all in "
+               "this document text"),
+    ], "doc_id string, text string")
+    by_hash = sorted(map(tuple, duplicate_spans(docs, n=4, key="hash").collect()))
+    by_text = sorted(map(tuple, duplicate_spans(docs, n=4, key="text").collect()))
+    assert by_hash == by_text and len(by_hash) > 0
