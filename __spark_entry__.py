@@ -826,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_violations": DQ.q_shacl_violations,
         "void_predicate_partitions": DQ.q_void_predicate_partitions,
         "duplicate_spans": DQ.q_duplicate_spans,
+        "cut_duplicate_spans": DQ.q_cut_duplicate_spans,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -939,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "shacl_violations": DQ.ORACLE_SHACL_VIOLATIONS,
         "void_predicate_partitions": DQ.ORACLE_VOID_PARTITIONS,
         "duplicate_spans": DQ.ORACLE_DUPLICATE_SPANS,
+        "cut_duplicate_spans": DQ.ORACLE_CUT_SPANS,
         "property_path_khop": DQ.ORACLE_PROPERTY_PATH,
         "semantic_dedup_survivors": DQ._oracle_semantic_dedup(
             tau_num=7, tau_den=20

@@ -3201,3 +3201,67 @@ SELECT doc_id AS id, min(pos) AS span_start,
 FROM sp GROUP BY doc_id, span_id
 ORDER BY id, span_start
 """
+
+
+def q_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup APPLICATION (operators/dedup.py::cut_spans): the
+    detected duplicate token ranges are excised from each document —
+    the Lee et al. 2022 "train on the corpus with repeated substrings
+    removed" step.  Output is one row per document with the surviving
+    text and the cut-token count.  Oracle: same detection CTEs as
+    ORACLE_DUPLICATE_SPANS, then a per-token anti-range filter +
+    ordered string_agg rebuild."""
+    from .operators.dedup import cut_spans, duplicate_spans
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return cut_spans(docs, duplicate_spans(docs, n=8)).orderBy("doc_id")
+
+
+ORACLE_CUT_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+           AS t
+  FROM documents),
+wins AS (
+  SELECT doc_id, u.gs - 1 AS pos,
+         array_to_string(t[u.gs : u.gs + 7], ' ') AS win
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(gs)
+  WHERE len(t) >= 8),
+rep AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN rep USING (win)),
+flag AS (
+  SELECT doc_id, pos,
+    CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS is_new
+  FROM marked),
+sp AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM flag),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+  FROM sp GROUP BY doc_id, span_id),
+pertok AS (
+  SELECT doc_id, u.gs - 1 AS pos, t[u.gs] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(gs)),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM pertok p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.pos >= s.span_start AND p.pos < s.span_end)),
+keptagg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(k.txt, '') AS text_dedup,
+       (len(t.t) - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+FROM toks t LEFT JOIN keptagg k USING (doc_id)
+ORDER BY t.doc_id
+"""

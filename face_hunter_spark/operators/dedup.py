@@ -806,3 +806,59 @@ def duplicate_spans(
         .drop("span_id")
     )
     return spans
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply span-level dedup: remove the token ranges found by
+    :func:`duplicate_spans` from each document — the "cut the repeated
+    substring out of the corpus" application step of Lee et al. 2022
+    (their dedup trains on the corpus with duplicate spans excised, not
+    on whole-document drops).
+
+    ``spans`` must carry (id, span_start, span_end) with token-index
+    ranges, end exclusive (the duplicate_spans output).  Returns one
+    row per input document: (``id_col``, text_dedup, n_removed) where
+    ``text_dedup`` is the surviving tokens re-joined with single
+    spaces (whitespace is normalized — token identity, not byte
+    identity, is the contract, matching the detection pass) and
+    ``n_removed`` counts cut tokens.  Docs without spans pass through
+    with n_removed = 0; fully-cut docs yield '' (callers typically
+    drop rows below a min-length threshold afterwards).
+
+    Scale shape (10^9 docs): ONE hash equi-join on the doc id against
+    the per-doc span lists (collect_list is bounded by doc_len/n spans
+    per doc); the cut itself is a scan-stage higher-order filter over
+    the token array — no explode, no Python, no second shuffle.
+    """
+    cuts = spans.groupBy(F.col("id").alias("_cid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                F.col("span_end").alias("e"),
+            )
+        ).alias("_cuts")
+    )
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    d = docs.select(
+        F.col(id_col).alias(id_col), toks.alias("_toks")
+    ).join(cuts, F.col(id_col) == F.col("_cid"), "left")
+    kept = F.when(F.col("_cuts").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            "_toks",
+            lambda t, i: ~F.exists(
+                "_cuts", lambda c: (i >= c["s"]) & (i < c["e"])
+            ),
+        )
+    )
+    return d.select(
+        id_col,
+        F.array_join(kept, " ").alias("text_dedup"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

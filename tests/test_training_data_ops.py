@@ -459,3 +459,39 @@ def test_duplicate_spans_hash_key_matches_text_key(spark):
     by_hash = sorted(map(tuple, duplicate_spans(docs, n=4, key="hash").collect()))
     by_text = sorted(map(tuple, duplicate_spans(docs, n=4, key="text").collect()))
     assert by_hash == by_text and len(by_hash) > 0
+
+
+def test_cut_spans_applies_and_passes_through(spark):
+    from face_hunter_spark.operators.dedup import duplicate_spans, cut_spans
+
+    docs = spark.createDataFrame([
+        ("a", "one two three four five six seven eight nine unique"),
+        ("b", "pre one two three four five six seven eight nine post"),
+        ("c", "no repeats in here at all thanks"),
+    ], "doc_id string, text string")
+    got = sorted(
+        map(tuple, cut_spans(docs, duplicate_spans(docs, n=4)).collect())
+    )
+    assert got == [
+        ("a", "unique", 9),
+        ("b", "pre post", 9),
+        ("c", "no repeats in here at all thanks", 0),
+    ]
+
+
+def test_cut_spans_fully_cut_doc_and_multiple_spans(spark):
+    from face_hunter_spark.operators.dedup import cut_spans
+
+    docs = spark.createDataFrame([
+        ("a", "w x y z"),
+        ("b", "k0 k1 k2 k3 k4 k5 k6 k7 k8 k9"),
+    ], "doc_id string, text string")
+    spans = spark.createDataFrame(
+        [("a", 0, 4, 1), ("b", 1, 3, 1), ("b", 6, 8, 1)],
+        "id string, span_start int, span_end int, n_windows int",
+    )
+    got = sorted(map(tuple, cut_spans(docs, spans).collect()))
+    assert got == [
+        ("a", "", 4),
+        ("b", "k0 k3 k4 k5 k8 k9", 4),
+    ]
