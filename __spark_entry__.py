@@ -827,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "void_predicate_partitions": DQ.q_void_predicate_partitions,
         "duplicate_spans": DQ.q_duplicate_spans,
         "cut_duplicate_spans": DQ.q_cut_duplicate_spans,
+        "describe_entity": DQ.q_describe_entity,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -941,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "void_predicate_partitions": DQ.ORACLE_VOID_PARTITIONS,
         "duplicate_spans": DQ.ORACLE_DUPLICATE_SPANS,
         "cut_duplicate_spans": DQ.ORACLE_CUT_SPANS,
+        "describe_entity": DQ.ORACLE_DESCRIBE_ENTITY,
         "property_path_khop": DQ.ORACLE_PROPERTY_PATH,
         "semantic_dedup_survivors": DQ._oracle_semantic_dedup(
             tau_num=7, tau_den=20

@@ -3156,6 +3156,27 @@ FROM t GROUP BY pred ORDER BY pred
 """
 
 
+def q_describe_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE analogue (operators/bgp.py::describe): the full
+    star of one node in the mini-KG — outbound triples plus inbound
+    ones, tagged with a direction column.  Two pushed constant filters,
+    no shuffle.  Oracle: the same two filtered selects unioned."""
+    from .operators.bgp import describe
+
+    return describe(_mini_kg(spark, sf_dir), "c1").orderBy(
+        "direction", "subj", "pred", "obj"
+    )
+
+
+ORACLE_DESCRIBE_ENTITY = f"""
+WITH t AS ({_MINI_KG_SQL.format(fmt="printf")})
+SELECT subj, pred, obj, 'out' AS direction FROM t WHERE subj = 'c1'
+UNION ALL
+SELECT subj, pred, obj, 'in' FROM t WHERE obj = 'c1' AND subj <> 'c1'
+ORDER BY direction, subj, pred, obj
+"""
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact substring dedup (operators/dedup.py::
     duplicate_spans, the Lee et al. 2022 detection): maximal merged

@@ -262,6 +262,46 @@ class SparkHunter:
             filters=filters,
         )
 
+    def ask(
+        self,
+        patterns,
+        optional=None,
+        filters=None,
+        allow_cartesian: bool = False,
+    ) -> bool:
+        """SPARQL ``ASK`` over the committed triple table: True iff the
+        pattern list has at least one binding (operators/bgp.py::ask —
+        evaluates LIMIT 1, so a hit costs one scan task).  False before
+        any link() commit."""
+        from .operators.bgp import ask as _ask
+
+        if not self.catalog.exists("triples"):
+            return False
+        self._refresh_views()
+        return _ask(
+            self.spark.table("triples" + self._view_suffix),
+            patterns,
+            optional=optional,
+            filters=filters,
+            allow_cartesian=allow_cartesian,
+        )
+
+    def describe(self, node: str, inbound: bool = True) -> DataFrame | None:
+        """SPARQL ``DESCRIBE <node>``: the node's full star — outbound
+        triples plus (with ``inbound=True``) inbound ones, tagged with
+        a ``direction`` column (operators/bgp.py::describe; two pushed
+        constant filters, no shuffle).  None before any link() commit."""
+        from .operators.bgp import describe as _describe
+
+        if not self.catalog.exists("triples"):
+            return None
+        self._refresh_views()
+        return _describe(
+            self.spark.table("triples" + self._view_suffix),
+            node,
+            inbound=inbound,
+        )
+
     def construct(
         self,
         patterns,

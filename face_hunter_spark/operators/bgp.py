@@ -235,6 +235,59 @@ def construct(
     return out
 
 
+def ask(
+    triples: DataFrame,
+    patterns,
+    optional=None,
+    filters=None,
+    allow_cartesian: bool = False,
+) -> bool:
+    """SPARQL ``ASK`` analogue: True iff at least one binding for
+    ``patterns`` exists (same ``optional``/``filters`` semantics as
+    :func:`graph_pattern` — the reference's exists-style checks,
+    e.g. video_exists, compile to this form).
+
+    Scale shape: the plan is capped with LIMIT 1 before the action, so
+    Spark's incremental take() runs ONE partition first and stops at
+    the first binding — a hit costs one scan task, not a full pass.
+    """
+    bindings = graph_pattern(
+        triples,
+        patterns,
+        select=None,
+        distinct=False,
+        allow_cartesian=allow_cartesian,
+        optional=optional,
+        filters=filters,
+    )
+    return len(bindings.limit(1).take(1)) > 0
+
+
+def describe(
+    triples: DataFrame, node: str, inbound: bool = True
+) -> DataFrame:
+    """SPARQL ``DESCRIBE <node>`` analogue: every triple where ``node``
+    is the subject and — with ``inbound=True``, the common
+    concise-bounded-description reading — every triple where it is the
+    object.  Output keeps the (subj, pred, obj) columns plus a
+    ``direction`` column ('out' / 'in') so callers can split the star.
+
+    Scale shape: two constant equality filters pushed into the scan
+    (one pass each over the pruned column) unioned — no join, no
+    shuffle; at 10^12 triples this is two pushed-predicate scans.
+    """
+    t = triples.select("subj", "pred", "obj")
+    out = t.where(F.col("subj") == F.lit(node)).withColumn(
+        "direction", F.lit("out")
+    )
+    if not inbound:
+        return out
+    inn = t.where(
+        (F.col("obj") == F.lit(node)) & (F.col("subj") != F.lit(node))
+    ).withColumn("direction", F.lit("in"))
+    return out.unionByName(inn)
+
+
 def _join_compiled(compiled, allow_cartesian: bool):
     """Join a list of compiled (df, vars) patterns into one plan;
     returns (plan, bound_vars)."""

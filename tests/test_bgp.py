@@ -322,3 +322,44 @@ def test_construct_validates_template(triples):
                   template=[("?v", "p", None)])
     with pytest.raises(ValueError, match="at least one template"):
         construct(triples, [("?v", P_SCENE, "?s")], template=[])
+
+
+def test_ask_hit_and_miss(triples):
+    from face_hunter_spark.operators.bgp import ask
+
+    assert ask(triples, [("?v", P_SCENE, "?s"), ("?s", P_DEPICTS, "e1")])
+    assert not ask(triples, [("?v", P_SCENE, "?s"), ("?s", P_DEPICTS, "e404")])
+    # filters participate
+    assert ask(triples, [("?v", P_TITLE, "?t")], filters=["t = 't_two'"])
+    assert not ask(triples, [("?v", P_TITLE, "?t")], filters=["t = 't_x'"])
+
+
+def test_describe_star(triples):
+    from face_hunter_spark.operators.bgp import describe
+
+    got = sorted(tuple(r) for r in describe(triples, "s1").collect())
+    assert got == [
+        ("s1", P_DEPICTS, "e1", "out"),
+        ("s1", P_DEPICTS, "e2", "out"),
+        ("v1", P_SCENE, "s1", "in"),
+    ]
+    out_only = describe(triples, "s1", inbound=False)
+    assert out_only.count() == 2
+    # a self-loop appears once, as outbound
+    loop = sorted(tuple(r) for r in describe(triples, "e1").collect())
+    assert ("e1", P_SAME, "e1", "out") in loop
+    assert ("e1", P_SAME, "e1", "in") not in loop
+
+
+def test_ask_describe_on_facade(spark, tmp_path):
+    from face_hunter_spark import synth
+    from face_hunter_spark.hunter import SparkHunter
+
+    h = SparkHunter(spark, str(tmp_path / "kg"), n_entities=6)
+    assert h.ask([("?v", P_SCENE, "?s")]) is False  # pre-commit
+    assert h.describe("anything") is None
+    h.link(synth.documents_df(spark, 6, 6))
+    assert h.ask([("?v", P_SCENE, "?s")]) is True
+    some_v = h.match([("?v", P_SCENE, None)], select=["v"]).first()["v"]
+    star = h.describe(some_v)
+    assert star.where("direction = 'out'").count() > 0
