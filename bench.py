@@ -239,6 +239,9 @@ def headline_queries(spark, sf_dir):
         "duplicate_spans": lambda: _count(
             DQ.q_duplicate_spans(spark, sf_dir)
         ),
+        "cut_duplicate_spans": lambda: _count(
+            DQ.q_cut_duplicate_spans(spark, sf_dir)
+        ),
         "shacl_validate": shacl_validate,
         "void_partitions": void_partitions,
         "sparql_construct": sparql_construct,
