@@ -512,6 +512,31 @@ def _q_bgp_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("v", "s", "e")
 
 
+def _q_sparql_text_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL TEXT front-end (operators/sparql.py — the reference's
+    /api/query surface, api/api.py:81-97): the OPTIONAL+FILTER query
+    submitted as a verbatim query STRING (PREFIX block, ';' predicate
+    list, OPTIONAL group, FILTER with bound/strstarts, ORDER BY) and
+    parsed onto the same BGP plan as bgp_optional_filter — so the same
+    exact oracle applies; any parser/translation drift hash-fails."""
+    from face_hunter_spark.operators.sparql import execute
+
+    triples = _kg_pipeline(spark, sf_dir)
+    return execute(
+        triples,
+        """
+        PREFIX hunter: <http://face-hunter.org/ontology/>
+        PREFIX sdo: <https://schema.org/>
+        SELECT DISTINCT ?v ?s ?e WHERE {
+          ?v hunter:hasScene ?s .
+          OPTIONAL { ?s sdo:depicts ?e }
+          FILTER ( !bound(?e) || strstarts(str(?e), "http://dbpedia.org/") )
+        }
+        ORDER BY ?v ?s ?e
+        """,
+    )
+
+
 def _q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT analogue (operators/bgp.py::construct): derive
     an inverse 'appearsIn' edge and a schema:about edge from the
@@ -828,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": DQ.q_duplicate_spans,
         "cut_duplicate_spans": DQ.q_cut_duplicate_spans,
         "describe_entity": DQ.q_describe_entity,
+        "sparql_text_select": _q_sparql_text_select,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -935,6 +961,9 @@ def oracle_sql() -> dict[str, str]:
         "bgp_scene_depicts": _DO.sql_bgp_scene_depicts(),
         "bgp_entity_titles": _DO.sql_bgp_entity_titles(),
         "bgp_optional_filter": _DO.sql_bgp_optional_filter(),
+        # the TEXT front-end compiles to the same plan, so the same
+        # exact oracle applies verbatim
+        "sparql_text_select": _DO.sql_bgp_optional_filter(),
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,
         "negative_samples": DQ.ORACLE_NEGATIVE_SAMPLES,
         "sparql_construct": _DO.sql_sparql_construct(),

@@ -327,6 +327,28 @@ class SparkHunter:
             filters=filters, exclude_asserted=exclude_asserted,
         )
 
+    def sparql(self, text: str, allow_cartesian: bool = False):
+        """Run a SPARQL query STRING against the committed triple table
+        (operators/sparql.py — the text-level form of the reference's
+        /api/query surface, api/api.py:81-97): PREFIX + SELECT
+        [DISTINCT] / ASK / DESCRIBE / CONSTRUCT with ``;``/``,`` triple
+        blocks, the ``a`` keyword, OPTIONAL groups, FILTER expressions
+        (regex/str/bound/comparisons) and ORDER BY / LIMIT / OFFSET —
+        compiled onto the same BGP plan as :meth:`match`.  Returns a
+        DataFrame (bool for ASK); None (False for ASK) before any
+        link() commit.  SERVICE{} federation raises NotImplementedError
+        — use :meth:`query` with an attribute dim table instead."""
+        from .operators.sparql import execute, parse
+
+        if not self.catalog.exists("triples"):
+            return False if parse(text).form == "ask" else None
+        self._refresh_views()
+        return execute(
+            self.spark.table("triples" + self._view_suffix),
+            text,
+            allow_cartesian=allow_cartesian,
+        )
+
     def validate(self, shapes=None) -> dict | None:
         """Run the KG quality gate (quality.py) on this handle's
         catalog: SHACL-lite validation (default: the pipeline's

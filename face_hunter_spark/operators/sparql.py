@@ -1,0 +1,593 @@
+"""SPARQL text front-end — parse the query strings the reference's
+users actually write and compile them onto the BGP compiler.
+
+The reference accepts raw SPARQL over HTTP (api/api.py:81-97 routes a
+user-supplied query string into graph.py:194-244, which splices it into
+a Virtuoso SELECT).  SparkHunter so far exposed the same power
+programmatically (``h.match(patterns, optional=..., filters=...)``);
+this module closes the last parity gap at the TEXT level: a reference
+user can paste their query string unchanged (modulo the federation
+seam, below) and get the same bindings from the Spark triple table.
+
+Supported subset — exactly the shapes the reference emits/accepts
+(graph.py:153-244, knowledge_graphs.py:16-151):
+
+* ``PREFIX`` declarations (plus the reference's namespaces pre-seeded);
+* ``SELECT [DISTINCT] ?a ?b | *  WHERE { ... }`` with ``ORDER BY``
+  (``ASC``/``DESC``), ``LIMIT``, ``OFFSET``;
+* ``ASK { ... }`` / ``DESCRIBE <node>`` /
+  ``CONSTRUCT { template } WHERE { ... }``;
+* triple blocks with ``;`` predicate lists, ``,`` object lists and the
+  ``a`` = rdf:type keyword — the reference's house style
+  (``?scene a video:Scene ; foaf:depicts ?e ; ...``);
+* ``OPTIONAL { ... }`` groups (knowledge_graphs.py:103,123);
+* ``FILTER ( expr )`` with ``&&  ||  !  = != < > <= >=``, ``BOUND``,
+  ``REGEX(STR(?v), "pat")``, ``CONTAINS``, ``STRSTARTS``, ``STR`` —
+  compiled to Spark SQL expressions over the bound variables
+  (the reference's filter shape: graph.py:217 ``regex(str(?w), ...) &&
+  (?sex = "male"@en) && ?date < "..."^^xsd:date``).
+
+Deliberate seams, raised loudly rather than silently mis-answered:
+``SERVICE <endpoint> { ... }`` (live federation — the offline analogue
+is a broadcast attribute join, see query.get_videos_with_filters),
+``UNION``, property paths in text form (operators/graph.py has the
+k-hop operator), subqueries, and FILTER inside OPTIONAL (the BGP
+compiler applies filters after all joins; a filter scoped to the
+left-join's ON clause would change semantics).
+
+Literal matching: the triple table stores a literal's LEXICAL form in
+``obj`` (datatype/lang live in obj_datatype / obj_is_literal —
+operators/triples.py), so ``"male"@en`` and ``"0:00:05"^^xsd:dateTime``
+compare by their lexical text, and ``STR(?v)`` is the identity.  This
+matches the reference's own store, which compares Virtuoso-side lexical
+values the same way for its date/label filters.
+
+Scale shape: the parser is driver-side string work on a query a human
+typed; everything data-sized compiles to operators/bgp.py (pushed
+constant filters, hash equi-joins most-constrained-first, LIMIT-1 ASK).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from . import bgp
+from .shacl import RDF_TYPE
+
+__all__ = ["parse", "execute", "ParsedQuery", "DEFAULT_PREFIXES"]
+
+# the reference's own PREFIX block (graph.py:226-230, example_graph
+# header) plus the W3C core; user PREFIX declarations override.
+DEFAULT_PREFIXES: dict[str, str] = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "dc": "http://purl.org/dc/elements/1.1/",
+    "video": "http://purl.org/ontology/video/",
+    "mpeg7": "http://purl.org/ontology/mpeg7/",
+    # no trailing separator — concatenation reproduces the reference's
+    # 'temporal.owlhasStartTime' URIs (graph.py:26, quirk kept as-is)
+    "temporal": "http://swrl.stanford.edu/ontologies/builtins/3.3/temporal.owl",
+    "sdo": "https://schema.org/",
+    "schema": "https://schema.org/",
+    "hunter": "http://face-hunter.org/ontology/",
+    "dbr": "http://dbpedia.org/resource/",
+    "dbo": "http://dbpedia.org/ontology/",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+)
+    | (?P<COMMENT>\#[^\n]*)
+    | (?P<IRI><[^<>\s{}|^`\\]*>)
+    | (?P<STRING>"(?:[^"\\]|\\.)*")
+    | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<DTSEP>\^\^)
+    | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+    | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+))
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_/#-]*)
+    | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*\[\]])
+    """,
+    re.X,
+)
+
+_KEYWORDS = {
+    "prefix", "select", "ask", "describe", "construct", "where",
+    "distinct", "optional", "filter", "order", "by", "limit", "offset",
+    "asc", "desc", "union", "service", "a",
+}
+
+
+@dataclass
+class _Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise ValueError(
+                f"SPARQL syntax error at offset {i}: {text[i:i+20]!r}"
+            )
+        kind = m.lastgroup
+        if kind not in ("WS", "COMMENT"):
+            toks.append(_Tok(kind, m.group(), i))
+        i = m.end()
+    return toks
+
+
+@dataclass
+class ParsedQuery:
+    """The compiled form handed to the BGP compiler."""
+
+    form: str  # 'select' | 'ask' | 'describe' | 'construct'
+    patterns: list = field(default_factory=list)
+    optional: list = field(default_factory=list)  # list of pattern lists
+    filters: list = field(default_factory=list)  # Spark SQL strings
+    select: list | None = None  # None = SELECT *
+    distinct: bool = False
+    template: list | None = None  # CONSTRUCT template triples
+    describe_node: str | None = None
+    order_by: list = field(default_factory=list)  # (var, ascending)
+    limit: int | None = None
+    offset: int | None = None
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes = dict(DEFAULT_PREFIXES)
+
+    # --- token plumbing -------------------------------------------------
+    def _peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> _Tok:
+        t = self._peek()
+        if t is None:
+            raise ValueError("SPARQL syntax error: unexpected end of query")
+        self.i += 1
+        return t
+
+    def _at_kw(self, *kws: str) -> bool:
+        t = self._peek()
+        return (
+            t is not None and t.kind == "NAME" and t.text.lower() in kws
+        )
+
+    def _expect_kw(self, kw: str) -> None:
+        if not self._at_kw(kw):
+            t = self._peek()
+            raise ValueError(
+                f"SPARQL syntax error: expected {kw.upper()}, got "
+                f"{t.text if t else 'end of query'!r}"
+            )
+        self._next()
+
+    def _expect_op(self, op: str) -> None:
+        t = self._peek()
+        if t is None or t.kind != "OP" or t.text != op:
+            raise ValueError(
+                f"SPARQL syntax error: expected {op!r}, got "
+                f"{t.text if t else 'end of query'!r}"
+            )
+        self._next()
+
+    def _at_op(self, *ops: str) -> bool:
+        t = self._peek()
+        return t is not None and t.kind == "OP" and t.text in ops
+
+    # --- prologue + query forms -----------------------------------------
+    def parse(self) -> ParsedQuery:
+        while self._at_kw("prefix"):
+            self._next()
+            pn = self._next()
+            if pn.kind != "PNAME" or not pn.text.endswith(":"):
+                raise ValueError(
+                    f"bad PREFIX declaration near {pn.text!r} "
+                    "(expected 'name:')"
+                )
+            iri = self._next()
+            if iri.kind != "IRI":
+                raise ValueError(
+                    f"bad PREFIX declaration: expected <iri>, got {iri.text!r}"
+                )
+            self.prefixes[pn.text[:-1]] = iri.text[1:-1]
+        if self._at_kw("select"):
+            q = self._parse_select()
+        elif self._at_kw("ask"):
+            self._next()
+            q = ParsedQuery(form="ask")
+            self._parse_group(q)
+        elif self._at_kw("describe"):
+            self._next()
+            q = ParsedQuery(form="describe")
+            q.describe_node = self._term(allow_var=False)
+        elif self._at_kw("construct"):
+            q = self._parse_construct()
+        else:
+            t = self._peek()
+            raise ValueError(
+                "query must start with SELECT/ASK/DESCRIBE/CONSTRUCT "
+                f"(after any PREFIX block); got {t.text if t else 'nothing'!r}"
+            )
+        t = self._peek()
+        if t is not None:
+            raise ValueError(
+                f"trailing content after query at offset {t.pos}: {t.text!r}"
+            )
+        return q
+
+    def _parse_select(self) -> ParsedQuery:
+        self._next()  # SELECT
+        q = ParsedQuery(form="select")
+        if self._at_kw("distinct"):
+            self._next()
+            q.distinct = True
+        if self._at_op("*"):
+            self._next()
+            q.select = None
+        else:
+            names = []
+            while self._peek() is not None and self._peek().kind == "VAR":
+                names.append(self._next().text[1:])
+            if not names:
+                raise ValueError("SELECT needs ?vars or *")
+            q.select = names
+        if self._at_kw("where"):
+            self._next()
+        self._parse_group(q)
+        self._parse_modifiers(q)
+        return q
+
+    def _parse_construct(self) -> ParsedQuery:
+        self._next()  # CONSTRUCT
+        q = ParsedQuery(form="construct")
+        tq = ParsedQuery(form="template")
+        self._parse_group(tq, template_mode=True)
+        q.template = tq.patterns
+        self._expect_kw("where")
+        self._parse_group(q)
+        return q
+
+    def _parse_modifiers(self, q: ParsedQuery) -> None:
+        if self._at_kw("order"):
+            self._next()
+            self._expect_kw("by")
+            saw = False
+            while True:
+                asc = True
+                if self._at_kw("asc", "desc"):
+                    asc = self._next().text.lower() == "asc"
+                    self._expect_op("(")
+                    v = self._next()
+                    if v.kind != "VAR":
+                        raise ValueError("ORDER BY ASC/DESC needs a ?var")
+                    self._expect_op(")")
+                    q.order_by.append((v.text[1:], asc))
+                    saw = True
+                elif self._peek() is not None and self._peek().kind == "VAR":
+                    q.order_by.append((self._next().text[1:], True))
+                    saw = True
+                else:
+                    break
+            if not saw:
+                raise ValueError("ORDER BY needs at least one ?var")
+        for kw in ("limit", "offset"):
+            if self._at_kw(kw):
+                self._next()
+                n = self._next()
+                if n.kind != "NUMBER" or "." in n.text:
+                    raise ValueError(f"{kw.upper()} needs an integer")
+                setattr(q, kw, int(n.text))
+
+    # --- group / triple blocks ------------------------------------------
+    def _parse_group(self, q: ParsedQuery, template_mode: bool = False):
+        self._expect_op("{")
+        while not self._at_op("}"):
+            if self._peek() is None:
+                raise ValueError("SPARQL syntax error: unclosed '{'")
+            if not template_mode and self._at_kw("optional"):
+                self._next()
+                sub = ParsedQuery(form="optional")
+                self._parse_group(sub)
+                if sub.filters:
+                    raise NotImplementedError(
+                        "FILTER inside OPTIONAL changes left-join "
+                        "semantics; hoist it out or use h.match(...) "
+                        "with a hand-built plan"
+                    )
+                q.optional.append(sub.patterns)
+                continue
+            if not template_mode and self._at_kw("filter"):
+                self._next()
+                self._expect_op("(")
+                q.filters.append(self._filter_expr())
+                self._expect_op(")")
+                # a '.' after FILTER(...) is legal separator noise
+                if self._at_op("."):
+                    self._next()
+                continue
+            if self._at_kw("service"):
+                raise NotImplementedError(
+                    "SERVICE{} federation needs a live endpoint; the "
+                    "offline analogue is an attribute dim-table join — "
+                    "see query.get_videos_with_filters / h.query"
+                )
+            if self._at_kw("union") or self._at_op("{"):
+                raise NotImplementedError(
+                    "UNION / nested groups are not in the supported "
+                    "subset; run the branches as separate queries and "
+                    "unionByName the results"
+                )
+            self._triples_block(q)
+        self._expect_op("}")
+
+    def _triples_block(self, q: ParsedQuery) -> None:
+        subj = self._term()
+        while True:
+            pred = self._term(pred_pos=True)
+            while True:
+                obj = self._term()
+                q.patterns.append((subj, pred, obj))
+                if self._at_op(","):
+                    self._next()
+                    continue
+                break
+            if self._at_op(";"):
+                self._next()
+                # dangling ';' before '.' or '}' is legal
+                if self._at_op(".", "}"):
+                    continue_outer = False
+                else:
+                    continue_outer = True
+                if continue_outer:
+                    continue
+            break
+        if self._at_op("."):
+            self._next()
+
+    def _term(self, pred_pos: bool = False, allow_var: bool = True):
+        t = self._next()
+        if t.kind == "VAR":
+            if not allow_var:
+                raise ValueError(f"expected a node, got variable {t.text}")
+            # normalize '$name' to '?name' — the bgp compiler's var syntax
+            return "?" + t.text[1:]
+        if t.kind == "IRI":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            return self._expand_pname(t)
+        if t.kind == "NAME" and t.text == "a":
+            return RDF_TYPE
+        if t.kind == "STRING":
+            lex = _unescape(t.text[1:-1])
+            # consume and drop @lang / ^^datatype: the table stores the
+            # lexical form (module docstring)
+            if self._peek() is not None and self._peek().kind == "LANGTAG":
+                self._next()
+            elif self._at_dtsep():
+                self._next()
+                dt = self._next()
+                if dt.kind not in ("IRI", "PNAME"):
+                    raise ValueError("^^ needs a datatype IRI")
+            return lex
+        if t.kind == "NUMBER":
+            return t.text
+        if t.kind == "OP" and t.text == "[" and not pred_pos:
+            # '[]' anonymous blank node = wildcard
+            self._expect_op("]")
+            return None
+        raise ValueError(
+            f"SPARQL syntax error at offset {t.pos}: unexpected {t.text!r}"
+        )
+
+    def _at_dtsep(self) -> bool:
+        t = self._peek()
+        return t is not None and t.kind == "DTSEP"
+
+    def _expand_pname(self, t: _Tok) -> str:
+        pfx, local = t.text.split(":", 1)
+        if pfx not in self.prefixes:
+            raise ValueError(
+                f"unknown prefix {pfx!r} at offset {t.pos} — declare it "
+                "with PREFIX"
+            )
+        return self.prefixes[pfx] + local
+
+    # --- FILTER expressions -> Spark SQL ---------------------------------
+    def _filter_expr(self) -> str:
+        return self._or_expr()
+
+    def _or_expr(self) -> str:
+        parts = [self._and_expr()]
+        while self._at_op("||"):
+            self._next()
+            parts.append(self._and_expr())
+        return parts[0] if len(parts) == 1 else (
+            "(" + " OR ".join(parts) + ")"
+        )
+
+    def _and_expr(self) -> str:
+        parts = [self._unary_expr()]
+        while self._at_op("&&"):
+            self._next()
+            parts.append(self._unary_expr())
+        return parts[0] if len(parts) == 1 else (
+            "(" + " AND ".join(parts) + ")"
+        )
+
+    def _unary_expr(self) -> str:
+        if self._at_op("!"):
+            self._next()
+            return f"(NOT {self._unary_expr()})"
+        if self._at_op("("):
+            self._next()
+            inner = self._filter_expr()
+            self._expect_op(")")
+            return self._maybe_cmp(f"({inner})")
+        return self._maybe_cmp(self._operand())
+
+    _CMP = {"=": "=", "!=": "<>", "<": "<", ">": ">", "<=": "<=", ">=": ">="}
+
+    def _maybe_cmp(self, left: str) -> str:
+        t = self._peek()
+        if t is not None and t.kind == "OP" and t.text in self._CMP:
+            op = self._CMP[self._next().text]
+            right = self._operand()
+            return f"({left} {op} {right})"
+        return left
+
+    def _operand(self) -> str:
+        t = self._next()
+        if t.kind == "VAR":
+            return t.text[1:]
+        if t.kind == "NUMBER":
+            return t.text
+        if t.kind == "STRING":
+            lex = _unescape(t.text[1:-1])
+            if self._peek() is not None and self._peek().kind == "LANGTAG":
+                self._next()
+            elif self._at_dtsep():
+                self._next()
+                dt = self._next()
+                if dt.kind not in ("IRI", "PNAME"):
+                    raise ValueError("^^ needs a datatype IRI")
+            return _sql_str(lex)
+        if t.kind in ("IRI", "PNAME"):
+            iri = (
+                t.text[1:-1] if t.kind == "IRI" else self._expand_pname(t)
+            )
+            return _sql_str(iri)
+        if t.kind == "NAME":
+            return self._function(t)
+        raise ValueError(
+            f"FILTER syntax error at offset {t.pos}: unexpected {t.text!r}"
+        )
+
+    def _function(self, t: _Tok) -> str:
+        name = t.text.lower()
+        self._expect_op("(")
+        if name == "str":
+            # lexical-form cast = identity over our representation
+            arg = self._operand()
+            self._expect_op(")")
+            return arg
+        if name == "bound":
+            v = self._next()
+            if v.kind != "VAR":
+                raise ValueError("BOUND() needs a ?var")
+            self._expect_op(")")
+            return f"({v.text[1:]} IS NOT NULL)"
+        if name == "regex":
+            arg = self._operand()
+            self._expect_op(",")
+            pat = self._next()
+            if pat.kind != "STRING":
+                raise ValueError("REGEX needs a string pattern")
+            pattern = _unescape(pat.text[1:-1])
+            if self._at_op(","):
+                self._next()
+                flags = self._next()
+                if flags.kind != "STRING":
+                    raise ValueError("REGEX flags must be a string")
+                if "i" in flags.text.lower():
+                    pattern = "(?i)" + pattern
+            self._expect_op(")")
+            return f"({arg} RLIKE {_sql_str(pattern)})"
+        if name in ("contains", "strstarts", "strends"):
+            a = self._operand()
+            self._expect_op(",")
+            b = self._operand()
+            self._expect_op(")")
+            fn = {
+                "contains": "contains",
+                "strstarts": "startswith",
+                "strends": "endswith",
+            }[name]
+            return f"{fn}({a}, {b})"
+        raise NotImplementedError(
+            f"FILTER function {t.text!r} is not in the supported subset "
+            "(STR, BOUND, REGEX, CONTAINS, STRSTARTS, STRENDS)"
+        )
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace("\\\\", "\x00")
+        .replace('\\"', '"')
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace("\\r", "\r")
+        .replace("\x00", "\\")
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def parse(text: str) -> ParsedQuery:
+    """Parse a SPARQL query string into its compiled form (patterns /
+    optional groups / filter SQL / modifiers) without executing it."""
+    return _Parser(text).parse()
+
+
+def execute(
+    triples: DataFrame, text: str, allow_cartesian: bool = False
+):
+    """Parse + run a SPARQL query against a (subj, pred, obj) triple
+    DataFrame.  SELECT/DESCRIBE/CONSTRUCT return a DataFrame; ASK
+    returns a bool."""
+    q = parse(text)
+    if q.form == "ask":
+        return bgp.ask(
+            triples,
+            q.patterns,
+            optional=q.optional or None,
+            filters=q.filters or None,
+            allow_cartesian=allow_cartesian,
+        )
+    if q.form == "describe":
+        return bgp.describe(triples, q.describe_node)
+    if q.form == "construct":
+        return bgp.construct(
+            triples,
+            q.patterns,
+            template=q.template,
+            optional=q.optional or None,
+            filters=q.filters or None,
+            allow_cartesian=allow_cartesian,
+        )
+    df = bgp.graph_pattern(
+        triples,
+        q.patterns,
+        select=q.select,
+        distinct=q.distinct,
+        optional=q.optional or None,
+        filters=q.filters or None,
+        allow_cartesian=allow_cartesian,
+    )
+    if q.order_by:
+        df = df.orderBy(
+            *[
+                df[v].asc() if asc else df[v].desc()
+                for v, asc in q.order_by
+            ]
+        )
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df

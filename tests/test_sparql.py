@@ -1,0 +1,256 @@
+"""SPARQL text front-end (operators/sparql.py): parse-level contracts
+(prefix expansion, the reference's ``;``/``,``/``a`` house style,
+FILTER translation, loud seams) and execution parity with hand-built
+bgp.graph_pattern plans on a shared triple fixture."""
+
+import pytest
+
+from face_hunter_spark.operators import sparql
+from face_hunter_spark.operators.bgp import graph_pattern
+from face_hunter_spark.operators.shacl import RDF_TYPE
+
+P_SCENE = "http://face-hunter.org/ontology/hasScene"
+P_DEPICTS = "http://xmlns.com/foaf/0.1/depicts"
+P_TITLE = "http://purl.org/dc/elements/1.1/title"
+P_START = (
+    "http://swrl.stanford.edu/ontologies/builtins/3.3/"
+    "temporal.owlhasStartTime"
+)
+CLS_SCENE = "http://purl.org/ontology/video/Scene"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        ("v1", P_SCENE, "s1"),
+        ("v1", P_SCENE, "s2"),
+        ("v2", P_SCENE, "s3"),
+        ("s1", RDF_TYPE, CLS_SCENE),
+        ("s2", RDF_TYPE, CLS_SCENE),
+        ("s3", RDF_TYPE, CLS_SCENE),
+        ("s1", P_DEPICTS, "http://dbpedia.org/resource/A"),
+        ("s1", P_DEPICTS, "http://www.wikidata.org/entity/Q2"),
+        ("s3", P_DEPICTS, "http://dbpedia.org/resource/A"),
+        ("s1", P_START, "0:00:00"),
+        ("s2", P_START, "0:00:05"),
+        ("s3", P_START, "0:01:40"),
+        ("v1", P_TITLE, "alpha title"),
+        ("v2", P_TITLE, "Beta Title"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+# --------------------------------------------------------------- parse
+
+
+def test_parse_reference_house_style():
+    # the reference's get_scenes_with_entity template verbatim in shape
+    # (graph.py:180-192): 'a', ';' predicate lists, one '.' block end
+    q = sparql.parse(
+        """
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        PREFIX video: <http://purl.org/ontology/video/>
+        SELECT distinct ?scene ?e WHERE {
+          ?scene a video:Scene ;
+                 foaf:depicts <http://dbpedia.org/resource/A> ;
+                 foaf:depicts ?e .
+        }
+        """
+    )
+    assert q.form == "select" and q.distinct
+    assert q.select == ["scene", "e"]
+    assert q.patterns == [
+        ("?scene", RDF_TYPE, CLS_SCENE),
+        ("?scene", P_DEPICTS, "http://dbpedia.org/resource/A"),
+        ("?scene", P_DEPICTS, "?e"),
+    ]
+
+
+def test_parse_object_lists_and_prefix_override():
+    q = sparql.parse(
+        'PREFIX foaf: <http://example.org/f/> '
+        "SELECT ?s WHERE { ?s foaf:depicts ?a, ?b . }"
+    )
+    assert q.patterns == [
+        ("?s", "http://example.org/f/depicts", "?a"),
+        ("?s", "http://example.org/f/depicts", "?b"),
+    ]
+
+
+def test_parse_literals_drop_lang_and_datatype():
+    q = sparql.parse(
+        'SELECT ?s WHERE { ?s dc:title "male"@en . '
+        '?s temporal:hasStartTime "0:00:05"^^xsd:dateTime . }'
+    )
+    assert q.patterns[0][2] == "male"
+    assert q.patterns[1] == ("?s", P_START, "0:00:05")
+
+
+def test_parse_filter_translation():
+    q = sparql.parse(
+        "SELECT ?v WHERE { ?v dc:title ?t . "
+        'FILTER ( regex(str(?t), "^a", "i") && (?t != "x") '
+        "|| !bound(?t) ) }"
+    )
+    assert q.filters == [
+        "(((t RLIKE '(?i)^a') AND ((t <> 'x'))) OR (NOT (t IS NOT NULL)))"
+    ]
+
+
+def test_parse_modifiers():
+    q = sparql.parse(
+        "SELECT ?v WHERE { ?v dc:title ?t } "
+        "ORDER BY DESC(?t) ?v LIMIT 5 OFFSET 2"
+    )
+    assert q.order_by == [("t", False), ("v", True)]
+    assert q.limit == 5 and q.offset == 2
+
+
+def test_parse_loud_seams():
+    with pytest.raises(NotImplementedError, match="SERVICE"):
+        sparql.parse(
+            "SELECT ?v WHERE { SERVICE <http://dbpedia.org/sparql> "
+            "{ ?v dc:title ?t } }"
+        )
+    with pytest.raises(NotImplementedError, match="UNION"):
+        sparql.parse("SELECT ?v WHERE { { ?v dc:title ?t } }")
+    with pytest.raises(NotImplementedError, match="OPTIONAL"):
+        sparql.parse(
+            "SELECT ?v WHERE { ?v dc:title ?t . "
+            'OPTIONAL { ?v dc:identifier ?i . FILTER(?i != "x") } }'
+        )
+    with pytest.raises(ValueError, match="unknown prefix"):
+        sparql.parse("SELECT ?v WHERE { ?v nosuch:pred ?t }")
+    with pytest.raises(ValueError, match="trailing"):
+        sparql.parse("ASK { ?v dc:title ?t } garbage")
+
+
+# ------------------------------------------------------------- execute
+
+
+def test_select_matches_hand_built_plan(triples):
+    text = """
+    SELECT DISTINCT ?v ?s ?e WHERE {
+      ?v hunter:hasScene ?s .
+      ?s foaf:depicts ?e .
+    }
+    """
+    got = sorted(tuple(r) for r in sparql.execute(triples, text).collect())
+    want = sorted(
+        tuple(r)
+        for r in graph_pattern(
+            triples,
+            [("?v", P_SCENE, "?s"), ("?s", P_DEPICTS, "?e")],
+            select=["v", "s", "e"],
+            distinct=True,
+        ).collect()
+    )
+    assert got == want and len(got) == 3
+
+
+def test_optional_and_filter(triples):
+    # OPTIONAL depicts + keep NULL-or-dbpedia: s2 has no depicts row and
+    # must survive with e = NULL; the wikidata co-depiction drops
+    text = """
+    SELECT ?s ?e WHERE {
+      ?s a video:Scene .
+      OPTIONAL { ?s foaf:depicts ?e }
+      FILTER ( !bound(?e) || strstarts(str(?e), "http://dbpedia.org/") )
+    }
+    """
+    got = sorted(
+        (r.s, r.e) for r in sparql.execute(triples, text).collect()
+    )
+    assert got == [
+        ("s1", "http://dbpedia.org/resource/A"),
+        ("s2", None),
+        ("s3", "http://dbpedia.org/resource/A"),
+    ]
+
+
+def test_filter_comparison_on_literals(triples):
+    # lexical < comparison, the reference's date-filter shape
+    text = """
+    SELECT ?s WHERE {
+      ?s temporal:hasStartTime ?t .
+      FILTER ( ?t < "0:01:00"^^xsd:dateTime )
+    }
+    """
+    got = sorted(r.s for r in sparql.execute(triples, text).collect())
+    assert got == ["s1", "s2"]
+
+
+def test_regex_filter_case_insensitive(triples):
+    text = (
+        "SELECT ?v WHERE { ?v dc:title ?t . "
+        'FILTER ( regex(str(?t), "^beta", "i") ) }'
+    )
+    assert [r.v for r in sparql.execute(triples, text).collect()] == ["v2"]
+
+
+def test_order_limit_offset(triples):
+    text = (
+        "SELECT ?s ?t WHERE { ?s temporal:hasStartTime ?t } "
+        "ORDER BY DESC(?t) LIMIT 2 OFFSET 1"
+    )
+    got = [(r.s, r.t) for r in sparql.execute(triples, text).collect()]
+    assert got == [("s2", "0:00:05"), ("s1", "0:00:00")]
+
+
+def test_ask_and_describe(triples):
+    assert sparql.execute(
+        triples, "ASK { ?v hunter:hasScene ?s }"
+    ) is True
+    assert sparql.execute(
+        triples, 'ASK { ?v hunter:hasScene "nope" }'
+    ) is False
+    star = sparql.execute(triples, "DESCRIBE <s1>").collect()
+    outs = {(r.pred, r.obj) for r in star if r.direction == "out"}
+    ins = {(r.subj, r.pred) for r in star if r.direction == "in"}
+    assert (P_DEPICTS, "http://dbpedia.org/resource/A") in outs
+    assert ("v1", P_SCENE) in ins
+
+
+def test_construct(triples):
+    text = """
+    CONSTRUCT {
+      ?e hunter:appearsIn ?v .
+    } WHERE {
+      ?v hunter:hasScene ?s .
+      ?s foaf:depicts ?e .
+    }
+    """
+    got = sorted(tuple(r) for r in sparql.execute(triples, text).collect())
+    pred = "http://face-hunter.org/ontology/appearsIn"
+    assert got == [
+        ("http://dbpedia.org/resource/A", pred, "v1"),
+        ("http://dbpedia.org/resource/A", pred, "v2"),
+        ("http://www.wikidata.org/entity/Q2", pred, "v1"),
+    ]
+
+
+def test_facade_sparql_roundtrip(spark, tmp_path):
+    from face_hunter_spark import synth
+    from face_hunter_spark.hunter import SparkHunter
+
+    h = SparkHunter(spark, str(tmp_path / "kg"), n_entities=6)
+    assert h.sparql("ASK { ?v ?p ?o }") is False  # before any commit
+    assert h.sparql("SELECT ?v WHERE { ?v ?p ?o }") is None
+    h.link(synth.documents_df(spark, 8, 6))
+    assert h.sparql("ASK { ?v hunter:hasScene ?s }") is True
+    df = h.sparql(
+        """
+        SELECT DISTINCT ?v ?s WHERE {
+          ?v hunter:hasScene ?s .
+          ?s a video:Scene .
+        }
+        """
+    )
+    want = h.match(
+        [("?v", P_SCENE, "?s"), ("?s", RDF_TYPE, CLS_SCENE)],
+        select=["v", "s"],
+        distinct=True,
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, want.collect())
+    )
