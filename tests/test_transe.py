@@ -1,0 +1,123 @@
+"""TransE training epoch (operators/transe.py): integer-exactness,
+partitioning invariance, the filtered-corruption protocol, training
+signal on a plantable graph, and epoch chaining."""
+
+import pytest
+
+from face_hunter_spark.operators.transe import (
+    init_embeddings,
+    score_triples,
+    transe_epoch,
+)
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    # two "nations" with their member customers + one cross edge:
+    # enough corruptions survive the filter to generate gradients
+    rows = [(f"c{i}", "in", "nA") for i in range(6)] + [
+        (f"c{i}", "in", "nB") for i in range(6, 12)
+    ] + [("c0", "knows", "c7"), ("c3", "knows", "c9")]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def _flat(df):
+    return sorted(
+        (r.id, tuple(r.emb)) for r in df.select("id", "emb").collect()
+    )
+
+
+def test_init_is_content_keyed_and_bounded(spark):
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "id string"
+    )
+    e1 = _flat(init_embeddings(nodes, "id", 8))
+    e2 = _flat(init_embeddings(nodes.repartition(5), "id", 8))
+    assert e1 == e2
+    assert all(
+        -3 <= x < 4 for _, emb in e1 for x in emb
+    ) and all(len(emb) == 8 for _, emb in e1)
+
+
+def test_epoch_partitioning_invariance(kg):
+    ent1, rel1 = transe_epoch(kg.repartition(1), dim=4, k_neg=2)
+    ent8, rel8 = transe_epoch(kg.repartition(8), dim=4, k_neg=2)
+    assert _flat(ent1) == _flat(ent8)
+    assert _flat(rel1) == _flat(rel8)
+    # something actually trained: at least one embedding moved
+    ent0 = init_embeddings(
+        kg.selectExpr("subj as id").union(kg.selectExpr("obj")),
+        "id", 4, salt="ent",
+    )
+    assert _flat(ent1) != _flat(ent0)
+    # and everything stayed integral
+    assert dict(ent1.dtypes)["emb"] == "array<bigint>"
+
+
+def test_filtered_protocol_noop_graph(spark):
+    # every corruption of every positive is itself a true triple, so
+    # the filtered protocol leaves zero training pairs -> epoch = no-op
+    full = spark.createDataFrame(
+        [("a", "p", "a"), ("a", "p", "b"), ("b", "p", "a"),
+         ("b", "p", "b")],
+        "subj string, pred string, obj string",
+    )
+    ent, rel = transe_epoch(full, dim=4, k_neg=3)
+    ents = full.selectExpr("subj as id").union(full.selectExpr("obj"))
+    assert _flat(ent) == _flat(init_embeddings(ents, "id", 4, salt="ent"))
+    assert _flat(rel) == _flat(
+        init_embeddings(full.select("pred"), "pred", 4, salt="rel")
+    )
+
+
+def test_training_signal_and_chaining(kg):
+    def hinge_loss(ent, rel, salt):
+        # recompute the epoch's own pair set and its hinge loss
+        import pyspark.sql.functions as F
+
+        from face_hunter_spark.operators.negatives import negative_samples
+
+        pos = score_triples(kg, ent, rel).withColumnRenamed(
+            "score", "d_pos"
+        )
+        negs = negative_samples(
+            kg, k=2,
+            pool=kg.selectExpr("subj as id").union(kg.selectExpr("obj")),
+            pool_col="id", salt=salt,
+        ).select("subj", "pred", F.col("obj_neg").alias("obj")).distinct()
+        dneg = score_triples(negs, ent, rel).withColumnRenamed(
+            "score", "d_neg"
+        ).withColumnRenamed("obj", "obj_neg")
+        # pair every positive with each of its corruptions
+        pairs = pos.join(dneg, ["subj", "pred"])
+        return (
+            pairs.selectExpr(
+                "sum(greatest(0, 2 + d_pos - d_neg)) as loss"
+            ).collect()[0]["loss"]
+        )
+
+    ents = kg.selectExpr("subj as id").union(kg.selectExpr("obj"))
+    ent0 = init_embeddings(ents, "id", 4, salt="ent")
+    rel0 = init_embeddings(kg.select("pred"), "pred", 4, salt="rel")
+    before = hinge_loss(ent0, rel0, "transe-e0")
+    ent1, rel1 = transe_epoch(kg, dim=4, k_neg=2, salt="transe-e0")
+    after = hinge_loss(ent1, rel1, "transe-e0")
+    assert after < before
+
+    # chaining with a fresh salt keeps the contract (integer arrays,
+    # deterministic) and the loss keeps falling on ITS pair set
+    b2 = hinge_loss(ent1, rel1, "transe-e1")
+    ent2, rel2 = transe_epoch(
+        kg, dim=4, k_neg=2, ent_emb=ent1, rel_emb=rel1, salt="transe-e1"
+    )
+    a2 = hinge_loss(ent2, rel2, "transe-e1")
+    assert a2 < b2
+    assert dict(ent2.dtypes)["emb"] == "array<bigint>"
+
+
+def test_score_triples_shape(kg):
+    ent, rel = transe_epoch(kg, dim=4, k_neg=1)
+    s = score_triples(kg, ent, rel)
+    rows = s.collect()
+    assert len(rows) == kg.count()
+    assert all(r.score >= 0 for r in rows)
