@@ -192,6 +192,23 @@ def headline_queries(spark, sf_dir):
         )
         return _count(neg(pos, k=4, pool=pool, pool_col="ent"))
 
+    def transe_epoch():
+        # SF-scaled (ALL customers, unlike the capped driver query):
+        # one full integer-exact training epoch incl. init, corruption,
+        # COO gradient exchange and parameter update
+        from face_hunter_spark.operators.transe import transe_epoch as te
+
+        import face_hunter_spark.driver_queries as DQm
+
+        DQm.load_views(spark, sf_dir)
+        pos = spark.sql(
+            "SELECT format_string('c%d', c_custkey) AS subj,"
+            " 'in_nation' AS pred,"
+            " format_string('n%d', c_nationkey) AS obj FROM customer"
+        )
+        ent, rel = te(pos, dim=16, k_neg=2)
+        return _count(ent) + _count(rel)
+
     def knn_gemm():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qs = emb.select(F.col("vec_id").alias("q_id"), "embedding")
@@ -246,6 +263,7 @@ def headline_queries(spark, sf_dir):
         "void_partitions": void_partitions,
         "sparql_construct": sparql_construct,
         "negative_samples": negative_samples,
+        "transe_epoch": transe_epoch,
     }
 
 

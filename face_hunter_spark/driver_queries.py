@@ -3067,6 +3067,111 @@ ORDER BY subj, pred, obj_neg, neg_idx
 """
 
 
+def q_transe_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One TransE training epoch (operators/transe.py: integer-exact
+    signSGD, Bordes'13 scoring + Bernstein'18 sign step) over the
+    customer->nation membership KG.  Every number in the epoch — the
+    md5 init, the content-keyed corruptions, the L1 distances, the
+    sign subgradients, their sums, the sign-clamped update — is 64-bit
+    integer arithmetic, so DuckDB replays the WHOLE epoch exactly;
+    output is the updated embedding tables flattened to
+    (kind, id, dim_idx, value) rows."""
+    from .operators.transe import transe_epoch
+
+    load_views(spark, sf_dir)
+    pos = spark.sql("""
+        SELECT format_string('c%d', c_custkey) AS subj,
+               'in_nation' AS pred,
+               format_string('n%d', c_nationkey) AS obj
+        FROM customer WHERE c_custkey < 150
+    """)
+    ent, rel = transe_epoch(pos, dim=4, k_neg=2, margin=2, lr=1)
+    flat = ent.select(
+        F.lit("ent").alias("kind"), "id",
+        F.posexplode("emb").alias("i", "v"),
+    ).unionByName(
+        rel.select(
+            F.lit("rel").alias("kind"), "id",
+            F.posexplode("emb").alias("i", "v"),
+        )
+    )
+    return flat.select(
+        "kind", "id", F.col("i").cast("long").alias("i"), "v"
+    ).orderBy("kind", "id", "i")
+
+
+ORACLE_TRANSE_EPOCH = """
+WITH pos AS (
+  SELECT DISTINCT printf('c%d', c_custkey) AS subj,
+         'in_nation' AS pred,
+         printf('n%d', c_nationkey) AS obj
+  FROM customer WHERE c_custkey < 150),
+ents AS (
+  SELECT subj AS id FROM pos UNION SELECT obj FROM pos),
+vocab AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS idx, id FROM ents),
+dims AS (SELECT i FROM range(4) t(i)),
+einit AS (
+  SELECT id, d.i,
+         ('0x' || substr(md5('ent' || chr(31) || id || chr(31) || d.i),
+            1, 15))::BIGINT % 7 - 3 AS v
+  FROM ents CROSS JOIN dims d),
+rinit AS (
+  SELECT pred AS id, d.i,
+         ('0x' || substr(md5('rel' || chr(31) || pred || chr(31) || d.i),
+            1, 15))::BIGINT % 7 - 3 AS v
+  FROM (SELECT DISTINCT pred FROM pos) CROSS JOIN dims d),
+cand AS (
+  SELECT subj, pred, obj,
+         ('0x' || substr(md5('transe-e0' || chr(31) || subj || chr(31)
+            || pred || chr(31) || obj || chr(31) || r.i), 1, 15))::BIGINT
+           % (SELECT count(*) FROM vocab) AS idx
+  FROM pos CROSS JOIN range(2) r(i)),
+pairs AS (
+  SELECT DISTINCT c.subj, c.pred, c.obj, v.id AS obj_neg
+  FROM cand c JOIN vocab v USING (idx)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pos p
+    WHERE p.subj = c.subj AND p.pred = c.pred AND p.obj = v.id)),
+comp AS (
+  SELECT pr.subj, pr.pred, pr.obj, pr.obj_neg, d.i,
+         eh.v + er.v - et.v AS cpos,
+         eh.v + er.v - etn.v AS cneg
+  FROM pairs pr CROSS JOIN dims d
+  JOIN einit eh ON eh.id = pr.subj AND eh.i = d.i
+  JOIN rinit er ON er.id = pr.pred AND er.i = d.i
+  JOIN einit et ON et.id = pr.obj AND et.i = d.i
+  JOIN einit etn ON etn.id = pr.obj_neg AND etn.i = d.i),
+viol AS (
+  SELECT subj, pred, obj, obj_neg FROM comp
+  GROUP BY subj, pred, obj, obj_neg
+  HAVING 2 + sum(abs(cpos)) - sum(abs(cneg)) > 0),
+vc AS (
+  SELECT c.* FROM comp c JOIN viol
+  USING (subj, pred, obj, obj_neg)),
+contrib AS (
+  SELECT 'ent' AS kind, subj AS id, i,
+         sign(cpos)::BIGINT - sign(cneg)::BIGINT AS g FROM vc
+  UNION ALL
+  SELECT 'rel', pred, i, sign(cpos)::BIGINT - sign(cneg)::BIGINT FROM vc
+  UNION ALL
+  SELECT 'ent', obj, i, -(sign(cpos)::BIGINT) FROM vc
+  UNION ALL
+  SELECT 'ent', obj_neg, i, sign(cneg)::BIGINT FROM vc),
+gsum AS (
+  SELECT kind, id, i, sum(g) AS g FROM contrib GROUP BY kind, id, i),
+allinit AS (
+  SELECT 'ent' AS kind, id, i, v FROM einit
+  UNION ALL
+  SELECT 'rel', id, i, v FROM rinit)
+SELECT a.kind, a.id, a.i,
+       (a.v - 1 * sign(coalesce(g.g, 0))::BIGINT)::BIGINT AS v
+FROM allinit a
+LEFT JOIN gsum g ON g.kind = a.kind AND g.id = a.id AND g.i = a.i
+ORDER BY a.kind, a.id, a.i
+"""
+
+
 # one SQL body, two engines: Spark (load_views) and DuckDB (the oracle
 # CTE) both build the same deterministic TPC-H-derived mini-KG with
 # PLANTED violations — customers divisible by 7 are left untyped

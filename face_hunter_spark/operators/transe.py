@@ -137,12 +137,19 @@ def transe_epoch(
         .unionByName(base.select(F.col("obj").alias("id")))
         .distinct()
     )
+    # each parameter table is consumed 4x (three role joins + the
+    # update); when we derived it ourselves just above, cut once so the
+    # init's distinct-shuffle doesn't re-run per consumer.  A
+    # caller-provided table keeps the caller's plan (it may already be
+    # a materialized catalog read).
     if ent_emb is None:
-        ent_emb = init_embeddings(entities, "id", dim, salt="ent")
+        ent_emb = init_embeddings(
+            entities, "id", dim, salt="ent"
+        ).localCheckpoint()
     if rel_emb is None:
         rel_emb = init_embeddings(
             base.select("pred"), "pred", dim, salt="rel"
-        )
+        ).localCheckpoint()
 
     # --- corrupted tails (negatives.py protocol, obj kept) ------------
     vocab = indexed_vocabulary(entities, "id").localCheckpoint()
@@ -210,6 +217,12 @@ def transe_epoch(
         _sign(cneg).alias("sn"),
         (F.lit(margin) + _l1(cpos) - _l1(cneg) > 0).alias("viol"),
     ).where("viol")
+    # the gradient flatten below consumes v FOUR times (one union
+    # branch per parameter role); without a cut Catalyst re-executes
+    # the whole corruption+join subtree per branch — the shared-subtree
+    # rescan fixed the same way in graph.py/shacl.py.  v is small
+    # relative to its inputs (violating pairs only, sign arrays).
+    v = v.localCheckpoint()
 
     # --- COO gradient flatten + integer sums ---------------------------
     gh = F.zip_with("sp", "sn", lambda a, b: a - b)
