@@ -855,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_entity": DQ.q_describe_entity,
         "sparql_text_select": _q_sparql_text_select,
         "transe_epoch": DQ.q_transe_epoch,
+        "transe_link_prediction": DQ.q_transe_link_prediction,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -966,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         # exact oracle applies verbatim
         "sparql_text_select": _DO.sql_bgp_optional_filter(),
         "transe_epoch": DQ.ORACLE_TRANSE_EPOCH,
+        "transe_link_prediction": DQ.ORACLE_TRANSE_LINK_PREDICTION,
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,
         "negative_samples": DQ.ORACLE_NEGATIVE_SAMPLES,
         "sparql_construct": _DO.sql_sparql_construct(),

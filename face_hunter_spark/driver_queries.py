@@ -3100,7 +3100,10 @@ def q_transe_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("kind", "id", "i")
 
 
-ORACLE_TRANSE_EPOCH = """
+# the epoch as a reusable CTE chain: ORACLE_TRANSE_EPOCH returns the
+# updated parameters; ORACLE_TRANSE_LINK_PREDICTION extends the same
+# chain with the filtered-ranking evaluation
+_TRANSE_CTES = """
 WITH pos AS (
   SELECT DISTINCT printf('c%d', c_custkey) AS subj,
          'in_nation' AS pred,
@@ -3163,13 +3166,84 @@ gsum AS (
 allinit AS (
   SELECT 'ent' AS kind, id, i, v FROM einit
   UNION ALL
-  SELECT 'rel', id, i, v FROM rinit)
-SELECT a.kind, a.id, a.i,
-       (a.v - 1 * sign(coalesce(g.g, 0))::BIGINT)::BIGINT AS v
-FROM allinit a
-LEFT JOIN gsum g ON g.kind = a.kind AND g.id = a.id AND g.i = a.i
-ORDER BY a.kind, a.id, a.i
+  SELECT 'rel', id, i, v FROM rinit),
+updated AS (
+  SELECT a.kind, a.id, a.i,
+         (a.v - 1 * sign(coalesce(g.g, 0))::BIGINT)::BIGINT AS v
+  FROM allinit a
+  LEFT JOIN gsum g ON g.kind = a.kind AND g.id = a.id AND g.i = a.i)
 """
+
+ORACLE_TRANSE_EPOCH = _TRANSE_CTES + """
+SELECT kind, id, i, v FROM updated ORDER BY kind, id, i
+"""
+
+ORACLE_TRANSE_LINK_PREDICTION = _TRANSE_CTES + """
+, test AS (
+  SELECT DISTINCT printf('c%d', c_custkey) AS subj,
+         'in_nation' AS pred,
+         printf('n%d', c_nationkey) AS obj
+  FROM customer WHERE c_custkey < 150 AND c_custkey % 17 = 0),
+eemb AS (SELECT id, i, v FROM updated WHERE kind = 'ent'),
+remb AS (SELECT id, i, v FROM updated WHERE kind = 'rel'),
+scored AS (
+  SELECT t.subj, t.pred, t.obj, ce.id AS cand,
+         sum(abs(eh.v + er.v - ce.v))::BIGINT AS s
+  FROM test t
+  JOIN eemb eh ON eh.id = t.subj
+  JOIN remb er ON er.id = t.pred AND er.i = eh.i
+  JOIN eemb ce ON ce.i = eh.i
+  GROUP BY t.subj, t.pred, t.obj, ce.id),
+filtered AS (
+  SELECT s.* FROM scored s
+  WHERE s.cand = s.obj OR NOT EXISTS (
+    SELECT 1 FROM pos p
+    WHERE p.subj = s.subj AND p.pred = s.pred AND p.obj = s.cand)),
+tru AS (
+  SELECT subj, pred, obj, s AS s_true FROM filtered WHERE cand = obj),
+ranks AS (
+  SELECT f.subj, f.pred, f.obj,
+         (1 + sum(CASE WHEN f.cand <> f.obj AND (f.s < t.s_true
+             OR (f.s = t.s_true AND f.cand < f.obj))
+           THEN 1 ELSE 0 END))::BIGINT AS rank
+  FROM filtered f JOIN tru t USING (subj, pred, obj)
+  GROUP BY f.subj, f.pred, f.obj)
+SELECT count(*)::BIGINT AS n,
+       sum(rank)::BIGINT AS sum_rank,
+       sum(1000000 // rank)::BIGINT AS mrr_micro,
+       sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)::BIGINT AS hits_1,
+       sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END)::BIGINT AS hits_3,
+       sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)::BIGINT AS hits_10
+FROM ranks
+"""
+
+
+def q_transe_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered link-prediction evaluation (Bordes'13 protocol) of the
+    trained-for-one-epoch embeddings on a deterministic test slice
+    (custkey % 17): ranks of the true nation among all entities with
+    other true triples excluded, integer tie-break by candidate id.
+    The summary reports integer numerators (sum_rank, mrr_micro =
+    Σ 1e6 div rank, hits@k) — float MR/MRR would depend on float
+    summation order.  The oracle replays epoch AND evaluation as one
+    CTE chain."""
+    from .operators.transe import link_prediction_eval, transe_epoch
+
+    load_views(spark, sf_dir)
+    pos = spark.sql("""
+        SELECT format_string('c%d', c_custkey) AS subj,
+               'in_nation' AS pred,
+               format_string('n%d', c_nationkey) AS obj
+        FROM customer WHERE c_custkey < 150
+    """)
+    test = spark.sql("""
+        SELECT format_string('c%d', c_custkey) AS subj,
+               'in_nation' AS pred,
+               format_string('n%d', c_nationkey) AS obj
+        FROM customer WHERE c_custkey < 150 AND c_custkey % 17 = 0
+    """)
+    ent, rel = transe_epoch(pos, dim=4, k_neg=2, margin=2, lr=1)
+    return link_prediction_eval(test, ent, rel, filter_triples=pos)
 
 
 # one SQL body, two engines: Spark (load_views) and DuckDB (the oracle

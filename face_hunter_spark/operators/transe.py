@@ -42,7 +42,13 @@ from pyspark.sql import DataFrame
 
 from .negatives import _HEX_CHARS, _SEP, indexed_vocabulary
 
-__all__ = ["init_embeddings", "transe_epoch", "score_triples"]
+__all__ = [
+    "init_embeddings",
+    "transe_epoch",
+    "score_triples",
+    "link_prediction_ranks",
+    "link_prediction_eval",
+]
 
 
 def _md5_int(*cols) -> "F.Column":
@@ -278,6 +284,123 @@ def transe_epoch(
         )
 
     return apply(ent_emb, "ent"), apply(rel_emb, "rel")
+
+
+def link_prediction_ranks(
+    test: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    filter_triples: DataFrame | None = None,
+) -> DataFrame:
+    """Filtered link-prediction ranks (Bordes'13 evaluation protocol):
+    for each test (subj, pred, obj), the 1-based rank of the true tail
+    among ALL entity candidates, skipping candidates that form a true
+    triple in ``filter_triples`` (the 'filtered' setting — other
+    correct answers don't count as errors).  Ties break by candidate
+    id ascending (integer scores tie often; an UNDEFINED tie order
+    would make the metric partitioning-dependent).  Returns
+    (subj, pred, obj, rank:long).
+
+    Scale shape: the test × entity fan-out is the evaluation protocol's
+    inherent cost — test slices are small by construction; candidates
+    arrive via one broadcast of the entity parameter table, hr = h + r
+    is computed once per test row (not per candidate), and the rank is
+    one groupBy over the candidate rows with map-side partial counts.
+    """
+    t = test.select("subj", "pred", "obj").distinct()
+    hr_rows = (
+        t.join(
+            ent_emb.select(
+                F.col("id").alias("subj"), F.col("emb").alias("h")
+            ),
+            "subj",
+        )
+        .join(
+            rel_emb.select(
+                F.col("id").alias("pred"), F.col("emb").alias("r")
+            ),
+            "pred",
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.zip_with("h", "r", lambda a, b: a + b).alias("hr"),
+        )
+    )
+    cand = hr_rows.crossJoin(
+        F.broadcast(
+            ent_emb.select(
+                F.col("id").alias("cand"), F.col("emb").alias("t")
+            )
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("hr", "t", lambda a, b: a - b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.abs(x),
+    )
+    scored = cand.select("subj", "pred", "obj", "cand", dist.alias("s"))
+    if filter_triples is not None:
+        known = filter_triples.select(
+            "subj", "pred", F.col("obj").alias("cand")
+        ).distinct()
+        scored = scored.join(
+            known.alias("k"),
+            (scored["subj"] == F.col("k.subj"))
+            & (scored["pred"] == F.col("k.pred"))
+            & (scored["cand"] == F.col("k.cand"))
+            & (scored["cand"] != scored["obj"]),
+            "left_anti",
+        )
+    true_s = scored.where(F.col("cand") == F.col("obj")).select(
+        "subj", "pred", "obj", F.col("s").alias("s_true")
+    )
+    return (
+        scored.join(true_s, ["subj", "pred", "obj"])
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        (F.col("cand") != F.col("obj"))
+                        & (
+                            (F.col("s") < F.col("s_true"))
+                            | (
+                                (F.col("s") == F.col("s_true"))
+                                & (F.col("cand") < F.col("obj"))
+                            )
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            ).cast("long").alias("rank")
+        )
+    )
+
+
+def link_prediction_eval(
+    test: DataFrame,
+    ent_emb: DataFrame,
+    rel_emb: DataFrame,
+    filter_triples: DataFrame | None = None,
+) -> DataFrame:
+    """One-row summary of :func:`link_prediction_ranks` in exact
+    integers — (n, sum_rank, mrr_micro, hits_1, hits_3, hits_10) with
+    mrr_micro = Σ (1,000,000 div rank): reporting the float MR/MRR
+    directly would make the value depend on float summation order
+    across partitions; integer numerators are order-free and the
+    caller divides by n once."""
+    r = link_prediction_ranks(test, ent_emb, rel_emb, filter_triples)
+    return r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rank").alias("sum_rank"),
+        F.sum(F.expr("1000000 div rank")).alias("mrr_micro"),
+        F.sum((F.col("rank") <= 1).cast("long")).alias("hits_1"),
+        F.sum((F.col("rank") <= 3).cast("long")).alias("hits_3"),
+        F.sum((F.col("rank") <= 10).cast("long")).alias("hits_10"),
+    )
 
 
 def score_triples(

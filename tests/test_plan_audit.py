@@ -233,3 +233,25 @@ def test_shacl_pred_filters_push_to_scan(spark, tmp_path):
     assert "PushedFilters: [" in plan and "EqualTo(pred,ex:p)" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_transe_epoch_plan_shape(spark, tmp_path):
+    """The TransE epoch's scale contract: the corruption fan-out joins
+    the broadcast vocabulary and the gradient exchange is hash
+    aggregation (map-side partial sums on the COO rows) — never a
+    nested-loop join against the parameter tables, and no
+    single-partition exchange anywhere in the update path."""
+    from face_hunter_spark.operators.transe import transe_epoch
+
+    path = str(tmp_path / "kg.parquet")
+    spark.createDataFrame(
+        [(f"c{i}", "in", f"n{i % 5}") for i in range(64)],
+        "subj string, pred string, obj string",
+    ).write.parquet(path)
+    ent, _rel = transe_epoch(spark.read.parquet(path), dim=4, k_neg=2)
+    plan = plan_of(ent)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # COO gradient sums arrive pre-combined: partial then merge
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert "SinglePartition" not in plan

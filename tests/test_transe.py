@@ -121,3 +121,52 @@ def test_score_triples_shape(kg):
     rows = s.collect()
     assert len(rows) == kg.count()
     assert all(r.score >= 0 for r in rows)
+
+
+def test_link_prediction_ranks_hand_computed(spark):
+    # 3 entities, hand-placed embeddings: h+r = [2], tails a=[2] (d=0),
+    # b=[1] (d=1), c=[5] (d=3); test triple (q, p, b) -> true tail b
+    # ranks behind a (d=0 < 1): rank 2.  With the filter containing
+    # (q, p, a), a is excluded -> rank 1.
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from face_hunter_spark.operators.transe import (
+        link_prediction_eval,
+        link_prediction_ranks,
+    )
+
+    ent = spark.createDataFrame(
+        [("a", [2]), ("b", [1]), ("c", [5]), ("q", [0])],
+        "id string, emb array<long>",
+    )
+    rel = spark.createDataFrame([("p", [2])], "id string, emb array<long>")
+    test = spark.createDataFrame(
+        [("q", "p", "b")], "subj string, pred string, obj string"
+    )
+    raw = link_prediction_ranks(test, ent, rel).collect()
+    assert [(r.subj, r.obj, r.rank) for r in raw] == [("q", "b", 2)]
+
+    filt = spark.createDataFrame(
+        [("q", "p", "a")], "subj string, pred string, obj string"
+    )
+    filtered = link_prediction_ranks(test, ent, rel, filt).collect()
+    assert filtered[0].rank == 1
+
+    summary = link_prediction_eval(test, ent, rel, filt).collect()[0]
+    assert (summary.n, summary.sum_rank, summary.mrr_micro,
+            summary.hits_1) == (1, 1, 1000000, 1)
+
+
+def test_link_prediction_tiebreak_and_invariance(kg):
+    from face_hunter_spark.operators.transe import (
+        link_prediction_ranks,
+        transe_epoch,
+    )
+
+    ent, rel = transe_epoch(kg, dim=4, k_neg=2)
+    test = kg.limit(5)
+    r1 = sorted(map(tuple, link_prediction_ranks(
+        test, ent, rel, filter_triples=kg).collect()))
+    r8 = sorted(map(tuple, link_prediction_ranks(
+        test.repartition(8), ent, rel, filter_triples=kg).collect()))
+    assert r1 == r8 and all(row[3] >= 1 for row in r1)
