@@ -332,8 +332,9 @@ class SparkHunter:
         (operators/sparql.py — the text-level form of the reference's
         /api/query surface, api/api.py:81-97): PREFIX + SELECT
         [DISTINCT] / ASK / DESCRIBE / CONSTRUCT with ``;``/``,`` triple
-        blocks, the ``a`` keyword, OPTIONAL groups, FILTER expressions
-        (regex/str/bound/comparisons) and ORDER BY / LIMIT / OFFSET —
+        blocks, the ``a`` keyword, OPTIONAL groups, UNION blocks,
+        FILTER expressions (regex/str/bound/comparisons) and
+        ORDER BY / LIMIT / OFFSET —
         compiled onto the same BGP plan as :meth:`match`.  Returns a
         DataFrame (bool for ASK); None (False for ASK) before any
         link() commit.  SERVICE{} federation raises NotImplementedError

@@ -21,6 +21,9 @@ Supported subset — exactly the shapes the reference emits/accepts
   ``a`` = rdf:type keyword — the reference's house style
   (``?scene a video:Scene ; foaf:depicts ?e ; ...``);
 * ``OPTIONAL { ... }`` groups (knowledge_graphs.py:103,123);
+* ``{ A } UNION { B }`` blocks — evaluated distributively
+  (outer ⋈ (A ∪ B) = (outer ⋈ A) ∪ (outer ⋈ B) under bag semantics),
+  with variables absent from a branch coming back NULL/unbound;
 * ``FILTER ( expr )`` with ``&&  ||  !  = != < > <= >=``, ``BOUND``,
   ``REGEX(STR(?v), "pat")``, ``CONTAINS``, ``STRSTARTS``, ``STR`` —
   compiled to Spark SQL expressions over the bound variables
@@ -30,10 +33,11 @@ Supported subset — exactly the shapes the reference emits/accepts
 Deliberate seams, raised loudly rather than silently mis-answered:
 ``SERVICE <endpoint> { ... }`` (live federation — the offline analogue
 is a broadcast attribute join, see query.get_videos_with_filters),
-``UNION``, property paths in text form (operators/graph.py has the
-k-hop operator), subqueries, and FILTER inside OPTIONAL (the BGP
-compiler applies filters after all joins; a filter scoped to the
-left-join's ON clause would change semantics).
+lone nested groups and nested UNION-in-UNION (FILTER-scoping
+semantics this subset doesn't model), property paths in text form
+(operators/graph.py has the k-hop operator), subqueries, and FILTER
+inside OPTIONAL (the BGP compiler applies filters after all joins; a
+filter scoped to the left-join's ON clause would change semantics).
 
 Literal matching: the triple table stores a literal's LEXICAL form in
 ``obj`` (datatype/lang live in obj_datatype / obj_is_literal —
@@ -52,6 +56,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from . import bgp
@@ -134,6 +139,9 @@ class ParsedQuery:
     patterns: list = field(default_factory=list)
     optional: list = field(default_factory=list)  # list of pattern lists
     filters: list = field(default_factory=list)  # Spark SQL strings
+    # each element is one UNION block: a list of >= 2 branches, each a
+    # (patterns, optional, filters) triple
+    unions: list = field(default_factory=list)
     select: list | None = None  # None = SELECT *
     distinct: bool = False
     template: list | None = None  # CONSTRUCT template triples
@@ -325,14 +333,42 @@ class _Parser:
                     "offline analogue is an attribute dim-table join — "
                     "see query.get_videos_with_filters / h.query"
                 )
-            if self._at_kw("union") or self._at_op("{"):
-                raise NotImplementedError(
-                    "UNION / nested groups are not in the supported "
-                    "subset; run the branches as separate queries and "
-                    "unionByName the results"
+            if self._at_op("{"):
+                if template_mode:
+                    raise ValueError(
+                        "nested groups are not allowed in a CONSTRUCT "
+                        "template"
+                    )
+                branches = [self._parse_union_branch()]
+                while self._at_kw("union"):
+                    self._next()
+                    branches.append(self._parse_union_branch())
+                if len(branches) < 2:
+                    raise NotImplementedError(
+                        "a lone nested group has FILTER-scoping "
+                        "semantics this subset doesn't model — inline "
+                        "its patterns, or add a UNION branch"
+                    )
+                q.unions.append(branches)
+                continue
+            if self._at_kw("union"):
+                raise ValueError(
+                    "UNION must follow a '{...}' group"
                 )
             self._triples_block(q)
         self._expect_op("}")
+
+    def _parse_union_branch(self):
+        """One '{...}' branch of a UNION block -> (patterns, optional,
+        filters).  Nested UNION inside a branch is not supported."""
+        sub = ParsedQuery(form="union-branch")
+        self._parse_group(sub)
+        if sub.unions:
+            raise NotImplementedError(
+                "nested UNION inside a UNION branch is not in the "
+                "supported subset"
+            )
+        return (sub.patterns, sub.optional, sub.filters)
 
     def _triples_block(self, q: ParsedQuery) -> None:
         subj = self._term()
@@ -544,6 +580,64 @@ def parse(text: str) -> ParsedQuery:
     return _Parser(text).parse()
 
 
+def _variants(q: ParsedQuery) -> list:
+    """Expand UNION blocks distributively: outer ⋈ (A ∪ B) =
+    (outer ⋈ A) ∪ (outer ⋈ B) under SPARQL bag semantics, so each
+    variant is one (patterns, optional, filters) evaluation and the
+    results union.  Multiple UNION blocks take the cross product of
+    their branch choices (the algebra's join of two unions)."""
+    from itertools import product
+
+    if not q.unions:
+        return [(q.patterns, q.optional, q.filters)]
+    out = []
+    for combo in product(*q.unions):
+        pats, opts, filts = (
+            list(q.patterns), list(q.optional), list(q.filters),
+        )
+        for p, o, f in combo:
+            pats += p
+            opts += o
+            filts += f
+        out.append((pats, opts, filts))
+    return out
+
+
+def _bindings(
+    triples: DataFrame, q: ParsedQuery, allow_cartesian: bool
+) -> DataFrame:
+    """All variable bindings for q's WHERE clause (bag semantics, no
+    projection yet).  Variants missing a variable bind NULL — SPARQL's
+    unbound — in the unioned result."""
+    dfs = [
+        bgp.graph_pattern(
+            triples,
+            p,
+            select=None,
+            distinct=False,
+            optional=o or None,
+            filters=f or None,
+            allow_cartesian=allow_cartesian,
+        )
+        for p, o, f in _variants(q)
+    ]
+    if len(dfs) == 1:
+        return dfs[0]
+    all_vars = sorted(set().union(*(set(d.columns) for d in dfs)))
+    out = None
+    for d in dfs:
+        aligned = d.select(
+            *[
+                F.col(v)
+                if v in d.columns
+                else F.lit(None).cast("string").alias(v)
+                for v in all_vars
+            ]
+        )
+        out = aligned if out is None else out.unionByName(aligned)
+    return out
+
+
 def execute(
     triples: DataFrame, text: str, allow_cartesian: bool = False
 ):
@@ -552,33 +646,39 @@ def execute(
     returns a bool."""
     q = parse(text)
     if q.form == "ask":
-        return bgp.ask(
-            triples,
-            q.patterns,
-            optional=q.optional or None,
-            filters=q.filters or None,
-            allow_cartesian=allow_cartesian,
+        return any(
+            bgp.ask(
+                triples,
+                p,
+                optional=o or None,
+                filters=f or None,
+                allow_cartesian=allow_cartesian,
+            )
+            for p, o, f in _variants(q)
         )
     if q.form == "describe":
         return bgp.describe(triples, q.describe_node)
     if q.form == "construct":
-        return bgp.construct(
-            triples,
-            q.patterns,
-            template=q.template,
-            optional=q.optional or None,
-            filters=q.filters or None,
-            allow_cartesian=allow_cartesian,
-        )
-    df = bgp.graph_pattern(
-        triples,
-        q.patterns,
-        select=q.select,
-        distinct=q.distinct,
-        optional=q.optional or None,
-        filters=q.filters or None,
-        allow_cartesian=allow_cartesian,
-    )
+        out = None
+        for p, o, f in _variants(q):
+            g = bgp.construct(
+                triples,
+                p,
+                template=q.template,
+                optional=o or None,
+                filters=f or None,
+                allow_cartesian=allow_cartesian,
+            )
+            out = g if out is None else out.unionByName(g)
+        return out if len(q.unions) == 0 else out.distinct()
+    df = _bindings(triples, q, allow_cartesian)
+    if q.select is not None:
+        missing = [v for v in q.select if v not in df.columns]
+        if missing:
+            raise ValueError(f"select names unbound variables: {missing}")
+        df = df.select(*q.select)
+    if q.distinct:
+        df = df.distinct()
     if q.order_by:
         df = df.orderBy(
             *[

@@ -112,8 +112,13 @@ def test_parse_loud_seams():
             "SELECT ?v WHERE { SERVICE <http://dbpedia.org/sparql> "
             "{ ?v dc:title ?t } }"
         )
-    with pytest.raises(NotImplementedError, match="UNION"):
+    with pytest.raises(NotImplementedError, match="lone nested group"):
         sparql.parse("SELECT ?v WHERE { { ?v dc:title ?t } }")
+    with pytest.raises(NotImplementedError, match="nested UNION"):
+        sparql.parse(
+            "SELECT ?v WHERE { { { ?v dc:title ?t } UNION "
+            "{ ?v dc:identifier ?t } } UNION { ?v dc:title ?t } }"
+        )
     with pytest.raises(NotImplementedError, match="OPTIONAL"):
         sparql.parse(
             "SELECT ?v WHERE { ?v dc:title ?t . "
@@ -254,3 +259,61 @@ def test_facade_sparql_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_union_basic(triples):
+    # scenes from hasScene plus titles: disjoint-variable branches bind
+    # NULL for the other branch's variable (SPARQL unbound)
+    text = """
+    SELECT ?s ?e WHERE {
+      { ?s foaf:depicts ?e } UNION { ?v hunter:hasScene ?s }
+    }
+    """
+    key = lambda t: (t[0], t[1] or "")
+    got = sorted(
+        ((r.s, r.e) for r in sparql.execute(triples, text).collect()),
+        key=key,
+    )
+    want = sorted(
+        [("s1", "http://dbpedia.org/resource/A"),
+         ("s1", "http://www.wikidata.org/entity/Q2"),
+         ("s3", "http://dbpedia.org/resource/A")]
+        + [("s1", None), ("s2", None), ("s3", None)],
+        key=key,
+    )
+    assert got == want
+
+
+def test_union_joins_outer_patterns(triples):
+    # outer pattern join distributes over both branches
+    text = """
+    SELECT DISTINCT ?v ?t WHERE {
+      ?v dc:title ?t .
+      { ?v hunter:hasScene "s1" } UNION { ?v hunter:hasScene "s3" }
+    }
+    """
+    got = sorted(
+        (r.v, r.t) for r in sparql.execute(triples, text).collect()
+    )
+    assert got == [("v1", "alpha title"), ("v2", "Beta Title")]
+
+
+def test_union_ask_and_construct(triples):
+    assert sparql.execute(
+        triples,
+        'ASK { { ?s foaf:depicts "nope" } UNION '
+        "{ ?v hunter:hasScene ?s } }",
+    ) is True
+    g = sparql.execute(
+        triples,
+        """
+        CONSTRUCT { ?x a "Thing" } WHERE {
+          { ?x foaf:depicts ?e } UNION { ?v hunter:hasScene ?x }
+        }
+        """,
+    )
+    # branch 1 binds ?x to depicting scenes {s1, s3}, branch 2 to all
+    # scenes {s1, s2, s3}; CONSTRUCT's graph-set semantics dedup the
+    # overlap across branches
+    xs = sorted(r.subj for r in g.collect())
+    assert xs == ["s1", "s2", "s3"]
