@@ -24,6 +24,11 @@ Supported subset — exactly the shapes the reference emits/accepts
 * ``{ A } UNION { B }`` blocks — evaluated distributively
   (outer ⋈ (A ∪ B) = (outer ⋈ A) ∪ (outer ⋈ B) under bag semantics),
   with variables absent from a branch coming back NULL/unbound;
+* property paths ``pred+`` / ``pred*`` — the predicate's transitive
+  closure (operators/graph.py path-doubling) materialized as synthetic
+  triples, then matched like any constant predicate; ``*`` needs a
+  constant subject or object (its zero-length path is defined over
+  every node);
 * ``FILTER ( expr )`` with ``&&  ||  !  = != < > <= >=``, ``BOUND``,
   ``REGEX(STR(?v), "pat")``, ``CONTAINS``, ``STRSTARTS``, ``STR`` —
   compiled to Spark SQL expressions over the bound variables
@@ -34,10 +39,10 @@ Deliberate seams, raised loudly rather than silently mis-answered:
 ``SERVICE <endpoint> { ... }`` (live federation — the offline analogue
 is a broadcast attribute join, see query.get_videos_with_filters),
 lone nested groups and nested UNION-in-UNION (FILTER-scoping
-semantics this subset doesn't model), property paths in text form
-(operators/graph.py has the k-hop operator), subqueries, and FILTER
-inside OPTIONAL (the BGP compiler applies filters after all joins; a
-filter scoped to the left-join's ON clause would change semantics).
+semantics this subset doesn't model), unanchored ``pred*``,
+subqueries, and FILTER inside OPTIONAL (the BGP compiler applies
+filters after all joins; a filter scoped to the left-join's ON clause
+would change semantics).
 
 Literal matching: the triple table stores a literal's LEXICAL form in
 ``obj`` (datatype/lang live in obj_datatype / obj_is_literal —
@@ -97,7 +102,7 @@ _TOKEN_RE = re.compile(
     | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+))
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_/#-]*)
     | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*\[\]])
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*+\[\]])
     """,
     re.X,
 )
@@ -264,6 +269,12 @@ class _Parser:
         q = ParsedQuery(form="construct")
         tq = ParsedQuery(form="template")
         self._parse_group(tq, template_mode=True)
+        for tpl in tq.patterns:
+            if any(isinstance(x, tuple) for x in tpl):
+                raise ValueError(
+                    "property-path modifiers are not allowed in a "
+                    "CONSTRUCT template"
+                )
         q.template = tq.patterns
         self._expect_kw("where")
         self._parse_group(q)
@@ -394,6 +405,14 @@ class _Parser:
         if self._at_op("."):
             self._next()
 
+    def _path_mod(self, pred):
+        """Consume a '+' / '*' property-path modifier after a constant
+        predicate; returns a ('__path__', pred, mod) marker that
+        execute() expands via the closure operator."""
+        if self._at_op("+", "*"):
+            return ("__path__", pred, self._next().text)
+        return pred
+
     def _term(self, pred_pos: bool = False, allow_var: bool = True):
         t = self._next()
         if t.kind == "VAR":
@@ -402,11 +421,13 @@ class _Parser:
             # normalize '$name' to '?name' — the bgp compiler's var syntax
             return "?" + t.text[1:]
         if t.kind == "IRI":
-            return t.text[1:-1]
+            iri = t.text[1:-1]
+            return self._path_mod(iri) if pred_pos else iri
         if t.kind == "PNAME":
-            return self._expand_pname(t)
+            iri = self._expand_pname(t)
+            return self._path_mod(iri) if pred_pos else iri
         if t.kind == "NAME" and t.text == "a":
-            return RDF_TYPE
+            return self._path_mod(RDF_TYPE) if pred_pos else RDF_TYPE
         if t.kind == "STRING":
             lex = _unescape(t.text[1:-1])
             # consume and drop @lang / ^^datatype: the table stores the
@@ -580,6 +601,93 @@ def parse(text: str) -> ParsedQuery:
     return _Parser(text).parse()
 
 
+def _expand_paths(
+    triples: DataFrame, q: ParsedQuery
+) -> tuple[DataFrame, ParsedQuery]:
+    """Materialize property-path patterns: each ``pred+`` becomes the
+    transitive closure of pred's edge slice appended as synthetic
+    triples under a collision-proof name (pred + unit separator), so
+    the pattern then matches like any other constant predicate.
+    ``pred*`` additionally needs the zero-length path, which SPARQL
+    defines over EVERY node — tractable only when the pattern anchors
+    one end on a constant, so an unanchored ``*`` raises.
+
+    Scale shape: one closure per distinct path predicate (path-doubling
+    self-joins over that predicate's slice only — operators/graph.py),
+    computed once even when the pattern appears in several UNION
+    branches; the union with the base table is scan-stage."""
+    specs: dict[str, tuple] = {}
+
+    def rewrite(patterns):
+        out = []
+        for s, p, o in patterns:
+            if not (isinstance(p, tuple) and p[0] == "__path__"):
+                out.append((s, p, o))
+                continue
+            _, uri, mod = p
+            if mod == "+":
+                key = uri + "\x1f+"
+                specs[key] = (uri, "+", None)
+            else:
+                const = None
+                for end in (s, o):
+                    if end is not None and not (
+                        isinstance(end, str) and end.startswith("?")
+                    ):
+                        const = end
+                        break
+                if const is None:
+                    raise NotImplementedError(
+                        "pred* needs a constant subject or object "
+                        "(the zero-length path over every node is "
+                        "unbounded); anchor one end or use pred+"
+                    )
+                key = uri + "\x1f*" + const
+                specs[key] = (uri, "*", const)
+            out.append((s, key, o))
+        return out
+
+    q.patterns = rewrite(q.patterns)
+    q.optional = [rewrite(g) for g in q.optional]
+    q.unions = [
+        [
+            (rewrite(p), [rewrite(g) for g in o], f)
+            for (p, o, f) in branches
+        ]
+        for branches in q.unions
+    ]
+    if not specs:
+        return triples, q
+
+    from .graph import transitive_closure
+
+    base = triples.select("subj", "pred", "obj")
+    out = base
+    for key, (uri, mod, const) in sorted(specs.items()):
+        clo = transitive_closure(
+            base.where(F.col("pred") == F.lit(uri)).select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        )
+        rows = clo.select(
+            F.col("src").alias("subj"),
+            F.lit(key).alias("pred"),
+            F.col("dst").alias("obj"),
+        )
+        if mod == "*":
+            rows = rows.where(
+                (F.col("subj") == F.lit(const))
+                | (F.col("obj") == F.lit(const))
+            )
+            zero = base.sparkSession.createDataFrame(
+                [(const, key, const)],
+                "subj string, pred string, obj string",
+            )
+            rows = rows.unionByName(zero).distinct()
+        out = out.unionByName(rows)
+    return out, q
+
+
 def _variants(q: ParsedQuery) -> list:
     """Expand UNION blocks distributively: outer ⋈ (A ∪ B) =
     (outer ⋈ A) ∪ (outer ⋈ B) under SPARQL bag semantics, so each
@@ -645,6 +753,8 @@ def execute(
     DataFrame.  SELECT/DESCRIBE/CONSTRUCT return a DataFrame; ASK
     returns a bool."""
     q = parse(text)
+    if q.form != "describe":
+        triples, q = _expand_paths(triples, q)
     if q.form == "ask":
         return any(
             bgp.ask(

@@ -317,3 +317,63 @@ def test_union_ask_and_construct(triples):
     # overlap across branches
     xs = sorted(r.subj for r in g.collect())
     assert xs == ["s1", "s2", "s3"]
+
+
+def test_property_path_plus(spark):
+    P_SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    tri = spark.createDataFrame(
+        [("e1", P_SUB, "e2"), ("e2", P_SUB, "e3"), ("e3", P_SUB, "e4"),
+         ("x1", RDF_TYPE, "e1")],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(
+        r.x for r in sparql.execute(
+            tri, "SELECT ?x WHERE { <e1> rdfs:subClassOf+ ?x }"
+        ).collect()
+    )
+    assert got == ["e2", "e3", "e4"]
+    # variable subject joins with other patterns
+    got2 = sorted(map(tuple, sparql.execute(
+        tri,
+        """SELECT ?i ?c WHERE {
+             ?i a ?base . ?base rdfs:subClassOf+ ?c }""",
+    ).collect()))
+    assert got2 == [("x1", "e2"), ("x1", "e3"), ("x1", "e4")]
+
+
+def test_property_path_star_anchored(spark):
+    P_SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    tri = spark.createDataFrame(
+        [("e1", P_SUB, "e2"), ("e2", P_SUB, "e3")],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(
+        r.x for r in sparql.execute(
+            tri, "SELECT ?x WHERE { <e1> rdfs:subClassOf* ?x }"
+        ).collect()
+    )
+    assert got == ["e1", "e2", "e3"]  # zero-length path includes e1
+    with pytest.raises(NotImplementedError, match="constant"):
+        sparql.execute(
+            tri, "SELECT ?x WHERE { ?y rdfs:subClassOf* ?x }"
+        )
+    with pytest.raises(ValueError, match="CONSTRUCT template"):
+        sparql.parse(
+            "CONSTRUCT { ?x rdfs:subClassOf+ ?y } "
+            "WHERE { ?x rdfs:subClassOf ?y }"
+        )
+
+
+def test_property_path_cycle_safe(spark):
+    P = "http://example.org/next"
+    tri = spark.createDataFrame(
+        [("a", P, "b"), ("b", P, "c"), ("c", P, "a")],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(
+        r.x for r in sparql.execute(
+            tri, "PREFIX ex: <http://example.org/> "
+            "SELECT ?x WHERE { <a> ex:next+ ?x }"
+        ).collect()
+    )
+    assert got == ["a", "b", "c"]  # the cycle reaches a itself
