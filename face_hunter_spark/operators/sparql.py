@@ -29,6 +29,9 @@ Supported subset — exactly the shapes the reference emits/accepts
   triples, then matched like any constant predicate; ``*`` needs a
   constant subject or object (its zero-length path is defined over
   every node);
+* negation: ``FILTER [NOT] EXISTS { ... }`` (left-semi/left-anti hash
+  join on the shared variables) and ``MINUS { ... }`` (left-anti; a
+  group sharing no variable removes nothing, per spec);
 * ``FILTER ( expr )`` with ``&&  ||  !  = != < > <= >=``, ``BOUND``,
   ``REGEX(STR(?v), "pat")``, ``CONTAINS``, ``STRSTARTS``, ``STR`` —
   compiled to Spark SQL expressions over the bound variables
@@ -147,6 +150,12 @@ class ParsedQuery:
     # each element is one UNION block: a list of >= 2 branches, each a
     # (patterns, optional, filters) triple
     unions: list = field(default_factory=list)
+    # FILTER [NOT] EXISTS {...}: (positive:bool, patterns) — semi/anti
+    # join on the shared variables
+    exists_clauses: list = field(default_factory=list)
+    # MINUS {...}: pattern lists; anti join on shared vars, no-op when
+    # no variable is shared (per spec)
+    minus_clauses: list = field(default_factory=list)
     select: list | None = None  # None = SELECT *
     distinct: bool = False
     template: list | None = None  # CONSTRUCT template triples
@@ -331,12 +340,26 @@ class _Parser:
                 continue
             if not template_mode and self._at_kw("filter"):
                 self._next()
-                self._expect_op("(")
-                q.filters.append(self._filter_expr())
-                self._expect_op(")")
+                if self._at_kw("not", "exists"):
+                    positive = True
+                    if self._at_kw("not"):
+                        self._next()
+                        positive = False
+                    self._expect_kw("exists")
+                    q.exists_clauses.append(
+                        (positive, self._parse_negation_group("EXISTS"))
+                    )
+                else:
+                    self._expect_op("(")
+                    q.filters.append(self._filter_expr())
+                    self._expect_op(")")
                 # a '.' after FILTER(...) is legal separator noise
                 if self._at_op("."):
                     self._next()
+                continue
+            if not template_mode and self._at_kw("minus"):
+                self._next()
+                q.minus_clauses.append(self._parse_negation_group("MINUS"))
                 continue
             if self._at_kw("service"):
                 raise NotImplementedError(
@@ -379,7 +402,33 @@ class _Parser:
                 "nested UNION inside a UNION branch is not in the "
                 "supported subset"
             )
+        if sub.exists_clauses or sub.minus_clauses:
+            raise NotImplementedError(
+                "EXISTS/MINUS inside a UNION branch is not in the "
+                "supported subset — hoist it to the outer group"
+            )
         return (sub.patterns, sub.optional, sub.filters)
+
+    def _parse_negation_group(self, kw: str):
+        """The pattern group of FILTER [NOT] EXISTS / MINUS -> a plain
+        pattern list (OPTIONAL/FILTER/UNION inside would need algebra
+        this subset doesn't model)."""
+        sub = ParsedQuery(form="negation")
+        self._parse_group(sub)
+        if (
+            sub.optional
+            or sub.filters
+            or sub.unions
+            or sub.exists_clauses
+            or sub.minus_clauses
+        ):
+            raise NotImplementedError(
+                f"only plain triple patterns are supported inside "
+                f"{kw} {{...}}"
+            )
+        if not sub.patterns:
+            raise ValueError(f"{kw} group is empty")
+        return sub.patterns
 
     def _triples_block(self, q: ParsedQuery) -> None:
         subj = self._term()
@@ -656,6 +705,10 @@ def _expand_paths(
         ]
         for branches in q.unions
     ]
+    q.exists_clauses = [
+        (pos, rewrite(p)) for pos, p in q.exists_clauses
+    ]
+    q.minus_clauses = [rewrite(p) for p in q.minus_clauses]
     if not specs:
         return triples, q
 
@@ -746,6 +799,48 @@ def _bindings(
     return out
 
 
+def _apply_negations(
+    triples: DataFrame,
+    df: DataFrame,
+    q: ParsedQuery,
+    allow_cartesian: bool,
+) -> DataFrame:
+    """FILTER [NOT] EXISTS -> left-semi/left-anti hash join of the
+    outer bindings against the group's bindings on the shared
+    variables; MINUS -> left-anti, and per the SPARQL spec a MINUS
+    group sharing NO variable removes nothing.  OPTIONAL-produced NULL
+    keys never match a join key, so NOT EXISTS keeps them and EXISTS
+    drops them — SPARQL's unbound-incompatible semantics."""
+    for positive, pats in q.exists_clauses:
+        sub = bgp.graph_pattern(
+            triples, pats, select=None, distinct=False,
+            allow_cartesian=allow_cartesian,
+        )
+        shared = [c for c in sub.columns if c in df.columns]
+        if not shared:
+            raise NotImplementedError(
+                "FILTER [NOT] EXISTS must share at least one variable "
+                "with the outer patterns (an uncorrelated existence "
+                "check is a separate ASK)"
+            )
+        df = df.join(
+            sub.select(*shared).distinct(),
+            on=shared,
+            how="left_semi" if positive else "left_anti",
+        )
+    for pats in q.minus_clauses:
+        sub = bgp.graph_pattern(
+            triples, pats, select=None, distinct=False,
+            allow_cartesian=allow_cartesian,
+        )
+        shared = [c for c in sub.columns if c in df.columns]
+        if shared:
+            df = df.join(
+                sub.select(*shared).distinct(), on=shared, how="left_anti"
+            )
+    return df
+
+
 def execute(
     triples: DataFrame, text: str, allow_cartesian: bool = False
 ):
@@ -755,7 +850,16 @@ def execute(
     q = parse(text)
     if q.form != "describe":
         triples, q = _expand_paths(triples, q)
+    has_negation = bool(q.exists_clauses or q.minus_clauses)
     if q.form == "ask":
+        if has_negation:
+            df = _apply_negations(
+                triples,
+                _bindings(triples, q, allow_cartesian),
+                q,
+                allow_cartesian,
+            )
+            return len(df.limit(1).take(1)) > 0
         return any(
             bgp.ask(
                 triples,
@@ -768,6 +872,12 @@ def execute(
         )
     if q.form == "describe":
         return bgp.describe(triples, q.describe_node)
+    if q.form == "construct" and has_negation:
+        raise NotImplementedError(
+            "EXISTS/MINUS in a CONSTRUCT WHERE clause is not in the "
+            "supported subset — SELECT the bindings and materialize "
+            "with construct() directly"
+        )
     if q.form == "construct":
         out = None
         for p, o, f in _variants(q):
@@ -782,6 +892,8 @@ def execute(
             out = g if out is None else out.unionByName(g)
         return out if len(q.unions) == 0 else out.distinct()
     df = _bindings(triples, q, allow_cartesian)
+    if has_negation:
+        df = _apply_negations(triples, df, q, allow_cartesian)
     if q.select is not None:
         missing = [v for v in q.select if v not in df.columns]
         if missing:

@@ -377,3 +377,72 @@ def test_property_path_cycle_safe(spark):
         ).collect()
     )
     assert got == ["a", "b", "c"]  # the cycle reaches a itself
+
+
+def test_filter_not_exists(triples):
+    # scenes with no depicts edge: s2 only (the reference's
+    # customers_without_orders shape at the SPARQL level)
+    got = sorted(
+        r.s for r in sparql.execute(
+            triples,
+            """SELECT ?s WHERE {
+                 ?s a video:Scene .
+                 FILTER NOT EXISTS { ?s foaf:depicts ?e }
+               }""",
+        ).collect()
+    )
+    assert got == ["s2"]
+    # positive EXISTS: the complement
+    got2 = sorted(
+        r.s for r in sparql.execute(
+            triples,
+            """SELECT ?s WHERE {
+                 ?s a video:Scene .
+                 FILTER EXISTS { ?s foaf:depicts ?e }
+               }""",
+        ).collect()
+    )
+    assert got2 == ["s1", "s3"]
+
+
+def test_minus(triples):
+    got = sorted(
+        r.s for r in sparql.execute(
+            triples,
+            """SELECT ?s WHERE {
+                 ?s a video:Scene .
+                 MINUS { ?s foaf:depicts <http://dbpedia.org/resource/A> }
+               }""",
+        ).collect()
+    )
+    assert got == ["s2"]
+    # MINUS sharing no variable removes nothing (per spec)
+    got2 = sorted(
+        r.s for r in sparql.execute(
+            triples,
+            """SELECT ?s WHERE {
+                 ?s a video:Scene .
+                 MINUS { ?other dc:title ?t }
+               }""",
+        ).collect()
+    )
+    assert got2 == ["s1", "s2", "s3"]
+
+
+def test_not_exists_ask_and_seams(triples):
+    assert sparql.execute(
+        triples,
+        """ASK { ?s a video:Scene .
+                 FILTER NOT EXISTS { ?s foaf:depicts ?e } }""",
+    ) is True
+    with pytest.raises(NotImplementedError, match="share at least one"):
+        sparql.execute(
+            triples,
+            """SELECT ?s WHERE { ?s a video:Scene .
+                 FILTER EXISTS { ?x dc:title ?t } }""",
+        )
+    with pytest.raises(NotImplementedError, match="plain triple"):
+        sparql.parse(
+            """SELECT ?s WHERE { ?s a video:Scene .
+                 MINUS { ?s foaf:depicts ?e . FILTER(?e != "x") } }"""
+        )
