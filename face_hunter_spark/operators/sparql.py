@@ -32,6 +32,10 @@ Supported subset — exactly the shapes the reference emits/accepts
 * negation: ``FILTER [NOT] EXISTS { ... }`` (left-semi/left-anti hash
   join on the shared variables) and ``MINUS { ... }`` (left-anti; a
   group sharing no variable removes nothing, per spec);
+* ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (a b) ... }`` inline
+  binding tables (broadcast inner join; UNDEF binds NULL and does not
+  wildcard-match) and ``BIND (expr AS ?v)`` computed variables over
+  the FILTER expression subset;
 * ``FILTER ( expr )`` with ``&&  ||  !  = != < > <= >=``, ``BOUND``,
   ``REGEX(STR(?v), "pat")``, ``CONTAINS``, ``STRSTARTS``, ``STR`` —
   compiled to Spark SQL expressions over the bound variables
@@ -156,6 +160,12 @@ class ParsedQuery:
     # MINUS {...}: pattern lists; anti join on shared vars, no-op when
     # no variable is shared (per spec)
     minus_clauses: list = field(default_factory=list)
+    # VALUES (?a ?b) { (x y) ... }: (vars, rows) inline binding tables,
+    # joined onto the group's bindings (cross product if uncorrelated)
+    values_clauses: list = field(default_factory=list)
+    # BIND (expr AS ?v): (sql_expr, var) applied in document order
+    # after all joins
+    binds: list = field(default_factory=list)
     select: list | None = None  # None = SELECT *
     distinct: bool = False
     template: list | None = None  # CONSTRUCT template triples
@@ -361,6 +371,23 @@ class _Parser:
                 self._next()
                 q.minus_clauses.append(self._parse_negation_group("MINUS"))
                 continue
+            if not template_mode and self._at_kw("values"):
+                self._next()
+                q.values_clauses.append(self._parse_values())
+                continue
+            if not template_mode and self._at_kw("bind"):
+                self._next()
+                self._expect_op("(")
+                expr = self._filter_expr()
+                self._expect_kw("as")
+                v = self._next()
+                if v.kind != "VAR":
+                    raise ValueError("BIND needs '... AS ?var'")
+                self._expect_op(")")
+                q.binds.append((expr, v.text[1:]))
+                if self._at_op("."):
+                    self._next()
+                continue
             if self._at_kw("service"):
                 raise NotImplementedError(
                     "SERVICE{} federation needs a live endpoint; the "
@@ -402,12 +429,59 @@ class _Parser:
                 "nested UNION inside a UNION branch is not in the "
                 "supported subset"
             )
-        if sub.exists_clauses or sub.minus_clauses:
+        if (
+            sub.exists_clauses
+            or sub.minus_clauses
+            or sub.values_clauses
+            or sub.binds
+        ):
             raise NotImplementedError(
-                "EXISTS/MINUS inside a UNION branch is not in the "
-                "supported subset — hoist it to the outer group"
+                "EXISTS/MINUS/VALUES/BIND inside a UNION branch is not "
+                "in the supported subset — hoist it to the outer group"
             )
         return (sub.patterns, sub.optional, sub.filters)
+
+    def _parse_values(self):
+        """VALUES ?x { ... } or VALUES (?x ?y) { (a b) ... } ->
+        (var names, row tuples).  UNDEF parses to a NULL binding (note:
+        a NULL never joins, so UNDEF does NOT wildcard-match as full
+        SPARQL would — keep UNDEF out of correlated columns)."""
+        if self._peek() is not None and self._peek().kind == "VAR":
+            vars_ = [self._next().text[1:]]
+            single = True
+        else:
+            self._expect_op("(")
+            vars_ = []
+            while self._peek() is not None and self._peek().kind == "VAR":
+                vars_.append(self._next().text[1:])
+            self._expect_op(")")
+            single = False
+        if not vars_:
+            raise ValueError("VALUES needs at least one ?var")
+        self._expect_op("{")
+        rows = []
+        while not self._at_op("}"):
+            if self._peek() is None:
+                raise ValueError("unclosed VALUES block")
+            if single:
+                rows.append((self._values_term(),))
+            else:
+                self._expect_op("(")
+                rows.append(
+                    tuple(self._values_term() for _ in vars_)
+                )
+                self._expect_op(")")
+        self._next()  # '}'
+        if not rows:
+            raise ValueError("VALUES block is empty")
+        return (vars_, rows)
+
+    def _values_term(self):
+        t = self._peek()
+        if t is not None and t.kind == "NAME" and t.text.lower() == "undef":
+            self._next()
+            return None
+        return self._term(allow_var=False)
 
     def _parse_negation_group(self, kw: str):
         """The pattern group of FILTER [NOT] EXISTS / MINUS -> a plain
@@ -799,18 +873,22 @@ def _bindings(
     return out
 
 
-def _apply_negations(
+def _apply_solution_clauses(
     triples: DataFrame,
     df: DataFrame,
     q: ParsedQuery,
     allow_cartesian: bool,
 ) -> DataFrame:
-    """FILTER [NOT] EXISTS -> left-semi/left-anti hash join of the
-    outer bindings against the group's bindings on the shared
-    variables; MINUS -> left-anti, and per the SPARQL spec a MINUS
-    group sharing NO variable removes nothing.  OPTIONAL-produced NULL
-    keys never match a join key, so NOT EXISTS keeps them and EXISTS
-    drops them — SPARQL's unbound-incompatible semantics."""
+    """Post-join solution clauses, in SPARQL-algebra order.
+    FILTER [NOT] EXISTS -> left-semi/left-anti hash join of the outer
+    bindings against the group's bindings on the shared variables;
+    MINUS -> left-anti, and per the SPARQL spec a MINUS group sharing
+    NO variable removes nothing (OPTIONAL-produced NULL keys never
+    match a join key, so NOT EXISTS keeps them and EXISTS drops them —
+    SPARQL's unbound-incompatible semantics).  VALUES -> broadcast
+    inner join of the inline binding table (cross product when
+    uncorrelated); BIND -> withColumn in document order, cast to
+    string to match the all-lexical triple model."""
     for positive, pats in q.exists_clauses:
         sub = bgp.graph_pattern(
             triples, pats, select=None, distinct=False,
@@ -838,6 +916,24 @@ def _apply_negations(
             df = df.join(
                 sub.select(*shared).distinct(), on=shared, how="left_anti"
             )
+    spark = triples.sparkSession
+    for vars_, rows in q.values_clauses:
+        vdf = F.broadcast(
+            spark.createDataFrame(
+                [list(r) for r in rows],
+                ", ".join(f"`{v}` string" for v in vars_),
+            )
+        )
+        shared = [v for v in vars_ if v in df.columns]
+        df = (
+            df.join(vdf, on=shared, how="inner")
+            if shared
+            else df.crossJoin(vdf)
+        )
+    for sql, var in q.binds:
+        if var in df.columns:
+            raise ValueError(f"BIND would rebind ?{var}")
+        df = df.withColumn(var, F.expr(sql).cast("string"))
     return df
 
 
@@ -850,10 +946,12 @@ def execute(
     q = parse(text)
     if q.form != "describe":
         triples, q = _expand_paths(triples, q)
-    has_negation = bool(q.exists_clauses or q.minus_clauses)
+    has_negation = bool(
+        q.exists_clauses or q.minus_clauses or q.values_clauses or q.binds
+    )
     if q.form == "ask":
         if has_negation:
-            df = _apply_negations(
+            df = _apply_solution_clauses(
                 triples,
                 _bindings(triples, q, allow_cartesian),
                 q,
@@ -874,9 +972,9 @@ def execute(
         return bgp.describe(triples, q.describe_node)
     if q.form == "construct" and has_negation:
         raise NotImplementedError(
-            "EXISTS/MINUS in a CONSTRUCT WHERE clause is not in the "
-            "supported subset — SELECT the bindings and materialize "
-            "with construct() directly"
+            "EXISTS/MINUS/VALUES/BIND in a CONSTRUCT WHERE clause is "
+            "not in the supported subset — SELECT the bindings and "
+            "materialize with construct() directly"
         )
     if q.form == "construct":
         out = None
@@ -893,7 +991,7 @@ def execute(
         return out if len(q.unions) == 0 else out.distinct()
     df = _bindings(triples, q, allow_cartesian)
     if has_negation:
-        df = _apply_negations(triples, df, q, allow_cartesian)
+        df = _apply_solution_clauses(triples, df, q, allow_cartesian)
     if q.select is not None:
         missing = [v for v in q.select if v not in df.columns]
         if missing:

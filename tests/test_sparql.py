@@ -446,3 +446,41 @@ def test_not_exists_ask_and_seams(triples):
             """SELECT ?s WHERE { ?s a video:Scene .
                  MINUS { ?s foaf:depicts ?e . FILTER(?e != "x") } }"""
         )
+
+
+def test_values_inline_bindings(triples):
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?s ?t WHERE {
+             ?s temporal:hasStartTime ?t .
+             VALUES ?s { "s1" "s3" }
+           }""",
+    ).collect()))
+    assert got == [("s1", "0:00:00"), ("s3", "0:01:40")]
+    # multi-var + uncorrelated cross product
+    got2 = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?v ?k ?lbl WHERE {
+             ?v dc:title ?t .
+             VALUES (?k ?lbl) { ("x" "one") ("y" "two") }
+           }""",
+    ).collect()))
+    assert len(got2) == 4 and got2[0] == ("v1", "x", "one")
+
+
+def test_bind_expressions(triples):
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?s ?flag WHERE {
+             ?s foaf:depicts ?e .
+             BIND ( strstarts(str(?e), "http://dbpedia.org/") AS ?flag )
+           }""",
+    ).collect()))
+    assert got == [
+        ("s1", "false"), ("s1", "true"), ("s3", "true"),
+    ]
+    with pytest.raises(ValueError, match="rebind"):
+        sparql.execute(
+            triples,
+            'SELECT ?s WHERE { ?s dc:title ?t . BIND (?t AS ?s) }',
+        )
