@@ -110,6 +110,7 @@ def transe_epoch(
     rel_emb: DataFrame | None = None,
     salt: str = "transe-e0",
     step: str = "sign",
+    broadcast_vocab: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """One TransE training epoch over ``triples`` (subj, pred, obj).
     Returns the updated (entity_embeddings, relation_embeddings), each
@@ -178,8 +179,12 @@ def transe_epoch(
             F.lit(n),
         ),
     )
+    # broadcast fits to ~10^7 entities; pass broadcast_vocab=False at
+    # 10^8+ so the idx lookup shuffles instead (same convention as
+    # operators/negatives.py)
+    v_tbl = F.broadcast(vocab) if broadcast_vocab else vocab
     pairs = (
-        cand.join(F.broadcast(vocab), "idx")
+        cand.join(v_tbl, "idx")
         .select("subj", "pred", "obj", F.col("value").alias("obj_neg"))
         .join(
             base.select(
@@ -291,6 +296,7 @@ def link_prediction_ranks(
     ent_emb: DataFrame,
     rel_emb: DataFrame,
     filter_triples: DataFrame | None = None,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Filtered link-prediction ranks (Bordes'13 evaluation protocol):
     for each test (subj, pred, obj), the 1-based rank of the true tail
@@ -328,12 +334,14 @@ def link_prediction_ranks(
             F.zip_with("h", "r", lambda a, b: a + b).alias("hr"),
         )
     )
+    cand_tbl = ent_emb.select(
+        F.col("id").alias("cand"), F.col("emb").alias("t")
+    )
+    # the candidate table broadcast fits to ~10^6-10^7 entities;
+    # broadcast_candidates=False shuffles the fan-out instead (the
+    # test x entity product is the protocol's inherent cost either way)
     cand = hr_rows.crossJoin(
-        F.broadcast(
-            ent_emb.select(
-                F.col("id").alias("cand"), F.col("emb").alias("t")
-            )
-        )
+        F.broadcast(cand_tbl) if broadcast_candidates else cand_tbl
     )
     dist = F.aggregate(
         F.zip_with("hr", "t", lambda a, b: a - b),

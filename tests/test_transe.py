@@ -170,3 +170,21 @@ def test_link_prediction_tiebreak_and_invariance(kg):
     r8 = sorted(map(tuple, link_prediction_ranks(
         test.repartition(8), ent, rel, filter_triples=kg).collect()))
     assert r1 == r8 and all(row[3] >= 1 for row in r1)
+
+
+def test_no_broadcast_paths_match(kg):
+    # the shuffle fallbacks (10^8-entity regime) must be bit-identical
+    # to the broadcast defaults
+    from face_hunter_spark.operators.transe import (
+        link_prediction_ranks,
+        transe_epoch,
+    )
+
+    e1, r1 = transe_epoch(kg, dim=4, k_neg=2)
+    e2, r2 = transe_epoch(kg, dim=4, k_neg=2, broadcast_vocab=False)
+    assert _flat(e1) == _flat(e2) and _flat(r1) == _flat(r2)
+    test = kg.limit(3)
+    a = sorted(map(tuple, link_prediction_ranks(test, e1, r1).collect()))
+    b = sorted(map(tuple, link_prediction_ranks(
+        test, e1, r1, broadcast_candidates=False).collect()))
+    assert a == b
