@@ -167,6 +167,11 @@ class ParsedQuery:
     # after all joins
     binds: list = field(default_factory=list)
     select: list | None = None  # None = SELECT *
+    # (func, arg_var|None, distinct, alias) for each (AGG(?v) AS ?a)
+    # in the SELECT list; non-empty => grouped query
+    aggregates: list = field(default_factory=list)
+    group_by: list = field(default_factory=list)  # plain var names
+    having: list = field(default_factory=list)  # SQL exprs
     distinct: bool = False
     template: list | None = None  # CONSTRUCT template triples
     describe_node: str | None = None
@@ -272,8 +277,14 @@ class _Parser:
             q.select = None
         else:
             names = []
-            while self._peek() is not None and self._peek().kind == "VAR":
-                names.append(self._next().text[1:])
+            while True:
+                t = self._peek()
+                if t is not None and t.kind == "VAR":
+                    names.append(self._next().text[1:])
+                elif t is not None and t.kind == "OP" and t.text == "(":
+                    names.append(self._parse_select_agg(q))
+                else:
+                    break
             if not names:
                 raise ValueError("SELECT needs ?vars or *")
             q.select = names
@@ -281,7 +292,60 @@ class _Parser:
             self._next()
         self._parse_group(q)
         self._parse_modifiers(q)
+        if q.aggregates:
+            plain = [
+                v for v in q.select
+                if v not in {a[3] for a in q.aggregates}
+            ]
+            bad = [v for v in plain if v not in q.group_by]
+            if bad:
+                raise ValueError(
+                    f"non-aggregate SELECT vars must be in GROUP BY: "
+                    f"{bad}"
+                )
+        elif q.group_by or q.having:
+            raise ValueError(
+                "GROUP BY / HAVING need at least one aggregate in the "
+                "SELECT list"
+            )
         return q
+
+    _AGG_FUNCS = {"count", "min", "max", "sample"}
+
+    def _parse_select_agg(self, q: ParsedQuery) -> str:
+        """'( AGG([DISTINCT] ?v | *) AS ?alias )' -> alias; records the
+        aggregate on q."""
+        self._expect_op("(")
+        fn = self._next()
+        if fn.kind != "NAME" or fn.text.lower() not in self._AGG_FUNCS:
+            raise NotImplementedError(
+                f"aggregate {fn.text!r} is not in the supported subset "
+                "(COUNT, MIN, MAX, SAMPLE)"
+            )
+        func = fn.text.lower()
+        self._expect_op("(")
+        distinct = False
+        if self._at_kw("distinct"):
+            self._next()
+            distinct = True
+        arg = None
+        if self._at_op("*"):
+            if func != "count":
+                raise ValueError(f"{func.upper()}(*) is not valid SPARQL")
+            self._next()
+        else:
+            v = self._next()
+            if v.kind != "VAR":
+                raise ValueError(f"{func.upper()} needs a ?var or *")
+            arg = v.text[1:]
+        self._expect_op(")")
+        self._expect_kw("as")
+        alias = self._next()
+        if alias.kind != "VAR":
+            raise ValueError("aggregate needs '... AS ?alias'")
+        self._expect_op(")")
+        q.aggregates.append((func, arg, distinct, alias.text[1:]))
+        return alias.text[1:]
 
     def _parse_construct(self) -> ParsedQuery:
         self._next()  # CONSTRUCT
@@ -300,6 +364,21 @@ class _Parser:
         return q
 
     def _parse_modifiers(self, q: ParsedQuery) -> None:
+        if self._at_kw("group"):
+            self._next()
+            self._expect_kw("by")
+            while self._peek() is not None and self._peek().kind == "VAR":
+                q.group_by.append(self._next().text[1:])
+            if not q.group_by:
+                raise ValueError("GROUP BY needs at least one ?var")
+        if self._at_kw("having"):
+            self._next()
+            while self._at_op("("):
+                self._next()
+                q.having.append(self._filter_expr())
+                self._expect_op(")")
+            if not q.having:
+                raise ValueError("HAVING needs (expr)")
         if self._at_kw("order"):
             self._next()
             self._expect_kw("by")
@@ -992,6 +1071,33 @@ def execute(
     df = _bindings(triples, q, allow_cartesian)
     if has_negation:
         df = _apply_solution_clauses(triples, df, q, allow_cartesian)
+    if q.aggregates:
+        aggs = []
+        for func, arg, dist, alias in q.aggregates:
+            if func == "count":
+                if arg is None:
+                    if dist:
+                        raise ValueError("COUNT(DISTINCT *) is not valid")
+                    col = F.count(F.lit(1))
+                elif dist:
+                    col = F.count_distinct(F.col(arg))
+                else:
+                    col = F.count(F.col(arg))
+            elif func == "min":
+                col = F.min(arg)
+            elif func == "max":
+                col = F.max(arg)
+            else:  # SAMPLE — spec says ANY value; min keeps the result
+                # deterministic at any partitioning
+                col = F.min(arg)
+            aggs.append(col.alias(alias))
+        df = (
+            df.groupBy(*q.group_by).agg(*aggs)
+            if q.group_by
+            else df.agg(*aggs)
+        )
+        for h in q.having:
+            df = df.where(F.expr(h))
     if q.select is not None:
         missing = [v for v in q.select if v not in df.columns]
         if missing:

@@ -484,3 +484,48 @@ def test_bind_expressions(triples):
             triples,
             'SELECT ?s WHERE { ?s dc:title ?t . BIND (?t AS ?s) }',
         )
+
+
+def test_aggregates_group_by_having(triples):
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?v (COUNT(?s) AS ?n) WHERE {
+             ?v hunter:hasScene ?s .
+           } GROUP BY ?v ORDER BY ?v""",
+    ).collect()))
+    assert got == [("v1", 2), ("v2", 1)]
+
+    got2 = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?v (COUNT(?s) AS ?n) WHERE {
+             ?v hunter:hasScene ?s .
+           } GROUP BY ?v HAVING (?n > 1)""",
+    ).collect()))
+    assert got2 == [("v1", 2)]
+
+    # global aggregate, COUNT DISTINCT, MIN
+    row = sparql.execute(
+        triples,
+        """SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT ?e) AS ?d)
+                  (MIN(?e) AS ?lo) WHERE {
+             ?s foaf:depicts ?e .
+           }""",
+    ).collect()[0]
+    assert (row.n, row.d, row.lo) == (
+        3, 2, "http://dbpedia.org/resource/A"
+    )
+
+
+def test_aggregate_validation(triples):
+    with pytest.raises(ValueError, match="GROUP BY"):
+        sparql.parse(
+            "SELECT ?v (COUNT(?s) AS ?n) WHERE { ?v hunter:hasScene ?s }"
+        )
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        sparql.parse(
+            "SELECT ?v WHERE { ?v hunter:hasScene ?s } GROUP BY ?v"
+        )
+    with pytest.raises(NotImplementedError, match="aggregate"):
+        sparql.parse(
+            "SELECT (AVG(?s) AS ?a) WHERE { ?v hunter:hasScene ?s }"
+        )
