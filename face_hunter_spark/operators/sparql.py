@@ -36,6 +36,10 @@ Supported subset — exactly the shapes the reference emits/accepts
   binding tables (broadcast inner join; UNDEF binds NULL and does not
   wildcard-match) and ``BIND (expr AS ?v)`` computed variables over
   the FILTER expression subset;
+* aggregates ``(COUNT([DISTINCT] ?v | *) AS ?n)`` / MIN / MAX / SAMPLE
+  with ``GROUP BY`` and ``HAVING`` — one hash aggregation with
+  map-side partial combine; SAMPLE evaluates as MIN so the result
+  stays deterministic at any partitioning (the spec allows any value);
 * ``FILTER ( expr )`` with ``&&  ||  !  = != < > <= >=``, ``BOUND``,
   ``REGEX(STR(?v), "pat")``, ``CONTAINS``, ``STRSTARTS``, ``STR`` —
   compiled to Spark SQL expressions over the bound variables
