@@ -558,6 +558,79 @@ def _q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subj", "pred", "obj")
 
 
+def _q_sparql_update_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UPDATE state transition (operators/sparql_update.py —
+    the write half of the reference's text surface,
+    virtuoso_store.py:29-52): a customer→nation membership graph
+    derived from TPC-H, then one DELETE{...}INSERT{...}WHERE{...}
+    (predicate rename gated by a FILTER) applied via the pure
+    (G \\ D) ∪ I operator.  The oracle replays the anti-join/union
+    algebra in DuckDB over the identical base graph."""
+    from face_hunter_spark.operators.sparql_update import updated_graph
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("http://example.org/inNation").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+        .unionByName(
+            nation.select(
+                F.col("n_name").alias("subj"),
+                F.lit("http://example.org/kind").alias("pred"),
+                F.lit("nation").alias("obj"),
+            )
+        )
+    )
+    out = updated_graph(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        DELETE { ?c ex:inNation ?n }
+        INSERT { ?c ex:memberOf ?n }
+        WHERE { ?c ex:inNation ?n . FILTER (?n != "CHINA") }
+        """,
+    )
+    return out.orderBy("subj", "pred", "obj")
+
+
+ORACLE_SPARQL_UPDATE = """
+WITH base AS (
+  SELECT c_name AS subj, 'http://example.org/inNation' AS pred,
+         n_name AS obj
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT n_name, 'http://example.org/kind', 'nation' FROM nation
+),
+dels AS (
+  SELECT DISTINCT subj, pred, obj FROM base
+  WHERE pred = 'http://example.org/inNation' AND obj <> 'CHINA'
+),
+ins AS (
+  SELECT DISTINCT subj, 'http://example.org/memberOf' AS pred, obj
+  FROM base
+  WHERE pred = 'http://example.org/inNation' AND obj <> 'CHINA'
+),
+after_del AS (
+  SELECT b.subj, b.pred, b.obj FROM base b
+  ANTI JOIN dels d
+    ON b.subj = d.subj AND b.pred = d.pred AND b.obj = d.obj
+),
+novel AS (
+  SELECT i.subj, i.pred, i.obj FROM ins i
+  ANTI JOIN after_del a
+    ON i.subj = a.subj AND i.pred = a.pred AND i.obj = a.obj
+)
+SELECT subj, pred, obj FROM after_del
+UNION ALL
+SELECT subj, pred, obj FROM novel
+ORDER BY subj, pred, obj
+"""
+
+
 def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read path (SURVEY.md §2.8, graph.py:153-192): run the pipeline,
     register the scene_view, and search scenes depicting the busiest
@@ -854,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cut_duplicate_spans": DQ.q_cut_duplicate_spans,
         "describe_entity": DQ.q_describe_entity,
         "sparql_text_select": _q_sparql_text_select,
+        "sparql_update_apply": _q_sparql_update_apply,
         "transe_epoch": DQ.q_transe_epoch,
         "transe_link_prediction": DQ.q_transe_link_prediction,
         # -- (c) representative driver-green core ----------------------
@@ -966,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
         # the TEXT front-end compiles to the same plan, so the same
         # exact oracle applies verbatim
         "sparql_text_select": _DO.sql_bgp_optional_filter(),
+        "sparql_update_apply": ORACLE_SPARQL_UPDATE,
         "transe_epoch": DQ.ORACLE_TRANSE_EPOCH,
         "transe_link_prediction": DQ.ORACLE_TRANSE_LINK_PREDICTION,
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,

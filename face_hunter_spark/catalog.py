@@ -132,6 +132,76 @@ class ParquetCatalog:
             os.replace(tmp, self._manifest_path(table))  # atomic commit
         return snap_id
 
+    def overwrite(self, table: str, df: DataFrame, run_id: str,
+                  partition_by: list[str] | None = None,
+                  sort_by: list[str] | None = None,
+                  sort_partitions: int | None = None) -> str:
+        """Replace the table's entire content with ``df`` as ONE new
+        snapshot — the copy-on-write commit shape (Iceberg's COW
+        DELETE/overwrite): callers hand in the rewritten state (e.g.
+        the table anti-joined against a delete set) and the flip is
+        atomic.  ``df`` MAY read from the table's current snapshots —
+        the plan executes into the new snapshot directory BEFORE the
+        manifest flips, and old data dirs are removed only after.
+
+        Same optimistic concurrency as :meth:`compact`: aborts loudly
+        (new dir removed, table untouched) if any commit landed while
+        the rewrite ran.  Time travel into replaced snapshots raises
+        KeyError afterwards, exactly like post-compaction expiry.
+        """
+        import shutil
+
+        snaps = self.snapshots(table)
+        if partition_by is None and snaps:
+            partition_by = self._detect_partitioning(
+                table, snaps[-1]["id"]
+            )
+        snap_id = uuid.uuid4().hex[:12]
+        data_dir = os.path.join(self._tdir(table), "data", f"snap={snap_id}")
+        df = _cluster(df, sort_by, sort_partitions)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        if not any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(data_dir) for f in fs
+        ):
+            # an empty partitioned write emits no data files at all,
+            # leaving the table unreadable; keep the schema in one
+            # empty UNpartitioned footer (partition cols become plain
+            # columns — same DataFrame shape on read)
+            df.limit(0).write.mode("overwrite").parquet(data_dir)
+        with self._commit_lock(table):
+            now = self.snapshots(table)
+            if [s["id"] for s in now] != [s["id"] for s in snaps]:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise RuntimeError(
+                    f"overwrite({table}): concurrent commit detected "
+                    f"({len(now)} snapshots now vs {len(snaps)} at "
+                    "start); table untouched — recompute and retry"
+                )
+            manifest = {
+                "snapshots": [
+                    {
+                        "id": snap_id,
+                        "run_id": run_id,
+                        "committed": time.time(),
+                        "replaced_from": [s["id"] for s in snaps],
+                    }
+                ]
+            }
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path(table))  # atomic flip
+        for s in snaps:
+            shutil.rmtree(
+                os.path.join(self._tdir(table), "data", f"snap={s['id']}"),
+                ignore_errors=True,
+            )
+        return snap_id
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         """Union of all committed snapshots (uncommitted dirs invisible)."""
         snaps = self.snapshots(table)
@@ -390,6 +460,32 @@ class IcebergCatalog:
                     *[F.col(c) for c in partition_by]
                 )
             writer.create()
+        last = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._fqn(table)}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(last[0].snapshot_id) if last else ""
+
+    def overwrite(self, table: str, df: DataFrame, run_id: str,
+                  partition_by: list[str] | None = None,
+                  sort_by: list[str] | None = None,
+                  sort_partitions: int | None = None) -> str:
+        """Copy-on-write full-table replace (ParquetCatalog.overwrite
+        parity) via ``createOrReplace`` — a REPLACE TABLE ... AS SELECT
+        commit, so partitions emptied by a delete disappear too (an
+        ``overwritePartitions`` would keep partitions absent from
+        ``df``).  ``df`` may read from the table itself — the plan is
+        eagerly localCheckpoint()ed before the replace starts
+        rewriting (same self-read discipline as the CC/graph loops)."""
+        df = _cluster(df, sort_by, sort_partitions).localCheckpoint()
+        writer = df.writeTo(self._fqn(table)).option(
+            "snapshot-property.run_id", run_id
+        )
+        if partition_by:
+            writer = writer.partitionedBy(
+                *[F.col(c) for c in partition_by]
+            )
+        writer.createOrReplace()
         last = self.spark.sql(
             f"SELECT snapshot_id FROM {self._fqn(table)}.snapshots "
             f"ORDER BY committed_at DESC LIMIT 1"

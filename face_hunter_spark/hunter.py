@@ -350,6 +350,58 @@ class SparkHunter:
             allow_cartesian=allow_cartesian,
         )
 
+    def update(self, text: str, run_id: str | None = None) -> dict:
+        """Apply a SPARQL UPDATE string to the committed triple table
+        (operators/sparql_update.py — the write half of the reference's
+        text surface: its Virtuoso store commits ``INSERT DATA``
+        strings, virtuoso_store.py:29-52).  INSERT DATA / DELETE DATA /
+        DELETE WHERE / DELETE{...}INSERT{...}WHERE{...} — inserts
+        append one snapshot set-semantically, deletes rewrite the
+        table copy-on-write.  Returns the
+        ``{"form", "inserted", "deleted", "snapshot"}`` report.
+        Raises before any link() commit when the update needs existing
+        state; a first INSERT DATA bootstraps the table."""
+        from .operators.sparql_update import execute_update, parse_update
+
+        if not self.catalog.exists("triples"):
+            u = parse_update(text)
+            if u.form != "insert_data":
+                raise FileNotFoundError(
+                    "no committed triple table yet — only INSERT DATA "
+                    "can bootstrap one"
+                )
+            # bootstrap: empty graph -> the payload, full pipeline schema
+            from .operators.sparql_update import (
+                _ground_df, _literal_cols,
+            )
+            from .operators.triples import with_partitioning
+
+            rid = run_id or "sparql-update-bootstrap"
+            is_lit, dt = _literal_cols(u)
+            rows = with_partitioning(
+                _ground_df(self.spark, u.data).select(
+                    F.col("subj").alias("doc_id"),
+                    "subj",
+                    "pred",
+                    "obj",
+                    is_lit.alias("obj_is_literal"),
+                    dt.cast("string").alias("obj_datatype"),
+                    F.col("obj").alias("obj_canonical"),
+                ),
+                rid,
+            )
+            snap = self.catalog.append(
+                "triples", rows, rid, partition_by=["doc_bucket"]
+            )
+            self._refresh_views()
+            return {"form": u.form, "inserted": rows.count(),
+                    "deleted": 0, "snapshot": snap}
+        report = execute_update(
+            self.spark, self.catalog, "triples", text, run_id=run_id
+        )
+        self._refresh_views()
+        return report
+
     def validate(self, shapes=None) -> dict | None:
         """Run the KG quality gate (quality.py) on this handle's
         catalog: SHACL-lite validation (default: the pipeline's

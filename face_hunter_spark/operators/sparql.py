@@ -230,7 +230,7 @@ class _Parser:
         return t is not None and t.kind == "OP" and t.text in ops
 
     # --- prologue + query forms -----------------------------------------
-    def parse(self) -> ParsedQuery:
+    def _parse_prologue(self) -> None:
         while self._at_kw("prefix"):
             self._next()
             pn = self._next()
@@ -245,6 +245,9 @@ class _Parser:
                     f"bad PREFIX declaration: expected <iri>, got {iri.text!r}"
                 )
             self.prefixes[pn.text[:-1]] = iri.text[1:-1]
+
+    def parse(self) -> ParsedQuery:
+        self._parse_prologue()
         if self._at_kw("select"):
             q = self._parse_select()
         elif self._at_kw("ask"):
@@ -636,18 +639,26 @@ class _Parser:
             return self._path_mod(RDF_TYPE) if pred_pos else RDF_TYPE
         if t.kind == "STRING":
             lex = _unescape(t.text[1:-1])
-            # consume and drop @lang / ^^datatype: the table stores the
-            # lexical form (module docstring)
+            # consume @lang / ^^datatype; the READ path matches on the
+            # lexical form only (module docstring) — the default hooks
+            # drop the annotations, the UPDATE parser overrides them to
+            # keep is-literal/datatype for the rows it materializes
+            lang = None
+            dt_iri = None
             if self._peek() is not None and self._peek().kind == "LANGTAG":
-                self._next()
+                lang = self._next().text[1:]
             elif self._at_dtsep():
                 self._next()
                 dt = self._next()
-                if dt.kind not in ("IRI", "PNAME"):
+                if dt.kind == "IRI":
+                    dt_iri = dt.text[1:-1]
+                elif dt.kind == "PNAME":
+                    dt_iri = self._expand_pname(dt)
+                else:
                     raise ValueError("^^ needs a datatype IRI")
-            return lex
+            return self._string_term(lex, lang, dt_iri)
         if t.kind == "NUMBER":
-            return t.text
+            return self._number_term(t.text)
         if t.kind == "OP" and t.text == "[" and not pred_pos:
             # '[]' anonymous blank node = wildcard
             self._expect_op("]")
@@ -659,6 +670,15 @@ class _Parser:
     def _at_dtsep(self) -> bool:
         t = self._peek()
         return t is not None and t.kind == "DTSEP"
+
+    # literal-shape hooks: the read path matches lexically, so both
+    # default to the bare value; sparql_update._UpdateParser overrides
+    # them to retain is-literal / datatype for materialized rows
+    def _string_term(self, lex: str, lang, datatype_iri):
+        return lex
+
+    def _number_term(self, text: str):
+        return text
 
     def _expand_pname(self, t: _Tok) -> str:
         pfx, local = t.text.split(":", 1)

@@ -1,0 +1,300 @@
+"""SPARQL UPDATE front-end (operators/sparql_update.py): parsing of
+the reference's INSERT DATA house style (virtuoso_store.py:29-52) and
+the delete/modify forms, the pure (G \\ D) ∪ I state transition, and
+the catalog-committing execution path (append for inserts,
+copy-on-write overwrite for deletes)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from face_hunter_spark.operators import sparql_update as U
+from face_hunter_spark.operators.sparql_update import (
+    execute_update,
+    parse_update,
+    updated_graph,
+)
+
+EX = "http://example.org/"
+
+
+def _graph(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+
+
+def _spo(df):
+    return {
+        (r.subj, r.pred, r.obj)
+        for r in df.select("subj", "pred", "obj").collect()
+    }
+
+
+# ------------------------------------------------------------- parsing
+
+
+def test_parse_insert_data_reference_house_style():
+    # the exact shape the reference's VirtuosoStore.insert emits
+    # (virtuoso_store.py:31-40): GRAPH wrapper + absolute IRIs + a
+    # typed literal
+    u = parse_update(
+        "INSERT DATA { GRAPH <http://g.example/kg> { "
+        "<http://e/s> <http://e/p> <http://e/o> . "
+        '<http://e/s> <http://e/t> "0:00:05"^^'
+        "<http://www.w3.org/2001/XMLSchema#dateTime> . } }"
+    )
+    assert u.form == "insert_data"
+    assert u.graph == "http://g.example/kg"
+    assert len(u.data) == 2
+    lit = u.data[1][2]
+    assert isinstance(lit, U._Lit)
+    assert str(lit) == "0:00:05"
+    assert lit.datatype.endswith("dateTime")
+
+
+def test_parse_prefixes_semicolon_blocks_and_numbers():
+    u = parse_update(
+        "PREFIX ex: <http://example.org/> "
+        "INSERT DATA { ex:s a ex:Thing ; ex:rank 3 ; "
+        'ex:label "hi"@en . }'
+    )
+    assert u.form == "insert_data"
+    assert len(u.data) == 3
+    types = {(p, str(o)) for _, p, o in u.data}
+    assert (EX + "rank", "3") in types
+    rank = [o for _, p, o in u.data if p == EX + "rank"][0]
+    assert rank.datatype.endswith("integer")
+    label = [o for _, p, o in u.data if p == EX + "label"][0]
+    assert label.lang == "en" and label.datatype is None
+
+
+def test_parse_rejects_variables_in_data_and_multi_op():
+    with pytest.raises(ValueError, match="ground"):
+        parse_update("INSERT DATA { ?s <http://e/p> <http://e/o> . }")
+    with pytest.raises(NotImplementedError, match="multi-operation"):
+        parse_update(
+            "INSERT DATA { <http://e/s> <http://e/p> <http://e/o> } ; "
+            "INSERT DATA { <http://e/a> <http://e/p> <http://e/b> }"
+        )
+    with pytest.raises(ValueError):
+        parse_update("SELECT ?s WHERE { ?s ?p ?o }")
+
+
+def test_parse_delete_forms():
+    u = parse_update(
+        "DELETE WHERE { ?s <http://e/p> ?o . }"
+    )
+    assert u.form == "delete_where"
+    assert u.delete_template == u.where.patterns
+    u2 = parse_update(
+        "PREFIX ex: <http://example.org/> "
+        "DELETE { ?s ex:old ?o } INSERT { ?s ex:new ?o } "
+        "WHERE { ?s ex:old ?o . FILTER (?o != \"skip\") }"
+    )
+    assert u2.form == "modify"
+    assert u2.delete_template and u2.insert_template
+    assert u2.where.filters
+    with pytest.raises(NotImplementedError, match="plain triple"):
+        parse_update(
+            "DELETE WHERE { ?s <http://e/p> ?o . FILTER (?o != \"x\") }"
+        )
+
+
+# ------------------------------------------------- pure state transition
+
+
+def test_updated_graph_insert_is_set_semantic(spark):
+    g = _graph(spark, [("s1", "p", "o1"), ("s2", "p", "o2")])
+    out = updated_graph(
+        g,
+        "INSERT DATA { <s1> <p> <o1> . <s3> <p> <o3> . }",
+    )
+    assert _spo(out) == {
+        ("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", "o3"),
+    }
+    assert out.count() == 3  # no duplicate of the re-inserted triple
+
+
+def test_updated_graph_delete_data_exact_rows_only(spark):
+    g = _graph(
+        spark,
+        [("s1", "p", "o1"), ("s1", "p", "o2"), ("s2", "p", "o1")],
+    )
+    out = updated_graph(g, "DELETE DATA { <s1> <p> <o1> . }")
+    assert _spo(out) == {("s1", "p", "o2"), ("s2", "p", "o1")}
+
+
+def test_updated_graph_delete_where_binds_variables(spark):
+    g = _graph(
+        spark,
+        [
+            ("s1", EX + "kind", "old"),
+            ("s1", EX + "name", "a"),
+            ("s2", EX + "kind", "old"),
+            ("s3", EX + "kind", "new"),
+        ],
+    )
+    out = updated_graph(
+        g,
+        f"DELETE WHERE {{ ?s <{EX}kind> \"old\" . }}",
+    )
+    assert _spo(out) == {
+        ("s1", EX + "name", "a"),
+        ("s3", EX + "kind", "new"),
+    }
+
+
+def test_updated_graph_modify_reads_original_state(spark):
+    # rename predicate old->new; D and I both instantiate against the
+    # ORIGINAL graph (the insert must not see the deletions, and the
+    # delete must not remove the insertions)
+    g = _graph(
+        spark,
+        [("s1", EX + "old", "x"), ("s2", EX + "old", "y"),
+         ("s2", EX + "other", "z")],
+    )
+    out = updated_graph(
+        g,
+        f"PREFIX ex: <{EX}> "
+        "DELETE { ?s ex:old ?o } INSERT { ?s ex:new ?o } "
+        "WHERE { ?s ex:old ?o }",
+    )
+    assert _spo(out) == {
+        ("s1", EX + "new", "x"),
+        ("s2", EX + "new", "y"),
+        ("s2", EX + "other", "z"),
+    }
+
+
+def test_updated_graph_modify_with_filter_and_optional(spark):
+    g = _graph(
+        spark,
+        [
+            ("v1", EX + "views", "10"),
+            ("v2", EX + "views", "900"),
+            ("v2", EX + "flag", "hot"),
+        ],
+    )
+    out = updated_graph(
+        g,
+        f"PREFIX ex: <{EX}> "
+        "INSERT { ?v ex:tier \"big\" } "
+        "WHERE { ?v ex:views ?n . FILTER (?n > 100) }",
+    )
+    assert (("v2", EX + "tier", "big")) in _spo(out)
+    assert (("v1", EX + "tier", "big")) not in _spo(out)
+
+
+# --------------------------------------------------- committing execution
+
+
+def _seed_catalog(spark, tmp_path):
+    from face_hunter_spark.catalog import ParquetCatalog
+    from face_hunter_spark.operators.triples import with_partitioning
+
+    cat = ParquetCatalog(str(tmp_path / "cat"))
+    rows = spark.createDataFrame(
+        [
+            ("d1", "d1", EX + "p", "o1", False, None, "o1"),
+            ("d1", "d1", EX + "q", "lit-1", True, None, "lit-1"),
+            ("d2", "d2", EX + "p", "o2", False, None, "o2"),
+        ],
+        "doc_id string, subj string, pred string, obj string, "
+        "obj_is_literal boolean, obj_datatype string, "
+        "obj_canonical string",
+    )
+    cat.append(
+        "triples",
+        with_partitioning(rows, "seed"),
+        "seed",
+        partition_by=["doc_bucket"],
+    )
+    return cat
+
+
+def test_execute_insert_appends_one_snapshot_idempotently(
+    spark, tmp_path
+):
+    cat = _seed_catalog(spark, tmp_path)
+    txt = (
+        f'INSERT DATA {{ <d3> <{EX}p> "three"^^'
+        "<http://www.w3.org/2001/XMLSchema#string> . }"
+    )
+    rep = execute_update(spark, cat, "triples", txt, run_id="u1")
+    assert rep == {
+        "form": "insert_data", "inserted": 1, "deleted": 0,
+        "snapshot": rep["snapshot"],
+    }
+    assert len(cat.snapshots("triples")) == 2
+    t = cat.read(spark, "triples")
+    row = t.where(F.col("subj") == "d3").collect()[0]
+    assert row.obj == "three" and row.obj_is_literal
+    assert row.obj_datatype.endswith("#string")
+    assert row.doc_id == "d3" and row.obj_canonical == "three"
+    assert row.doc_bucket is not None and row.run_id == "u1"
+    # set semantics: a re-run inserts nothing and commits nothing
+    rep2 = execute_update(spark, cat, "triples", txt, run_id="u2")
+    assert rep2["inserted"] == 0 and rep2["snapshot"] is None
+    assert len(cat.snapshots("triples")) == 2
+
+
+def test_execute_delete_rewrites_copy_on_write(spark, tmp_path):
+    cat = _seed_catalog(spark, tmp_path)
+    execute_update(
+        spark, cat, "triples",
+        f"INSERT DATA {{ <d4> <{EX}p> <o4> . }}", run_id="u1",
+    )
+    assert len(cat.snapshots("triples")) == 2
+    rep = execute_update(
+        spark, cat, "triples",
+        f"DELETE WHERE {{ ?s <{EX}p> ?o . }}", run_id="u2",
+    )
+    assert rep["deleted"] == 3
+    snaps = cat.snapshots("triples")
+    assert len(snaps) == 1  # COW replace expired the old snapshots
+    assert snaps[0].get("replaced_from")
+    left = cat.read(spark, "triples")
+    assert _spo(left) == {("d1", EX + "q", "lit-1")}
+    # partition layout survived the rewrite
+    assert "doc_bucket" in left.columns
+
+
+def test_execute_modify_delete_and_insert_one_pass(spark, tmp_path):
+    cat = _seed_catalog(spark, tmp_path)
+    rep = execute_update(
+        spark, cat, "triples",
+        f"PREFIX ex: <{EX}> "
+        "DELETE { ?s ex:p ?o } INSERT { ?s ex:renamed ?o } "
+        "WHERE { ?s ex:p ?o }",
+        run_id="u1",
+    )
+    assert rep["deleted"] == 2 and rep["inserted"] == 2
+    t = cat.read(spark, "triples")
+    assert _spo(t) == {
+        ("d1", EX + "renamed", "o1"),
+        ("d2", EX + "renamed", "o2"),
+        ("d1", EX + "q", "lit-1"),
+    }
+    # literal shape inherited from the source graph for template vars
+    metas = {
+        r.obj: (r.obj_is_literal, r.obj_datatype)
+        for r in t.where(F.col("pred") == EX + "renamed").collect()
+    }
+    assert metas["o1"] == (False, None)
+
+
+def test_facade_update_roundtrip(spark, tmp_path):
+    from face_hunter_spark.hunter import SparkHunter
+
+    h = SparkHunter(spark, str(tmp_path / "hcat"), n_entities=4)
+    # bootstrap on an empty catalog: only INSERT DATA allowed
+    with pytest.raises(FileNotFoundError):
+        h.update(f"DELETE WHERE {{ ?s <{EX}p> ?o }}")
+    rep = h.update(
+        f"INSERT DATA {{ <v9> <{EX}p> \"nine\" . }}"
+    )
+    assert rep["inserted"] == 1
+    assert h.ask([("v9", EX + "p", "nine")])
+    rep2 = h.update(f"DELETE DATA {{ <v9> <{EX}p> \"nine\" . }}")
+    assert rep2["deleted"] == 1
+    assert not h.ask([("v9", EX + "p", "nine")])
