@@ -631,6 +631,82 @@ ORDER BY subj, pred, obj
 """
 
 
+def _q_sparql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL text aggregates (operators/sparql.py): COUNT / SUM / AVG
+    / GROUP_CONCAT(DISTINCT; SEPARATOR) with GROUP BY over a 3-pattern
+    join graph derived from TPC-H customer→nation→region.  Balances
+    ride as integer cent strings so the double SUM/AVG are exact at
+    any partitioning; GROUP_CONCAT sorts its values (the engine's
+    determinism rule), mirrored by DuckDB's ORDER BY inside
+    string_agg."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    base = (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("http://example.org/inNation").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+        .unionByName(
+            customer.select(
+                F.col("c_name").alias("subj"),
+                F.lit("http://example.org/balCents").alias("pred"),
+                F.round(F.col("c_acctbal") * 100)
+                .cast("long").cast("string").alias("obj"),
+            )
+        )
+        .unionByName(
+            nation.join(
+                region, F.col("n_regionkey") == F.col("r_regionkey")
+            ).select(
+                F.col("n_name").alias("subj"),
+                F.lit("http://example.org/inRegion").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?r (COUNT(?c) AS ?n_cust) (SUM(?b) AS ?bal_cents)
+               (AVG(?b) AS ?avg_cents)
+               (GROUP_CONCAT(DISTINCT ?n; SEPARATOR="|") AS ?nations)
+        WHERE {
+          ?c ex:inNation ?n .
+          ?c ex:balCents ?b .
+          ?n ex:inRegion ?r .
+        }
+        GROUP BY ?r
+        ORDER BY ?r
+        """,
+    )
+
+
+ORACLE_SPARQL_AGG = """
+WITH g AS (
+  SELECT c_name AS c, n_name AS n, r_name AS r,
+         CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS b
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT
+  r,
+  COUNT(c) AS n_cust,
+  SUM(CAST(b AS DOUBLE)) AS bal_cents,
+  AVG(CAST(b AS DOUBLE)) AS avg_cents,
+  string_agg(DISTINCT n, '|' ORDER BY n) AS nations
+FROM g
+GROUP BY r
+ORDER BY r
+"""
+
+
 def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read path (SURVEY.md §2.8, graph.py:153-192): run the pipeline,
     register the scene_view, and search scenes depicting the busiest
@@ -928,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_entity": DQ.q_describe_entity,
         "sparql_text_select": _q_sparql_text_select,
         "sparql_update_apply": _q_sparql_update_apply,
+        "sparql_text_agg": _q_sparql_text_agg,
         "transe_epoch": DQ.q_transe_epoch,
         "transe_link_prediction": DQ.q_transe_link_prediction,
         # -- (c) representative driver-green core ----------------------
@@ -1041,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         # exact oracle applies verbatim
         "sparql_text_select": _DO.sql_bgp_optional_filter(),
         "sparql_update_apply": ORACLE_SPARQL_UPDATE,
+        "sparql_text_agg": ORACLE_SPARQL_AGG,
         "transe_epoch": DQ.ORACLE_TRANSE_EPOCH,
         "transe_link_prediction": DQ.ORACLE_TRANSE_LINK_PREDICTION,
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,

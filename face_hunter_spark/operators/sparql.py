@@ -36,10 +36,14 @@ Supported subset — exactly the shapes the reference emits/accepts
   binding tables (broadcast inner join; UNDEF binds NULL and does not
   wildcard-match) and ``BIND (expr AS ?v)`` computed variables over
   the FILTER expression subset;
-* aggregates ``(COUNT([DISTINCT] ?v | *) AS ?n)`` / MIN / MAX / SAMPLE
-  with ``GROUP BY`` and ``HAVING`` — one hash aggregation with
-  map-side partial combine; SAMPLE evaluates as MIN so the result
-  stays deterministic at any partitioning (the spec allows any value);
+* aggregates ``(COUNT([DISTINCT] ?v | *) AS ?n)`` / MIN / MAX / SUM /
+  AVG / SAMPLE / ``GROUP_CONCAT(?v; SEPARATOR="...")`` with
+  ``GROUP BY`` and ``HAVING`` — one hash aggregation with map-side
+  partial combine; SAMPLE evaluates as MIN and GROUP_CONCAT sorts its
+  values so results stay deterministic at any partitioning (the spec
+  leaves both unspecified); SUM/AVG try_cast the lexical form to
+  DOUBLE, dropping unparseable values per SPARQL's
+  ignore-errors-in-aggregation rule;
 * ``FILTER ( expr )`` with ``&&  ||  !  = != < > <= >=``, ``BOUND``,
   ``REGEX(STR(?v), "pat")``, ``CONTAINS``, ``STRSTARTS``, ``STR`` —
   compiled to Spark SQL expressions over the bound variables
@@ -317,17 +321,21 @@ class _Parser:
             )
         return q
 
-    _AGG_FUNCS = {"count", "min", "max", "sample"}
+    _AGG_FUNCS = {
+        "count", "min", "max", "sample", "sum", "avg", "group_concat",
+    }
 
     def _parse_select_agg(self, q: ParsedQuery) -> str:
         """'( AGG([DISTINCT] ?v | *) AS ?alias )' -> alias; records the
-        aggregate on q."""
+        aggregate on q as (func, arg, distinct, alias, extra) where
+        extra is GROUP_CONCAT's separator (None otherwise).  The
+        GROUP_CONCAT tail accepts the standard '; SEPARATOR="..."'."""
         self._expect_op("(")
         fn = self._next()
         if fn.kind != "NAME" or fn.text.lower() not in self._AGG_FUNCS:
             raise NotImplementedError(
                 f"aggregate {fn.text!r} is not in the supported subset "
-                "(COUNT, MIN, MAX, SAMPLE)"
+                "(COUNT, MIN, MAX, SUM, AVG, SAMPLE, GROUP_CONCAT)"
             )
         func = fn.text.lower()
         self._expect_op("(")
@@ -345,13 +353,31 @@ class _Parser:
             if v.kind != "VAR":
                 raise ValueError(f"{func.upper()} needs a ?var or *")
             arg = v.text[1:]
+        extra = None
+        if func == "group_concat":
+            extra = " "  # the SPARQL spec's default separator
+            if self._at_op(";"):
+                self._next()
+                sep_kw = self._next()
+                if (
+                    sep_kw.kind != "NAME"
+                    or sep_kw.text.lower() != "separator"
+                ):
+                    raise ValueError(
+                        "GROUP_CONCAT modifier must be SEPARATOR=\"...\""
+                    )
+                self._expect_op("=")
+                s = self._next()
+                if s.kind != "STRING":
+                    raise ValueError("SEPARATOR needs a string")
+                extra = _unescape(s.text[1:-1])
         self._expect_op(")")
         self._expect_kw("as")
         alias = self._next()
         if alias.kind != "VAR":
             raise ValueError("aggregate needs '... AS ?alias'")
         self._expect_op(")")
-        q.aggregates.append((func, arg, distinct, alias.text[1:]))
+        q.aggregates.append((func, arg, distinct, alias.text[1:], extra))
         return alias.text[1:]
 
     def _parse_construct(self) -> ParsedQuery:
@@ -1097,7 +1123,7 @@ def execute(
         df = _apply_solution_clauses(triples, df, q, allow_cartesian)
     if q.aggregates:
         aggs = []
-        for func, arg, dist, alias in q.aggregates:
+        for func, arg, dist, alias, extra in q.aggregates:
             if func == "count":
                 if arg is None:
                     if dist:
@@ -1111,6 +1137,22 @@ def execute(
                 col = F.min(arg)
             elif func == "max":
                 col = F.max(arg)
+            elif func in ("sum", "avg"):
+                # all-lexical triple model: numeric aggregation casts
+                # the lexical form; try_cast drops non-numeric values,
+                # matching SPARQL's ignore-errors-in-aggregation rule
+                inner = f"try_cast(`{arg}` AS DOUBLE)"
+                col = F.expr(
+                    f"{func}({'DISTINCT ' if dist else ''}{inner})"
+                )
+            elif func == "group_concat":
+                vals = (
+                    F.collect_set(arg) if dist else F.collect_list(arg)
+                )
+                # SPARQL leaves the order unspecified; sorting makes
+                # the result deterministic at any partitioning (the
+                # same call the SAMPLE->MIN choice makes)
+                col = F.array_join(F.array_sort(vals), extra)
             else:  # SAMPLE — spec says ANY value; min keeps the result
                 # deterministic at any partitioning
                 col = F.min(arg)

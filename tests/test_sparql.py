@@ -527,5 +527,53 @@ def test_aggregate_validation(triples):
         )
     with pytest.raises(NotImplementedError, match="aggregate"):
         sparql.parse(
-            "SELECT (AVG(?s) AS ?a) WHERE { ?v hunter:hasScene ?s }"
+            "SELECT (MEDIAN(?s) AS ?a) WHERE { ?v hunter:hasScene ?s }"
         )
+
+
+def test_numeric_and_concat_aggregates(spark):
+    rows = [
+        ("n1", "http://e/bal", "10"),
+        ("n1", "http://e/bal", "30"),
+        ("n1", "http://e/bal", "30"),
+        ("n2", "http://e/bal", "7"),
+        ("n2", "http://e/bal", "not-a-number"),  # dropped by try_cast
+        ("n1", "http://e/tag", "b"),
+        ("n1", "http://e/tag", "a"),
+        ("n1", "http://e/tag", "a"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+    got = {
+        r.s: (r.total, r.mean)
+        for r in sparql.execute(
+            t,
+            """SELECT ?s (SUM(?b) AS ?total) (AVG(?b) AS ?mean)
+               WHERE { ?s <http://e/bal> ?b } GROUP BY ?s""",
+        ).collect()
+    }
+    # SPARQL ignore-errors-in-aggregation: the unparseable value is
+    # dropped from SUM and AVG's denominator alike
+    assert got == {"n1": (70.0, 70.0 / 3), "n2": (7.0, 7.0)}
+
+    row = sparql.execute(
+        t,
+        """SELECT (SUM(DISTINCT ?b) AS ?d)
+                  (GROUP_CONCAT(?g; SEPARATOR="|") AS ?cat)
+                  (GROUP_CONCAT(DISTINCT ?g; SEPARATOR="|") AS ?dcat)
+           WHERE { ?s <http://e/bal> ?b . ?s <http://e/tag> ?g }""",
+    ).collect()[0]
+    # n1's bag: b in {10,30,30} x g in {b,a,a} -> distinct b {10,30}
+    assert row.d == 40.0
+    # sorted for partitioning determinism (order unspecified by spec)
+    assert row.cat == "|".join(sorted(["b", "a", "a"] * 3))
+    assert row.dcat == "a|b"
+
+    # default separator is a single space
+    row2 = sparql.execute(
+        t,
+        """SELECT (GROUP_CONCAT(DISTINCT ?g) AS ?c)
+           WHERE { ?s <http://e/tag> ?g }""",
+    ).collect()[0]
+    assert row2.c == "a b"
