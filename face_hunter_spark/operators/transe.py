@@ -133,7 +133,17 @@ def transe_epoch(
     The sign clamp bounds every component's movement to ±lr per epoch,
     stays integral, and keeps the order-independence guarantee (the
     sum is exact before the sign).  ``step='sum'`` applies the raw
-    summed gradient for callers who scale lr themselves."""
+    summed gradient for callers who scale lr themselves.
+
+    Known Spark 4.1 hazard for catalog-read inputs: the init tables'
+    Project constraint (emb <=> transform(md5(id...))) survives
+    localCheckpoint, and InferFiltersFromConstraints can remap it
+    across this epoch's id-aliased joins into an unbindable filter
+    ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]).  training.run_transe_job
+    disables spark.sql.constraintPropagation.enabled for the job's
+    duration (see its comment for the root-cause analysis); set the
+    same conf if you drive this operator directly over
+    pipeline-emitted tables and hit that error."""
     if k_neg < 1:
         raise ValueError("k_neg must be >= 1")
     if step not in ("sign", "sum"):
