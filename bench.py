@@ -209,6 +209,15 @@ def headline_queries(spark, sf_dir):
         ent, rel = te(pos, dim=16, k_neg=2)
         return _count(ent) + _count(rel)
 
+    def sparql_update_apply():
+        # SF-scaled SPARQL UPDATE state transition: the modify form's
+        # (G \ D) ∪ I algebra over a customer→nation membership graph
+        # (delete + insert sets instantiated via the BGP compiler,
+        # two anti-joins) — the write-path text surface
+        import __spark_entry__ as SE
+
+        return _count(SE._q_sparql_update_apply(spark, sf_dir))
+
     def knn_gemm():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         qs = emb.select(F.col("vec_id").alias("q_id"), "embedding")
@@ -264,6 +273,7 @@ def headline_queries(spark, sf_dir):
         "sparql_construct": sparql_construct,
         "negative_samples": negative_samples,
         "transe_epoch": transe_epoch,
+        "sparql_update_apply": sparql_update_apply,
     }
 
 

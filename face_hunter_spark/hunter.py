@@ -402,6 +402,39 @@ class SparkHunter:
         self._refresh_views()
         return report
 
+    def train_embeddings(self, **kwargs) -> dict | None:
+        """Train TransE embeddings on this handle's committed triple
+        table (training.run_transe_job — chained integer-exact epochs,
+        embeddings committed as catalog tables, filtered
+        link-prediction metrics).  kwargs pass through (epochs, dim,
+        k_neg, eval_pct, ...).  None before any link() commit."""
+        from .training import run_transe_job
+
+        if not self.catalog.exists("triples"):
+            return None
+        return run_transe_job(self.spark, self.catalog, **kwargs)
+
+    def score(self, patterns) -> DataFrame | None:
+        """L1 TransE plausibility scores for (subj, pred, obj) rows —
+        lower = more plausible — against the last train_embeddings()
+        artifact.  ``patterns`` is a list of triples or a DataFrame
+        with subj/pred/obj columns.  None before training."""
+        from .operators.transe import score_triples
+        from .training import ENT_TABLE, load_embeddings
+
+        if not self.catalog.exists(ENT_TABLE):
+            return None
+        ent, rel = load_embeddings(self.spark, self.catalog)
+        df = (
+            patterns
+            if isinstance(patterns, DataFrame)
+            else self.spark.createDataFrame(
+                [(s, p, o) for s, p, o in patterns],
+                "subj string, pred string, obj string",
+            )
+        )
+        return score_triples(df, ent, rel)
+
     def validate(self, shapes=None) -> dict | None:
         """Run the KG quality gate (quality.py) on this handle's
         catalog: SHACL-lite validation (default: the pipeline's

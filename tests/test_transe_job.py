@@ -4,6 +4,7 @@ embedding artifacts, integer eval metrics, CLI entry."""
 
 import json
 
+import pyspark.sql.functions as F
 import pytest
 
 from face_hunter_spark.catalog import ParquetCatalog
@@ -100,6 +101,30 @@ def test_job_validation_and_all_literal_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="include_literals"):
         run_transe_job(spark, lit_only)
+
+
+def test_facade_train_and_score(spark, tmp_path):
+    from face_hunter_spark import synth
+    from face_hunter_spark.hunter import SparkHunter
+
+    h = SparkHunter(spark, str(tmp_path / "hcat"), n_entities=6)
+    assert h.train_embeddings() is None and h.score([]) is None
+    h.link(synth.documents_df(spark, 12, 6))
+    stats = h.train_embeddings(epochs=1, dim=4, eval_pct=0)
+    assert stats["n_train"] > 0
+    scored = h.score(
+        [("http://face-hunter.org/resource/vid_00000",
+          "https://schema.org/mentions", "x")]
+    )
+    # unknown entity 'x' has no embedding row -> inner join drops it
+    assert scored.count() in (0, 1)
+    known = h.score(
+        h.catalog.read(spark, "triples")
+        .where(~F.col("obj_is_literal"))
+        .select("subj", "pred", "obj")
+        .limit(5)
+    ).collect()
+    assert known and all(r.score >= 0 for r in known)
 
 
 def test_cli_entrypoint(spark, tmp_path, monkeypatch):
