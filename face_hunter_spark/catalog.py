@@ -163,14 +163,19 @@ class ParquetCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        if not any(
+        wrote_empty = not any(
             f.endswith(".parquet")
             for _, _, fs in os.walk(data_dir) for f in fs
-        ):
+        )
+        if wrote_empty:
             # an empty partitioned write emits no data files at all,
             # leaving the table unreadable; keep the schema in one
-            # empty UNpartitioned footer (partition cols become plain
-            # columns — same DataFrame shape on read)
+            # empty UNpartitioned footer.  The snapshot is flagged in
+            # the manifest so multi-dir reads EXCLUDE it — unioning an
+            # unpartitioned dir with later partitioned appends would
+            # fail partition discovery
+            # (CONFLICTING_PARTITION_COLUMN_NAMES); it is only read
+            # alone, as the schema-bearing empty table.
             df.limit(0).write.mode("overwrite").parquet(data_dir)
         with self._commit_lock(table):
             now = self.snapshots(table)
@@ -181,16 +186,15 @@ class ParquetCatalog:
                     f"({len(now)} snapshots now vs {len(snaps)} at "
                     "start); table untouched — recompute and retry"
                 )
-            manifest = {
-                "snapshots": [
-                    {
-                        "id": snap_id,
-                        "run_id": run_id,
-                        "committed": time.time(),
-                        "replaced_from": [s["id"] for s in snaps],
-                    }
-                ]
+            entry = {
+                "id": snap_id,
+                "run_id": run_id,
+                "committed": time.time(),
+                "replaced_from": [s["id"] for s in snaps],
             }
+            if wrote_empty:
+                entry["empty"] = True
+            manifest = {"snapshots": [entry]}
             tmp = self._manifest_path(table) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(manifest, f, indent=1)
@@ -207,11 +211,24 @@ class ParquetCatalog:
         snaps = self.snapshots(table)
         if not snaps:
             raise FileNotFoundError(f"table {table} has no committed snapshots")
+        return self._read_snaps(spark, table, snaps)
+
+    def _read_snaps(
+        self, spark: SparkSession, table: str, snaps: list[dict]
+    ) -> DataFrame:
+        """Read a list of snapshot entries as one DataFrame.  Empty
+        (schema-only, unpartitioned) snapshots are excluded from
+        multi-dir unions — their layout conflicts with partitioned
+        appends — and read alone only when nothing else exists."""
+        live = [s for s in snaps if not s.get("empty")]
+        chosen = live or snaps[-1:]
         paths = [
             os.path.join(self._tdir(table), "data", f"snap={s['id']}")
-            for s in snaps
+            for s in chosen
         ]
-        return spark.read.option("basePath", self._tdir(table)).parquet(*paths)
+        return spark.read.option("basePath", self._tdir(table)).parquet(
+            *paths
+        )
 
     def _snap_index(self, table: str, snapshot_id: str) -> int:
         snaps = self.snapshots(table)
@@ -226,16 +243,10 @@ class ParquetCatalog:
         self, spark: SparkSession, table: str, lo: int, hi: int
     ) -> DataFrame:
         snaps = self.snapshots(table)[lo:hi]
-        paths = [
-            os.path.join(self._tdir(table), "data", f"snap={s['id']}")
-            for s in snaps
-        ]
-        if not paths:
+        if not snaps:
             # empty range: zero rows with the table's schema
             return self.read(spark, table).limit(0)
-        return spark.read.option("basePath", self._tdir(table)).parquet(
-            *paths
-        )
+        return self._read_snaps(spark, table, snaps)
 
     def read_as_of(
         self, spark: SparkSession, table: str, snapshot_id: str

@@ -360,46 +360,15 @@ class SparkHunter:
         table copy-on-write.  Returns the
         ``{"form", "inserted", "deleted", "snapshot"}`` report.
         Raises before any link() commit when the update needs existing
-        state; a first INSERT DATA bootstraps the table."""
-        from .operators.sparql_update import execute_update, parse_update
+        state; a first INSERT DATA bootstraps the table
+        (execute_update owns both paths)."""
+        from .operators.sparql_update import execute_update
 
-        if not self.catalog.exists("triples"):
-            u = parse_update(text)
-            if u.form != "insert_data":
-                raise FileNotFoundError(
-                    "no committed triple table yet — only INSERT DATA "
-                    "can bootstrap one"
-                )
-            # bootstrap: empty graph -> the payload, full pipeline schema
-            from .operators.sparql_update import (
-                _ground_df, _literal_cols,
-            )
-            from .operators.triples import with_partitioning
-
-            rid = run_id or "sparql-update-bootstrap"
-            is_lit, dt = _literal_cols(u)
-            rows = with_partitioning(
-                _ground_df(self.spark, u.data).select(
-                    F.col("subj").alias("doc_id"),
-                    "subj",
-                    "pred",
-                    "obj",
-                    is_lit.alias("obj_is_literal"),
-                    dt.cast("string").alias("obj_datatype"),
-                    F.col("obj").alias("obj_canonical"),
-                ),
-                rid,
-            )
-            snap = self.catalog.append(
-                "triples", rows, rid, partition_by=["doc_bucket"]
-            )
-            self._refresh_views()
-            return {"form": u.form, "inserted": rows.count(),
-                    "deleted": 0, "snapshot": snap}
         report = execute_update(
             self.spark, self.catalog, "triples", text, run_id=run_id
         )
-        self._refresh_views()
+        if self.catalog.exists("triples"):
+            self._refresh_views()
         return report
 
     def train_embeddings(self, **kwargs) -> dict | None:
@@ -420,10 +389,25 @@ class SparkHunter:
         artifact.  ``patterns`` is a list of triples or a DataFrame
         with subj/pred/obj columns.  None before training."""
         from .operators.transe import score_triples
-        from .training import ENT_TABLE, load_embeddings
+        from .training import ENT_TABLE, REL_TABLE, load_embeddings
 
-        if not self.catalog.exists(ENT_TABLE):
+        # both halves must exist: training commits them as two
+        # non-atomic overwrites, so a crash between the two leaves a
+        # half-artifact — treat that as "not trained", loudly if the
+        # runs disagree
+        if not (
+            self.catalog.exists(ENT_TABLE)
+            and self.catalog.exists(REL_TABLE)
+        ):
             return None
+        ent_run = self.catalog.snapshots(ENT_TABLE)[-1]["run_id"]
+        rel_run = self.catalog.snapshots(REL_TABLE)[-1]["run_id"]
+        if ent_run != rel_run:
+            raise RuntimeError(
+                f"embedding artifact is torn: {ENT_TABLE} is from run "
+                f"{ent_run!r} but {REL_TABLE} from {rel_run!r} — rerun "
+                "train_embeddings()"
+            )
         ent, rel = load_embeddings(self.spark, self.catalog)
         df = (
             patterns

@@ -38,7 +38,10 @@ _POS = ("subj", "pred", "obj")
 
 
 def _is_var(term) -> bool:
-    return isinstance(term, str) and term.startswith("?")
+    # exact-type check: parsed literals arrive as a str SUBCLASS
+    # (sparql.Lit), so a literal whose lexical form happens to start
+    # with '?' is matched as a constant, never treated as a variable
+    return type(term) is str and term.startswith("?")
 
 
 def _compile_pattern(triples: DataFrame, pattern, idx: int) -> tuple:

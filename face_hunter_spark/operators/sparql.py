@@ -82,7 +82,7 @@ from pyspark.sql import DataFrame
 from . import bgp
 from .shacl import RDF_TYPE
 
-__all__ = ["parse", "execute", "ParsedQuery", "DEFAULT_PREFIXES"]
+__all__ = ["parse", "execute", "ParsedQuery", "DEFAULT_PREFIXES", "Lit"]
 
 # the reference's own PREFIX block (graph.py:226-230, example_graph
 # header) plus the W3C core; user PREFIX declarations override.
@@ -127,6 +127,24 @@ _KEYWORDS = {
     "distinct", "optional", "filter", "order", "by", "limit", "offset",
     "asc", "desc", "union", "service", "a",
 }
+
+
+class Lit(str):
+    """A parsed literal term: joins/compares as its lexical form (str),
+    but carries the is-literal flag + datatype/lang so (a) downstream
+    consumers that materialize rows (the UPDATE path) keep the shape,
+    and (b) a literal whose lexical form starts with '?' is never
+    mistaken for a variable (bgp._is_var requires an exact str)."""
+
+    datatype: str | None
+    lang: str | None
+
+    def __new__(cls, lex: str, datatype: str | None = None,
+                lang: str | None = None):
+        o = super().__new__(cls, lex)
+        o.datatype = datatype
+        o.lang = lang
+        return o
 
 
 @dataclass
@@ -697,11 +715,14 @@ class _Parser:
         t = self._peek()
         return t is not None and t.kind == "DTSEP"
 
-    # literal-shape hooks: the read path matches lexically, so both
-    # default to the bare value; sparql_update._UpdateParser overrides
-    # them to retain is-literal / datatype for materialized rows
+    # literal-shape hooks: the read path matches lexically, but string
+    # literals come back as Lit (str subclass) so a literal spelled
+    # "?x" is not mistaken for a variable and the UPDATE parser keeps
+    # datatype/lang for the rows it materializes.  Numbers stay bare
+    # text on the read path; sparql_update overrides them to typed
+    # literals.
     def _string_term(self, lex: str, lang, datatype_iri):
-        return lex
+        return Lit(lex, datatype_iri, lang)
 
     def _number_term(self, text: str):
         return text
@@ -884,7 +905,7 @@ def _expand_paths(
                 const = None
                 for end in (s, o):
                     if end is not None and not (
-                        isinstance(end, str) and end.startswith("?")
+                        type(end) is str and end.startswith("?")
                     ):
                         const = end
                         break

@@ -53,7 +53,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from . import bgp
-from .sparql import ParsedQuery, _Parser
+from .sparql import Lit, ParsedQuery, _Parser
 from .triples import with_partitioning
 
 __all__ = [
@@ -65,21 +65,10 @@ __all__ = [
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 
-
-class _Lit(str):
-    """A literal term: compares/joins as its lexical form (str), but
-    carries the is-literal flag + datatype the UPDATE path must
-    materialize into obj_is_literal / obj_datatype."""
-
-    datatype: str | None
-    lang: str | None
-
-    def __new__(cls, lex: str, datatype: str | None = None,
-                lang: str | None = None):
-        o = super().__new__(cls, lex)
-        o.datatype = datatype
-        o.lang = lang
-        return o
+# parsed literals come from the shared parser (sparql.Lit — a str
+# subclass carrying datatype/lang); kept under the old private name
+# for callers/tests that imported it from here
+_Lit = Lit
 
 
 @dataclass
@@ -96,13 +85,12 @@ class ParsedUpdate:
 
 
 class _UpdateParser(_Parser):
-    # keep literal shape for the rows we materialize
-    def _string_term(self, lex, lang, datatype_iri):
-        return _Lit(lex, datatype_iri, lang)
-
+    # string literals already arrive as Lit from the shared parser;
+    # numbers additionally get their XSD datatype so INSERT DATA
+    # materializes them as typed literals
     def _number_term(self, text):
         dt = _XSD + ("decimal" if "." in text else "integer")
-        return _Lit(text, dt, None)
+        return Lit(text, dt, None)
 
     def parse_update(self) -> ParsedUpdate:
         self._parse_prologue()
@@ -249,7 +237,7 @@ def _check_template(patterns, what: str, allow_vars: bool) -> None:
                 )
             if (
                 not allow_vars
-                and isinstance(term, str)
+                and type(term) is str
                 and term.startswith("?")
             ):
                 raise ValueError(
@@ -341,22 +329,28 @@ def updated_graph(
     return out
 
 
-def _literal_cols(u: ParsedUpdate):
-    """(obj -> obj_is_literal, obj -> obj_datatype) expressions for the
-    DATA forms, from the parser's captured literal shapes.  Two ground
-    objects with the same lexical form but different shapes can't be
-    told apart post-join, so the map is keyed by lexical value (last
-    one wins — a degenerate case worth its simplicity)."""
-    lits = {}
-    for _, _, o in u.data:
-        if isinstance(o, _Lit):
-            lits[str(o)] = o.datatype
-    is_lit = F.col("obj").isin(*lits.keys()) if lits else F.lit(False)
-    dt = F.lit(None).cast("string")
-    for lex, d in lits.items():
-        if d is not None:
-            dt = F.when(F.col("obj") == F.lit(lex), F.lit(d)).otherwise(dt)
-    return is_lit, dt
+def _parsed_shape_lookup(spark: SparkSession, u: ParsedUpdate):
+    """Small lookup DataFrame (obj, _plit, _pdt) of the literal shapes
+    the PARSER saw in this update's inserted objects — the DATA block's
+    literals plus the modify form's constant template objects.  Keyed
+    by lexical value (a lexical form appearing as both literal and URI
+    in one update is degenerate; the literal shape wins), joined as a
+    plain equi-join so a large legitimate batch stays flat instead of
+    an O(n)-deep when/otherwise expression chain.  None when the
+    update inserts no literal constants."""
+    objs = [o for _, _, o in u.data]
+    for tpl in u.insert_template or []:
+        objs.append(tpl[2])
+    rows = {}
+    for o in objs:
+        if isinstance(o, Lit):
+            rows[str(o)] = (True, o.datatype)
+    if not rows:
+        return None
+    return spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in rows.items()],
+        "obj string, _plit boolean, _pdt string",
+    )
 
 
 def execute_update(
@@ -380,48 +374,76 @@ def execute_update(
     ``doc_id = subj`` (co-locates a subject's triples in one bucket —
     the property the read path's subject self-joins rely on),
     ``obj_canonical = obj`` (canonicalization applies to pipeline
-    depicts rows; hand-asserted triples canonicalize to themselves),
-    obj_is_literal / obj_datatype from the parsed literal shape for
-    DATA forms and from the source graph's metadata for template
-    inserts (a template variable re-emits values whose shape the
-    table already knows; unseen values default to non-literal).
-    Any other column the table carries is filled with a typed NULL.
+    depicts rows; hand-asserted triples canonicalize to themselves).
+    obj_is_literal / obj_datatype come, in precedence order, from
+    (1) the PARSED shape of literal constants (DATA blocks and
+    modify-form template constants — the parser knows these exactly),
+    then (2) the source graph's metadata for values a template
+    VARIABLE re-emits (any literal occurrence wins), else (3)
+    non-literal.  Any other column the table carries is filled with a
+    typed NULL.
+
+    A missing table bootstraps from ``INSERT DATA`` (the other forms
+    need existing state and raise FileNotFoundError).
     """
     u = parse_update(text)
     run_id = run_id or "sparql-update-" + uuid.uuid4().hex[:8]
-    full = catalog.read(spark, table)
-    if "snap" in full.columns:
-        full = full.drop("snap")
-    base = full.select("subj", "pred", "obj")
     report = {"form": u.form, "inserted": 0, "deleted": 0,
               "snapshot": None}
+
+    if not catalog.exists(table):
+        if u.form != "insert_data":
+            raise FileNotFoundError(
+                f"table {table!r} has no committed snapshots — only "
+                "INSERT DATA can bootstrap one"
+            )
+        full = None
+        base = None
+    else:
+        full = catalog.read(spark, table)
+        if "snap" in full.columns:
+            full = full.drop("snap")
+        base = full.select("subj", "pred", "obj")
 
     # Instantiate BOTH sets against the ORIGINAL state first (SPARQL
     # 1.1 §3.1.3), and cut their lineage when a delete follows: the
     # copy-on-write overwrite EXPIRES the files these lazy plans read.
-    dels = _delete_set(base, u, allow_cartesian)
+    dels = _delete_set(base, u, allow_cartesian) if base is not None else None
     if dels is not None:
         dels = (
             dels.select("subj", "pred", "obj")
             .distinct()
             .localCheckpoint()
         )
-    ins = _insert_set(base, u, allow_cartesian)
+    ins = _insert_set(
+        base if base is not None
+        else _ground_df(spark, u.data).limit(0),
+        u,
+        allow_cartesian,
+    )
     if ins is not None:
         ins = ins.select("subj", "pred", "obj").distinct()
-        if u.form == "insert_data":
-            is_lit, dt = _literal_cols(u)
+        shapes = _parsed_shape_lookup(spark, u)
+        if shapes is not None:
+            ins = ins.join(shapes, ["obj"], "left")
         else:
-            # inherit literal shape from the source graph where the
-            # value is already known (majority: any literal occurrence
-            # wins), else non-literal
+            ins = ins.withColumn(
+                "_plit", F.lit(None).cast("boolean")
+            ).withColumn("_pdt", F.lit(None).cast("string"))
+        if u.form == "modify" and full is not None:
+            # template VARIABLES re-emit values whose shape the table
+            # already knows: inherit it (any literal occurrence wins).
+            # Plain equi-join — AQE broadcasts while it fits; at the
+            # 10^8-distinct-object regime a forced broadcast would OOM
             meta = full.groupBy(F.col("obj")).agg(
-                F.max("obj_is_literal").alias("_lit"),
-                F.max("obj_datatype").alias("_dt"),
+                F.max("obj_is_literal").alias("_slit"),
+                F.max("obj_datatype").alias("_sdt"),
             )
-            ins = ins.join(F.broadcast(meta), ["obj"], "left")
-            is_lit = F.coalesce(F.col("_lit"), F.lit(False))
-            dt = F.col("_dt")
+            ins = ins.join(meta, ["obj"], "left")
+        else:
+            ins = ins.withColumn(
+                "_slit", F.lit(None).cast("boolean")
+            ).withColumn("_sdt", F.lit(None).cast("string"))
         if dels is not None:
             ins = ins.localCheckpoint()
 
@@ -445,27 +467,37 @@ def execute_update(
                     state = state.drop("snap")
 
     if ins is not None:
-        novel = ins.join(
-            state.select("subj", "pred", "obj"),
-            ["subj", "pred", "obj"],
-            "left_anti",
+        novel = (
+            ins.join(
+                state.select("subj", "pred", "obj"),
+                ["subj", "pred", "obj"],
+                "left_anti",
+            )
+            if state is not None
+            else ins
         )
         rows = novel.select(
             F.col("subj").alias("doc_id"),
             "subj",
             "pred",
             "obj",
-            is_lit.alias("obj_is_literal"),
-            dt.cast("string").alias("obj_datatype"),
+            F.coalesce("_plit", "_slit", F.lit(False)).alias(
+                "obj_is_literal"
+            ),
+            F.coalesce("_pdt", "_sdt").cast("string").alias(
+                "obj_datatype"
+            ),
             F.col("obj").alias("obj_canonical"),
         )
         rows = with_partitioning(rows, run_id)
-        extra = [c for c in state.columns if c not in rows.columns]
-        for c in extra:
-            rows = rows.withColumn(
-                c, F.lit(None).cast(dict(state.dtypes)[c])
-            )
-        rows = rows.select(*state.columns).persist()
+        if state is not None:
+            extra = [c for c in state.columns if c not in rows.columns]
+            for c in extra:
+                rows = rows.withColumn(
+                    c, F.lit(None).cast(dict(state.dtypes)[c])
+                )
+            rows = rows.select(*state.columns)
+        rows = rows.persist()
         n_ins = rows.count()
         report["inserted"] = n_ins
         if n_ins:

@@ -187,12 +187,19 @@ def _run_transe_job_inner(
         "wall_s": None,
     }
     if test is not None:
+        n_test_split = test.count()
         row = link_prediction_eval(
             test, ent, rel, filter_triples=g
         ).collect()[0]
         if row.n:
+            # no silent caps: ranks exist only for test triples whose
+            # head/tail/relation appear in TRAIN (the embeddings join
+            # is inner); report how many split rows were skipped as
+            # unseen instead of quietly shrinking the denominator
             stats["eval"] = {
                 "n": row.n,
+                "n_test_split": n_test_split,
+                "n_skipped_unseen": n_test_split - row.n,
                 "sum_rank": row.sum_rank,
                 "mrr_micro": row.mrr_micro,
                 "hits_1": row.hits_1,

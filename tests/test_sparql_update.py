@@ -283,6 +283,74 @@ def test_execute_modify_delete_and_insert_one_pass(spark, tmp_path):
     assert metas["o1"] == (False, None)
 
 
+def test_delete_all_then_insert_keeps_table_readable(spark, tmp_path):
+    # regression (review r4): an empty COW snapshot is unpartitioned;
+    # unioning it with a later partitioned append used to fail
+    # partition discovery (CONFLICTING_PARTITION_COLUMN_NAMES)
+    cat = _seed_catalog(spark, tmp_path)
+    rep = execute_update(
+        spark, cat, "triples",
+        "DELETE WHERE { ?s ?p ?o . }", run_id="wipe",
+    )
+    assert rep["deleted"] == 3
+    assert cat.read(spark, "triples").count() == 0
+    assert cat.snapshots("triples")[-1].get("empty") is True
+    rep2 = execute_update(
+        spark, cat, "triples",
+        f"INSERT DATA {{ <d9> <{EX}p> <o9> . }}", run_id="refill",
+    )
+    assert rep2["inserted"] == 1
+    t = cat.read(spark, "triples")
+    assert _spo(t) == {("d9", EX + "p", "o9")}
+    assert "doc_bucket" in t.columns
+
+
+def test_modify_constant_literal_keeps_parsed_shape(spark, tmp_path):
+    # regression (review r4): a constant literal in a modify-form
+    # INSERT template used to land as obj_is_literal=false
+    cat = _seed_catalog(spark, tmp_path)
+    execute_update(
+        spark, cat, "triples",
+        f"PREFIX ex: <{EX}> "
+        'INSERT { ?s ex:tier "big"@en } WHERE { ?s ex:p ?o }',
+        run_id="u1",
+    )
+    rows = (
+        cat.read(spark, "triples")
+        .where(F.col("pred") == EX + "tier")
+        .collect()
+    )
+    assert rows and all(r.obj_is_literal for r in rows)
+    # and a template VARIABLE still inherits the source shape
+    execute_update(
+        spark, cat, "triples",
+        f"PREFIX ex: <{EX}> "
+        "INSERT { ?s ex:copy ?o } WHERE { ?s ex:q ?o }",
+        run_id="u2",
+    )
+    r = (
+        cat.read(spark, "triples")
+        .where(F.col("pred") == EX + "copy")
+        .collect()[0]
+    )
+    assert r.obj == "lit-1" and r.obj_is_literal
+
+
+def test_question_mark_literal_is_not_a_variable(spark):
+    # regression (review r4): a literal whose lexical form starts
+    # with '?' was rejected as a variable in DATA blocks and
+    # silently substituted in templates
+    u = parse_update('INSERT DATA { <s> <p> "?x" . }')
+    assert u.data == [("s", "p", "?x")]
+    g = _graph(spark, [("a", "p", "hit"), ("b", "p", "?s")])
+    out = updated_graph(
+        g, 'DELETE { ?s <p> "?s" } WHERE { ?s <p> ?o }'
+    )
+    # only the row whose OBJECT is the literal "?s" is deleted —
+    # NOT every (s, p, binding-of-?s) instantiation
+    assert _spo(out) == {("a", "p", "hit")}
+
+
 def test_facade_update_roundtrip(spark, tmp_path):
     from face_hunter_spark.hunter import SparkHunter
 

@@ -127,6 +127,30 @@ def test_facade_train_and_score(spark, tmp_path):
     assert known and all(r.score >= 0 for r in known)
 
 
+def test_eval_reports_split_size_and_unseen_skips(spark, tmp_path):
+    cat = _seed(spark, tmp_path)
+    stats = run_transe_job(spark, cat, epochs=1, dim=4, eval_pct=25,
+                           run_id="e")
+    ev = stats["eval"]
+    assert ev["n_test_split"] == 80 - stats["n_train"]
+    assert ev["n_skipped_unseen"] == ev["n_test_split"] - ev["n"]
+    assert ev["n_skipped_unseen"] >= 0
+
+
+def test_score_refuses_torn_artifact(spark, tmp_path):
+    from face_hunter_spark import synth
+    from face_hunter_spark.hunter import SparkHunter
+
+    h = SparkHunter(spark, str(tmp_path / "hcat"), n_entities=6)
+    h.link(synth.documents_df(spark, 8, 6))
+    h.train_embeddings(epochs=1, dim=4, eval_pct=0, run_id="good")
+    # simulate a torn artifact: rel table replaced by a different run
+    rel = h.catalog.read(spark, REL_TABLE).drop("snap")
+    h.catalog.overwrite(REL_TABLE, rel, "other-run")
+    with pytest.raises(RuntimeError, match="torn"):
+        h.score([("a", "b", "c")])
+
+
 def test_cli_entrypoint(spark, tmp_path, monkeypatch):
     import jobs.transe_job as tj
 
