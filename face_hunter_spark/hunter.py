@@ -444,6 +444,21 @@ class SparkHunter:
             self.spark.table("triples" + self._view_suffix)
         )
 
+    def import_n3(self, path: str, sharded: bool = False) -> dict:
+        """Load an n3 store artifact (ours or the reference's own
+        rdflib file, memory_store.py:48-59) into this handle's triple
+        table as one idempotent append — the data-migration half of
+        "switch engines, keep your queries AND your data"
+        (sources.import_n3).  Returns the import stats dict."""
+        from .sources import import_n3 as _imp
+
+        stats = _imp(
+            self.spark, self.catalog, path, sharded=sharded
+        )
+        if self.catalog.exists("triples"):
+            self._refresh_views()
+        return stats
+
     def export_n3(self, path: str, sharded: bool = False) -> int:
         """The reference's ``commit()`` artifact (memory_store.py:48-59
         serializes the rdflib graph as n3): write the committed triple

@@ -218,11 +218,32 @@ def parse_n3(text: str) -> set[tuple[str, str, str]]:
     obj) triples with literals unquoted and prefixed names expanded.
     Handles exactly the subset the writer emits (one predicate-object
     pair per line, no comma lists)."""
+    return {(s, p, o) for s, p, o, _, _ in parse_n3_rows(text)}
+
+
+def parse_n3_rows(
+    text: str,
+) -> list[tuple[str, str, str, bool, str | None]]:
+    """Full-shape form of :func:`parse_n3` for the IMPORT path:
+    (subj, pred_uri, obj, obj_is_literal, obj_datatype_uri) rows,
+    deduped (a graph is a set).  Same subset as the writer emits."""
     prefixes: dict[str, str] = {}
-    out: set[tuple[str, str, str]] = set()
+    out: dict[tuple[str, str, str], tuple[bool, str | None]] = {}
     subj = None
     rev_pred = {name: uri for uri, (_, name) in _PRED_FORMAT.items()}
     rev_type = {name: uri for uri, name in _TYPE_PREFIXED.items()}
+
+    def expand_dt(tok: str) -> str | None:
+        tok = tok.strip()
+        if not tok:
+            return None
+        if tok.startswith("<"):
+            return tok.strip("<>")
+        if ":" in tok:
+            pfx, local = tok.split(":", 1)
+            return prefixes.get(pfx, pfx + ":") + local
+        return tok
+
     for raw in text.splitlines():
         s = raw.strip()
         if not s:
@@ -234,6 +255,8 @@ def parse_n3(text: str) -> set[tuple[str, str, str]]:
         if s.startswith("<") and "> " in s:
             subj, s = s[1:].split("> ", 1)
         for part in [s.rstrip(" .;")]:
+            is_lit = False
+            dt: str | None = None
             if part.startswith("a "):
                 pred, obj = NS["rdf_type"], rev_type[part[2:].strip()]
             else:
@@ -255,11 +278,19 @@ def parse_n3(text: str) -> set[tuple[str, str, str]]:
                         if obj[i] == '"':
                             break
                         i += 1
+                    tail = obj[i + 1:].strip()
                     obj = _unescape(obj[1:i])
+                    is_lit = True
+                    if tail.startswith("^^"):
+                        dt = expand_dt(tail[2:])
                 else:
-                    obj = _unescape(obj.split("^^")[0])
-            out.add((subj, pred, obj))
-    return out
+                    bits = obj.split("^^", 1)
+                    obj = _unescape(bits[0])
+                    is_lit = True
+                    if len(bits) == 2:
+                        dt = expand_dt(bits[1])
+            out.setdefault((subj, pred, obj), (is_lit, dt))
+    return [(s, p, o, il, d) for (s, p, o), (il, d) in out.items()]
 
 
 def _unescape(s: str) -> str:

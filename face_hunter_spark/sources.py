@@ -142,3 +142,114 @@ def read_interleaved_jsonl(spark: SparkSession, path: str) -> DataFrame:
     from .schemas import DOCUMENTS
 
     return spark.read.schema(DOCUMENTS).json(path)
+
+
+def import_n3(
+    spark: SparkSession,
+    catalog,
+    path: str,
+    table: str = "triples",
+    run_id: str | None = None,
+    sharded: bool = False,
+) -> dict:
+    """Migrate an n3 store artifact into the catalog-backed triple
+    table — the "switch engines, keep your DATA" step: the reference
+    persists its whole graph as one rdflib n3 file
+    (memory_store.py:48-59, models/example_graph), and this loads such
+    a file (ours or the reference's own) as one idempotent append.
+
+    Rows are materialized into the full pipeline schema: literal
+    shapes come from the n3 syntax (quoted + ``^^datatype``), doc_id
+    is recovered from HOME_URI-shaped subjects (scene fragments and
+    the video URI both collapse to their doc; foreign subjects anchor
+    on themselves — same co-location contract as SPARQL INSERT), and
+    already-asserted triples are anti-joined away, so re-importing the
+    same artifact commits nothing.
+
+    ``sharded=True`` reads an export_n3_sharded directory: each
+    doc_bucket part file is a self-contained block set, so the parts
+    are parsed IN PARALLEL on executors (wholeTextFiles + the same
+    line reader) — the scale path for multi-GB exports.  A flat file
+    is parsed on the driver (reference artifacts are single-node
+    files by construction).
+
+    Returns ``{"parsed", "inserted", "snapshot", "run_id"}``.
+    """
+    import uuid as _uuid
+
+    from .operators.rdf import parse_n3_rows
+    from .operators.triples import with_partitioning
+    from .schemas import HOME_URI
+
+    run_id = run_id or "n3-import-" + _uuid.uuid4().hex[:8]
+    schema = (
+        "subj string, pred string, obj string, "
+        "obj_is_literal boolean, obj_datatype string"
+    )
+    if sharded:
+        import os
+
+        with open(os.path.join(path, "_prefixes.n3")) as f:
+            header = f.read()
+        files = spark.sparkContext.wholeTextFiles(
+            os.path.join(path, "doc_bucket=*", "part-*")
+        )
+        rows = files.flatMap(
+            lambda kv: parse_n3_rows(header + "\n" + kv[1])
+        )
+        df = spark.createDataFrame(rows, schema)
+    else:
+        with open(path) as f:
+            rows = parse_n3_rows(f.read())
+        df = spark.createDataFrame(rows, schema)
+    df = df.dropDuplicates(["subj", "pred", "obj"])
+
+    doc_id = F.when(
+        F.col("subj").startswith(HOME_URI),
+        F.split(
+            F.expr(f"substring(subj, {len(HOME_URI) + 1})"), "#t="
+        ).getItem(0),
+    ).otherwise(F.col("subj"))
+    rows_df = df.select(
+        doc_id.alias("doc_id"),
+        "subj",
+        "pred",
+        "obj",
+        "obj_is_literal",
+        "obj_datatype",
+        F.col("obj").alias("obj_canonical"),
+    )
+    rows_df = with_partitioning(rows_df, run_id)
+
+    if catalog.exists(table):
+        state = catalog.read(spark, table)
+        rows_df = rows_df.join(
+            state.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"],
+            "left_anti",
+        )
+        extra = [
+            c for c in state.columns
+            if c not in rows_df.columns and c != "snap"
+        ]
+        for c in extra:
+            rows_df = rows_df.withColumn(
+                c, F.lit(None).cast(dict(state.dtypes)[c])
+            )
+        rows_df = rows_df.select(
+            *[c for c in state.columns if c != "snap"]
+        )
+    rows_df = rows_df.persist()
+    n_ins = rows_df.count()
+    snap = None
+    if n_ins:
+        snap = catalog.append(
+            table, rows_df, run_id, partition_by=["doc_bucket"]
+        )
+    rows_df.unpersist()
+    return {
+        "parsed": df.count(),
+        "inserted": n_ins,
+        "snapshot": snap,
+        "run_id": run_id,
+    }
