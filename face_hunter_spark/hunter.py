@@ -327,7 +327,12 @@ class SparkHunter:
             filters=filters, exclude_asserted=exclude_asserted,
         )
 
-    def sparql(self, text: str, allow_cartesian: bool = False):
+    def sparql(
+        self,
+        text: str,
+        allow_cartesian: bool = False,
+        entailment: str | None = None,
+    ):
         """Run a SPARQL query STRING against the committed triple table
         (operators/sparql.py — the text-level form of the reference's
         /api/query surface, api/api.py:81-97): PREFIX + SELECT
@@ -348,6 +353,7 @@ class SparkHunter:
             self.spark.table("triples" + self._view_suffix),
             text,
             allow_cartesian=allow_cartesian,
+            entailment=entailment,
         )
 
     def update(self, text: str, run_id: str | None = None) -> dict:

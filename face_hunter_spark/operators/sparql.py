@@ -1088,11 +1088,30 @@ def _apply_solution_clauses(
 
 
 def execute(
-    triples: DataFrame, text: str, allow_cartesian: bool = False
+    triples: DataFrame,
+    text: str,
+    allow_cartesian: bool = False,
+    entailment: str | None = None,
 ):
     """Parse + run a SPARQL query against a (subj, pred, obj) triple
     DataFrame.  SELECT/DESCRIBE/CONSTRUCT return a DataFrame; ASK
-    returns a bool."""
+    returns a bool.
+
+    ``entailment='rdfs'`` answers under the RDFS regime (rdflib users
+    get this from a reasoner plugin; Virtuoso from inference rules):
+    the rdfs9/rdfs11 closure (operators/graph.py::rdfs_entail — a
+    broadcast of the tiny ontology closure against the type slice,
+    never a shuffle of the full table) is unioned with the asserted
+    graph before matching.  Persisting workloads should materialize
+    the closure ONCE through the catalog instead (quality/validate
+    docs); this flag is the ad-hoc-query form."""
+    if entailment not in (None, "rdfs"):
+        raise ValueError("entailment must be None or 'rdfs'")
+    if entailment == "rdfs":
+        from .graph import rdfs_entail
+
+        base = triples.select("subj", "pred", "obj")
+        triples = base.unionByName(rdfs_entail(base))
     q = parse(text)
     if q.form != "describe":
         triples, q = _expand_paths(triples, q)

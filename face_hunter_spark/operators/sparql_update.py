@@ -146,10 +146,34 @@ class _UpdateParser(_Parser):
             u.where = self._parse_where_group()
             self._done()
             return u
+        if self._at_kw("clear", "drop"):
+            self._next()
+            if self._at_kw("silent"):
+                self._next()
+            u = ParsedUpdate(form="clear")
+            if self._at_kw("graph"):
+                self._next()
+                g = self._term(allow_var=False)
+                if isinstance(g, Lit):
+                    raise ValueError("CLEAR GRAPH needs an IRI")
+                u.graph = g
+            elif self._at_kw("default", "all"):
+                self._next()
+            elif self._at_kw("named"):
+                # single-graph store: there are no named graphs to
+                # clear, so this is a well-defined no-op
+                self._next()
+                u.form = "clear_named"
+            else:
+                raise ValueError(
+                    "CLEAR needs GRAPH <iri> | DEFAULT | NAMED | ALL"
+                )
+            self._done()
+            return u
         t = self._peek()
         raise ValueError(
-            "update must start with INSERT or DELETE (after any PREFIX "
-            f"block); got {t.text if t else 'nothing'!r}"
+            "update must start with INSERT, DELETE or CLEAR (after "
+            f"any PREFIX block); got {t.text if t else 'nothing'!r}"
         )
 
     def _done(self) -> None:
@@ -310,6 +334,10 @@ def updated_graph(
     form is :func:`execute_update`."""
     u = parse_update(update) if isinstance(update, str) else update
     base = triples.select("subj", "pred", "obj")
+    if u.form == "clear":
+        return base.limit(0)
+    if u.form == "clear_named":
+        return base
     dels = _delete_set(base, u, allow_cartesian)
     ins = _insert_set(base, u, allow_cartesian)
     out = base
@@ -390,6 +418,19 @@ def execute_update(
     run_id = run_id or "sparql-update-" + uuid.uuid4().hex[:8]
     report = {"form": u.form, "inserted": 0, "deleted": 0,
               "snapshot": None}
+
+    if u.form in ("clear", "clear_named"):
+        if u.form == "clear" and catalog.exists(table):
+            full = catalog.read(spark, table)
+            if "snap" in full.columns:
+                full = full.drop("snap")
+            n = full.count()
+            report["deleted"] = n
+            if n:
+                report["snapshot"] = catalog.overwrite(
+                    table, full.limit(0), run_id
+                )
+        return report
 
     if not catalog.exists(table):
         if u.form != "insert_data":

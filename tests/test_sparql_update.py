@@ -351,6 +351,56 @@ def test_question_mark_literal_is_not_a_variable(spark):
     assert _spo(out) == {("a", "p", "hit")}
 
 
+def test_clear_forms(spark, tmp_path):
+    cat = _seed_catalog(spark, tmp_path)
+    # CLEAR NAMED: single-graph store -> well-defined no-op
+    rep0 = execute_update(spark, cat, "triples", "CLEAR NAMED")
+    assert rep0 == {"form": "clear_named", "inserted": 0,
+                    "deleted": 0, "snapshot": None}
+    assert cat.read(spark, "triples").count() == 3
+    # CLEAR GRAPH <g> wipes the (single) graph copy-on-write
+    rep = execute_update(
+        spark, cat, "triples",
+        "CLEAR SILENT GRAPH <http://g.example/kg>", run_id="wipe",
+    )
+    assert rep["deleted"] == 3 and rep["snapshot"]
+    assert cat.read(spark, "triples").count() == 0
+    assert len(cat.snapshots("triples")) == 1
+    # idempotent on the emptied table
+    rep2 = execute_update(spark, cat, "triples", "CLEAR ALL")
+    assert rep2["deleted"] == 0 and rep2["snapshot"] is None
+    # pure function form
+    g = _graph(spark, [("a", "p", "b")])
+    assert updated_graph(g, "CLEAR DEFAULT").count() == 0
+    assert updated_graph(g, "CLEAR NAMED").count() == 1
+    with pytest.raises(ValueError, match="CLEAR needs"):
+        parse_update("CLEAR")
+
+
+def test_sparql_entailment_regime(spark, tmp_path):
+    from face_hunter_spark.operators.sparql import execute
+
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    g = _graph(
+        spark,
+        [
+            ("obama", RDF_T, "Politician"),
+            ("Politician", SUB, "Person"),
+            ("Person", SUB, "Agent"),
+        ],
+    )
+    q = (
+        "SELECT ?s WHERE { ?s a "
+        "<Agent> }"
+    )
+    assert execute(g, q).count() == 0  # asserted graph only
+    got = [r.s for r in execute(g, q, entailment="rdfs").collect()]
+    assert got == ["obama"]
+    with pytest.raises(ValueError, match="entailment"):
+        execute(g, q, entailment="owl")
+
+
 def test_facade_update_roundtrip(spark, tmp_path):
     from face_hunter_spark.hunter import SparkHunter
 
