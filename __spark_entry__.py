@@ -631,6 +631,88 @@ ORDER BY subj, pred, obj
 """
 
 
+def _kg_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base graph for the path-operator queries: customer→nation
+    membership edges + nation→region containment edges."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("http://example.org/inNation").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+        .unionByName(
+            nation.join(
+                region, F.col("n_regionkey") == F.col("r_regionkey")
+            ).select(
+                F.col("n_name").alias("subj"),
+                F.lit("http://example.org/inRegion").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+
+
+def _q_sparql_path_seq_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence + inverse property paths (operators/sparql.py path
+    rewrites): ?c inNation/inRegion ?r chains through a hidden join
+    variable; ?n ^inNation ?c swaps subject/object.  Exact oracle:
+    the customer⋈nation⋈region join spelled directly."""
+    from face_hunter_spark.operators.sparql import execute
+
+    return execute(
+        _kg_edge_graph(spark, sf_dir),
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?r ?n WHERE {
+          ?c ex:inNation/ex:inRegion ?r .
+          ?n ^ex:inNation ?c .
+        }
+        ORDER BY ?c ?r ?n
+        """,
+    )
+
+
+ORACLE_SPARQL_PATH_SEQ = """
+SELECT c_name AS c, r_name AS r, n_name AS n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+ORDER BY c, r, n
+"""
+
+
+def _q_sparql_path_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternative property path: ?x inNation|inRegion ?y is the bag
+    union of both edge sets (compiled to a UNION block, distributive
+    evaluation).  Exact oracle: UNION ALL of the two edge lists."""
+    from face_hunter_spark.operators.sparql import execute
+
+    return execute(
+        _kg_edge_graph(spark, sf_dir),
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?x ?y WHERE { ?x ex:inNation|ex:inRegion ?y }
+        ORDER BY ?x ?y
+        """,
+    )
+
+
+ORACLE_SPARQL_PATH_ALT = """
+SELECT x, y FROM (
+  SELECT c_name AS x, n_name AS y
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT n_name, r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+ORDER BY x, y
+"""
+
+
 def _q_sparql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL text aggregates (operators/sparql.py): COUNT / SUM / AVG
     / GROUP_CONCAT(DISTINCT; SEPARATOR) with GROUP BY over a 3-pattern
@@ -1005,6 +1087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_select": _q_sparql_text_select,
         "sparql_update_apply": _q_sparql_update_apply,
         "sparql_text_agg": _q_sparql_text_agg,
+        "sparql_path_seq_inverse": _q_sparql_path_seq_inverse,
+        "sparql_path_alt": _q_sparql_path_alt,
         "transe_epoch": DQ.q_transe_epoch,
         "transe_link_prediction": DQ.q_transe_link_prediction,
         # -- (c) representative driver-green core ----------------------
@@ -1119,6 +1203,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text_select": _DO.sql_bgp_optional_filter(),
         "sparql_update_apply": ORACLE_SPARQL_UPDATE,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
+        "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
+        "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
         "transe_epoch": DQ.ORACLE_TRANSE_EPOCH,
         "transe_link_prediction": DQ.ORACLE_TRANSE_LINK_PREDICTION,
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,

@@ -28,7 +28,12 @@ Supported subset — exactly the shapes the reference emits/accepts
   closure (operators/graph.py path-doubling) materialized as synthetic
   triples, then matched like any constant predicate; ``*`` needs a
   constant subject or object (its zero-length path is defined over
-  every node);
+  every node); ``^pred`` inverse (subject/object swap), ``p1/p2/...``
+  sequences (fresh join variables, hidden from SELECT * per the
+  spec's no-intermediate-bindings rule) and ``p1|p2|...``
+  alternatives (compiled to a UNION block) — all pure pattern
+  rewrites; mixing ``/`` with ``|`` (grouping) or putting ``+``/``*``
+  inside a sequence raises;
 * negation: ``FILTER [NOT] EXISTS { ... }`` (left-semi/left-anti hash
   join on the shared variables) and ``MINUS { ... }`` (left-anti; a
   group sharing no variable removes nothing, per spec);
@@ -115,9 +120,9 @@ _TOKEN_RE = re.compile(
     | (?P<DTSEP>\^\^)
     | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
     | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+))
-    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_/#-]*)
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_#-]*)
     | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*+\[\]])
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*+\[\]/|^])
     """,
     re.X,
 )
@@ -658,13 +663,74 @@ class _Parser:
         if self._at_op("."):
             self._next()
 
-    def _path_mod(self, pred):
-        """Consume a '+' / '*' property-path modifier after a constant
-        predicate; returns a ('__path__', pred, mod) marker that
-        execute() expands via the closure operator."""
+    def _path_primary(self, t: "_Tok | None" = None):
+        """One path element: ['^'] iri ['+'|'*'] -> (uri, inv, mod)."""
+        if t is None:
+            t = self._next()
+        inv = False
+        if t.kind == "OP" and t.text == "^":
+            inv = True
+            t = self._next()
+        if t.kind == "IRI":
+            uri = t.text[1:-1]
+        elif t.kind == "PNAME":
+            uri = self._expand_pname(t)
+        elif t.kind == "NAME" and t.text == "a":
+            uri = RDF_TYPE
+        else:
+            raise ValueError(
+                f"property path needs an IRI at offset {t.pos}: "
+                f"unexpected {t.text!r}"
+            )
+        mod = None
         if self._at_op("+", "*"):
-            return ("__path__", pred, self._next().text)
-        return pred
+            mod = self._next().text
+        return (uri, inv, mod)
+
+    def _path_expr(self, t: "_Tok"):
+        """Predicate-position path expression over the supported
+        subset: a single pred (optionally ^-inverted or +/*-closed),
+        or a '/'-sequence / '|'-alternative of (optionally inverted)
+        preds.  Sequences and alternatives compile to plain pattern
+        rewrites in execute() — fresh join variables for '/', a UNION
+        block for '|' — so no new execution machinery exists for
+        them.  Mixing '/' with '|' (grouping) and +/* inside a
+        sequence/alternative are outside the subset and raise."""
+        first = self._path_primary(t)
+        elts = [first]
+        op = None
+        while self._at_op("/", "|"):
+            o = self._next().text
+            if op is not None and o != op:
+                raise NotImplementedError(
+                    "mixed '/' and '|' in one property path needs "
+                    "grouping, which is not in the supported subset"
+                )
+            op = o
+            elts.append(self._path_primary())
+        if len(elts) == 1:
+            uri, inv, mod = first
+            if inv and mod:
+                raise NotImplementedError(
+                    "^pred+ / ^pred* is not in the supported subset — "
+                    "swap the pattern's subject and object and use "
+                    "pred+ instead"
+                )
+            if mod:
+                return ("__path__", uri, mod)
+            if inv:
+                return ("__inv__", uri)
+            return uri
+        if any(mod for _, _, mod in elts):
+            raise NotImplementedError(
+                "'+'/'*' inside a sequence/alternative path is not in "
+                "the supported subset — bind the closure step to its "
+                "own pattern"
+            )
+        parts = [
+            ("__inv__", uri) if inv else uri for uri, inv, _ in elts
+        ]
+        return ("__seq__", parts) if op == "/" else ("__alt__", parts)
 
     def _term(self, pred_pos: bool = False, allow_var: bool = True):
         t = self._next()
@@ -673,14 +739,16 @@ class _Parser:
                 raise ValueError(f"expected a node, got variable {t.text}")
             # normalize '$name' to '?name' — the bgp compiler's var syntax
             return "?" + t.text[1:]
+        if pred_pos and t.kind == "OP" and t.text == "^":
+            return self._path_expr(t)
         if t.kind == "IRI":
             iri = t.text[1:-1]
-            return self._path_mod(iri) if pred_pos else iri
+            return self._path_expr(t) if pred_pos else iri
         if t.kind == "PNAME":
             iri = self._expand_pname(t)
-            return self._path_mod(iri) if pred_pos else iri
+            return self._path_expr(t) if pred_pos else iri
         if t.kind == "NAME" and t.text == "a":
-            return self._path_mod(RDF_TYPE) if pred_pos else RDF_TYPE
+            return self._path_expr(t) if pred_pos else RDF_TYPE
         if t.kind == "STRING":
             lex = _unescape(t.text[1:-1])
             # consume @lang / ^^datatype; the READ path matches on the
@@ -872,6 +940,89 @@ def parse(text: str) -> ParsedQuery:
     """Parse a SPARQL query string into its compiled form (patterns /
     optional groups / filter SQL / modifiers) without executing it."""
     return _Parser(text).parse()
+
+
+def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
+    """Compile the algebra-free path operators into plain patterns:
+
+    * ``^pred``  — subject/object swap on the pattern;
+    * ``p1/p2``  — chained patterns through fresh join variables
+      (``__seqN`` — dropped from SELECT * output, per SPARQL's rule
+      that path intermediates bind nothing);
+    * ``p1|p2``  — a synthetic UNION block (one branch per
+      alternative), evaluated by the existing distributive machinery;
+      supported in the required top-level patterns only (inside
+      OPTIONAL/EXISTS/MINUS/UNION the branch algebra would differ).
+    """
+    counter = [0]
+
+    def rewrite(patterns, allow_alt: bool, where: str):
+        out = []
+        for s, p, o in patterns:
+            if not isinstance(p, tuple) or p[0] == "__path__":
+                out.append((s, p, o))
+                continue
+            kind = p[0]
+            if kind == "__inv__":
+                out.append((o, p[1], s))
+            elif kind == "__seq__":
+                cur = s
+                parts = p[1]
+                for i, elt in enumerate(parts):
+                    last = i == len(parts) - 1
+                    nxt = o if last else f"?__seq{counter[0]}"
+                    if not last:
+                        counter[0] += 1
+                    if isinstance(elt, tuple):  # ("__inv__", uri)
+                        out.append((nxt, elt[1], cur))
+                    else:
+                        out.append((cur, elt, nxt))
+                    cur = nxt
+            elif kind == "__alt__":
+                if not allow_alt:
+                    raise NotImplementedError(
+                        f"'|' alternative paths inside {where} are "
+                        "not in the supported subset — hoist the "
+                        "pattern to the required group"
+                    )
+                q.unions.append([
+                    (
+                        [(o, elt[1], s) if isinstance(elt, tuple)
+                         else (s, elt, o)],
+                        [],
+                        [],
+                    )
+                    for elt in p[1]
+                ])
+            else:  # pragma: no cover — parser emits no other markers
+                out.append((s, p, o))
+        return out
+
+    # pre-existing union blocks first (appending alt blocks while
+    # iterating would revisit them)
+    q.unions = [
+        [
+            (
+                rewrite(pp, False, "a UNION branch"),
+                [rewrite(g, False, "a UNION branch") for g in oo],
+                ff,
+            )
+            for (pp, oo, ff) in branches
+        ]
+        for branches in q.unions
+    ]
+    q.patterns = rewrite(q.patterns, True, "the required group")
+    q.optional = [
+        rewrite(g, False, "OPTIONAL") for g in q.optional
+    ]
+    q.exists_clauses = [
+        (pos, rewrite(p, False, "FILTER EXISTS"))
+        for pos, p in q.exists_clauses
+    ]
+    q.minus_clauses = [
+        rewrite(p, False, "MINUS") for p in q.minus_clauses
+    ]
+    return q
 
 
 def _expand_paths(
@@ -1114,6 +1265,7 @@ def execute(
         triples = base.unionByName(rdfs_entail(base))
     q = parse(text)
     if q.form != "describe":
+        q = _rewrite_path_ops(q)
         triples, q = _expand_paths(triples, q)
     has_negation = bool(
         q.exists_clauses or q.minus_clauses or q.values_clauses or q.binds
@@ -1161,6 +1313,11 @@ def execute(
     df = _bindings(triples, q, allow_cartesian)
     if has_negation:
         df = _apply_solution_clauses(triples, df, q, allow_cartesian)
+    # sequence-path join variables are not solution bindings (SPARQL
+    # path intermediates bind nothing) — hide them from SELECT *
+    seq_cols = [c for c in df.columns if c.startswith("__seq")]
+    if seq_cols and q.select is None:
+        df = df.drop(*seq_cols)
     if q.aggregates:
         aggs = []
         for func, arg, dist, alias, extra in q.aggregates:

@@ -341,6 +341,79 @@ def test_property_path_plus(spark):
     assert got2 == [("x1", "e2"), ("x1", "e3"), ("x1", "e4")]
 
 
+def test_property_path_inverse_sequence_alternative(spark):
+    tri = spark.createDataFrame(
+        [
+            ("c1", "http://e/inNation", "n1"),
+            ("c2", "http://e/inNation", "n2"),
+            ("n1", "http://e/inRegion", "r1"),
+            ("n2", "http://e/inRegion", "r1"),
+            ("n1", "http://e/border", "n2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    # inverse: ^p swaps subject/object
+    got = sorted(map(tuple, sparql.execute(
+        tri, "SELECT ?n ?c WHERE { ?n ^<http://e/inNation> ?c }"
+    ).collect()))
+    assert got == [("n1", "c1"), ("n2", "c2")]
+    # sequence: p1/p2 chains through a hidden join variable
+    got2 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?c ?r WHERE "
+        "{ ?c <http://e/inNation>/<http://e/inRegion> ?r }",
+    ).collect()))
+    assert got2 == [("c1", "r1"), ("c2", "r1")]
+    # SELECT *: the __seq intermediate is NOT a binding
+    star = sparql.execute(
+        tri,
+        "SELECT * WHERE "
+        "{ ?c <http://e/inNation>/<http://e/inRegion> ?r }",
+    )
+    assert sorted(star.columns) == ["c", "r"]
+    # sequence with an inverse element: child ^inNation/inNation peer
+    got3 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?n ?m WHERE "
+        "{ ?n <http://e/border>/^<http://e/inNation> ?m }",
+    ).collect()))
+    assert got3 == [("n1", "c2")]
+    # alternative: p1|p2 is the union of both edge sets
+    got4 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?x ?y WHERE "
+        "{ ?x <http://e/inNation>|<http://e/inRegion> ?y }",
+    ).collect()))
+    assert got4 == [
+        ("c1", "n1"), ("c2", "n2"), ("n1", "r1"), ("n2", "r1"),
+    ]
+    # alternative joins with surrounding required patterns
+    got5 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?x ?r WHERE { "
+        "?x <http://e/inNation>|<http://e/border> ?n . "
+        "?n <http://e/inRegion> ?r }",
+    ).collect()))
+    assert got5 == [("c1", "r1"), ("c2", "r1"), ("n1", "r1")]
+    # unsupported shapes raise loudly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="mixed"):
+        sparql.execute(
+            tri, "SELECT ?x WHERE { ?x <a>/<b>|<c> ?y }"
+        )
+    with _pytest.raises(NotImplementedError, match="sequence"):
+        sparql.execute(
+            tri, "SELECT ?x WHERE { ?x <a>/<b>+ ?y }"
+        )
+    with _pytest.raises(NotImplementedError, match="OPTIONAL"):
+        sparql.execute(
+            tri,
+            "SELECT ?x WHERE { ?x <http://e/inNation> ?n . "
+            "OPTIONAL { ?x <a>|<b> ?z } }",
+        )
+
+
 def test_property_path_star_anchored(spark):
     P_SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
     tri = spark.createDataFrame(
