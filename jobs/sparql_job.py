@@ -12,6 +12,10 @@ Usage:
       jobs/sparql_job.py --catalog-root /tmp/kg_out \
       --query 'SELECT ?v ?s WHERE { ?v hunter:hasScene ?s } LIMIT 10' \
       [--query-file q.rq]     # instead of --query
+      [--update 'INSERT DATA { ... }']  # the WRITE path instead of a
+                              # query: commits through the catalog and
+                              # prints the {form, inserted, deleted,
+                              # snapshot} report
       [--out /tmp/result]     # write result parquet; else print rows
       [--max-print 50]
 
@@ -32,12 +36,24 @@ def main() -> int:
     ap.add_argument("--table", default="triples")
     ap.add_argument("--query", default=None)
     ap.add_argument("--query-file", default=None)
+    ap.add_argument("--update", default=None,
+                    help="SPARQL UPDATE string (INSERT/DELETE DATA, "
+                         "DELETE WHERE, modify, CLEAR) — the write "
+                         "path; commits through the catalog and "
+                         "prints the report")
     ap.add_argument("--out", default=None,
                     help="parquet output dir; default prints rows")
     ap.add_argument("--max-print", type=int, default=50)
     args = ap.parse_args()
-    if bool(args.query) == bool(args.query_file):
-        ap.error("exactly one of --query / --query-file is required")
+    given = [
+        x for x in (args.query, args.query_file, args.update)
+        if x is not None
+    ]
+    if len(given) != 1:
+        ap.error(
+            "exactly one of --query / --query-file / --update is "
+            "required"
+        )
     text = args.query
     if args.query_file:
         with open(args.query_file) as f:
@@ -52,6 +68,22 @@ def main() -> int:
     from face_hunter_spark.operators.sparql import execute
 
     cat = ParquetCatalog(args.catalog_root)
+    if args.update is not None:
+        # write path: INSERT DATA may bootstrap a missing table, the
+        # other forms raise FileNotFoundError -> exit 2 like reads
+        from face_hunter_spark.operators.sparql_update import (
+            execute_update,
+        )
+
+        try:
+            report = execute_update(
+                spark, cat, args.table, args.update
+            )
+        except FileNotFoundError as e:
+            print(str(e), file=sys.stderr)
+            return 2
+        print(json.dumps(report))
+        return 0
     if not cat.exists(args.table):
         print(f"no table {args.table!r} at {args.catalog_root}",
               file=sys.stderr)

@@ -4,6 +4,8 @@ the delete/modify forms, the pure (G \\ D) ∪ I state transition, and
 the catalog-committing execution path (append for inserts,
 copy-on-write overwrite for deletes)."""
 
+import json
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -349,6 +351,43 @@ def test_question_mark_literal_is_not_a_variable(spark):
     # only the row whose OBJECT is the literal "?s" is deleted —
     # NOT every (s, p, binding-of-?s) instantiation
     assert _spo(out) == {("a", "p", "hit")}
+
+
+def test_sparql_job_update_flag(spark, tmp_path, monkeypatch):
+    import jobs.sparql_job as sj
+
+    _seed_catalog(spark, tmp_path)
+    root = str(tmp_path / "cat")
+
+    def run(*extra):
+        printed = []
+        monkeypatch.setattr(
+            "sys.argv", ["sparql_job.py", "--catalog-root", root,
+                         *extra],
+        )
+        monkeypatch.setattr(
+            "builtins.print", lambda s, **kw: printed.append(s)
+        )
+        code = sj.main()
+        return code, printed
+
+    code, out = run(
+        "--update", f"INSERT DATA {{ <d7> <{EX}p> <o7> . }}"
+    )
+    assert code == 0
+    assert json.loads(out[-1])["inserted"] == 1
+    code2, out2 = run(
+        "--query", f"SELECT ?s WHERE {{ ?s <{EX}p> <o7> }}"
+    )
+    assert code2 == 0
+    assert json.loads(out2[0])["s"] == "d7"
+    # write forms that need existing state exit 2 on a missing table
+    monkeypatch.setattr(
+        "sys.argv",
+        ["sparql_job.py", "--catalog-root", str(tmp_path / "nope"),
+         "--update", f"DELETE WHERE {{ ?s <{EX}p> ?o }}"],
+    )
+    assert sj.main() == 2
 
 
 def test_clear_forms(spark, tmp_path):
