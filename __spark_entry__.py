@@ -713,6 +713,58 @@ ORDER BY x, y
 """
 
 
+def _q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation community detection
+    (operators/graph.py::label_propagation) on the bipartite
+    customer↔nation membership graph: synchronous rounds, most-
+    frequent neighbor label with min-label tie-break, fixed 3 rounds —
+    a pure function of the edge set, so the oracle replays every
+    round as one CTE stage."""
+    from face_hunter_spark.operators.graph import label_propagation
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = customer.select(
+        F.format_string("C%d", F.col("c_custkey")).alias("src"),
+        F.format_string("N%d", F.col("c_nationkey")).alias("dst"),
+    )
+    return label_propagation(edges, n_iter=3).orderBy("id")
+
+
+def _oracle_lpa() -> str:
+    round_tpl = """
+r{i} AS (
+  SELECT s.a, l.community AS nl, COUNT(*) AS cnt
+  FROM sym s JOIN l{prev} l ON s.b = l.id
+  GROUP BY s.a, l.community
+),
+b{i} AS (SELECT a, MAX(cnt) AS cnt FROM r{i} GROUP BY a),
+l{i} AS (
+  SELECT r.a AS id, MIN(r.nl) AS community
+  FROM r{i} r JOIN b{i} b ON r.a = b.a AND r.cnt = b.cnt
+  GROUP BY r.a
+)"""
+    rounds = ",".join(
+        round_tpl.format(i=i, prev=i - 1) for i in range(1, 4)
+    )
+    return f"""
+WITH raw AS (
+  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src,
+         'N' || CAST(c_nationkey AS VARCHAR) AS dst
+  FROM customer
+),
+sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM raw
+    UNION ALL
+    SELECT dst, src FROM raw
+  ) WHERE a <> b
+),
+l0 AS (SELECT DISTINCT a AS id, a AS community FROM sym),
+{rounds}
+SELECT id, community FROM l3 ORDER BY id
+"""
+
+
 def _q_sparql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL text aggregates (operators/sparql.py): COUNT / SUM / AVG
     / GROUP_CONCAT(DISTINCT; SEPARATOR) with GROUP BY over a 3-pattern
@@ -1089,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_agg": _q_sparql_text_agg,
         "sparql_path_seq_inverse": _q_sparql_path_seq_inverse,
         "sparql_path_alt": _q_sparql_path_alt,
+        "lpa_communities": _q_lpa_communities,
         "transe_epoch": DQ.q_transe_epoch,
         "transe_link_prediction": DQ.q_transe_link_prediction,
         # -- (c) representative driver-green core ----------------------
@@ -1205,6 +1258,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
+        "lpa_communities": _oracle_lpa(),
         "transe_epoch": DQ.ORACLE_TRANSE_EPOCH,
         "transe_link_prediction": DQ.ORACLE_TRANSE_LINK_PREDICTION,
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,

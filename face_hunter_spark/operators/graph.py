@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "pagerank", "triangle_count", "property_path",
-    "transitive_closure", "rdfs_entail",
+    "transitive_closure", "rdfs_entail", "label_propagation",
 ]
 
 SCALE = 10**12
@@ -363,3 +363,73 @@ def rdfs_entail(
             "left_anti",
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an undirected graph — (id, community) with
+    community = the label that survives ``n_iter`` fixed rounds.  The
+    graph-side blocking complement to the embedding-side clustering
+    family (SemDeDup's k-means): near-duplicate/same-as edge graphs
+    decompose into candidate communities without an all-pairs pass.
+
+    Determinism (the property async/randomized LPA lacks): labels
+    start as the node's own id; every round is SYNCHRONOUS and each
+    node adopts the most frequent label among its neighbors with ties
+    broken by MINIMUM label, isolated nodes keep their label, and the
+    round count is FIXED — so the result is a pure function of the
+    edge set, bit-identical at any partitioning, and a fixed-depth
+    DuckDB CTE chain replays it exactly (the driver oracle).
+
+    Scale shape: each round is one hash join (labels onto the
+    symmetrized edge list, shuffle keyed by node id), one
+    (node, label) count aggregation with map-side combine, and one
+    two-stage argmax (max count per node -> min label at that count) —
+    no windows over the whole graph, no driver-side state; lineage is
+    cut per round (the CC/k-means loop discipline).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("community", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        neigh = sym.join(
+            labels.select(
+                F.col("id").alias("b"), F.col("community").alias("nl")
+            ),
+            "b",
+        )
+        counts = neigh.groupBy("a", "nl").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        best_cnt = counts.groupBy("a").agg(F.max("cnt").alias("cnt"))
+        new = (
+            counts.join(best_cnt, ["a", "cnt"])
+            .groupBy("a")
+            .agg(F.min("nl").alias("community"))
+            .select(F.col("a").alias("id"), "community")
+        )
+        # isolated-in-this-view nodes cannot occur (labels' domain is
+        # sym's node set and every node has >= 1 neighbor there), so
+        # `new` covers the full domain each round
+        labels = new.localCheckpoint()
+    return labels

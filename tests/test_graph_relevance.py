@@ -247,3 +247,46 @@ def test_triangles_edges_scanned_once(spark):
     # checkpoints truncate the shared subtrees: the raw edge input must
     # not appear in the final plan at all (it was scanned 18x before)
     assert len(re.findall(r"Range \(0, 500", plan)) == 0
+
+
+# ------------------------------------------------------------ LPA
+
+
+def test_lpa_disjoint_cliques(spark):
+    from face_hunter_spark.operators.graph import label_propagation
+
+    K3a = [("a1", "a2"), ("a2", "a3"), ("a3", "a1")]
+    K3b = [("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+    e = spark.createDataFrame(
+        K3a + K3b, "src string, dst string"
+    ).repartition(4)
+    got = {
+        r.id: r.community
+        for r in label_propagation(e, n_iter=4).collect()
+    }
+    # each clique converges to its minimum member label
+    assert got == {
+        "a1": "a1", "a2": "a1", "a3": "a1",
+        "b1": "b1", "b2": "b1", "b3": "b1",
+    }
+
+
+def test_lpa_partitioning_invariance_and_validation(spark):
+    import pytest
+
+    from face_hunter_spark.operators.graph import label_propagation
+
+    pairs = [(f"v{i}", f"v{(i * 3 + 1) % 23}") for i in range(60)]
+
+    def run(parts):
+        e = spark.createDataFrame(
+            pairs, "src string, dst string"
+        ).repartition(parts)
+        return sorted(
+            map(tuple, label_propagation(e, n_iter=3).collect())
+        )
+
+    assert run(1) == run(8)
+    e2 = spark.createDataFrame(pairs, "src string, dst string")
+    with pytest.raises(ValueError, match="n_iter"):
+        label_propagation(e2, n_iter=0)
