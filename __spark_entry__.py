@@ -765,6 +765,70 @@ SELECT id, community FROM l3 ORDER BY id
 """
 
 
+def _q_common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction
+    (operators/graph.py::common_neighbors) over the supplier↔nation ∪
+    nation↔region membership graph: suppliers of one nation pair up
+    through their shared nation node, nations of one region through
+    the region — non-adjacent candidates only, integer Jaccard
+    num/den.  Oracle replays the wedge self-join + degree math."""
+    from face_hunter_spark.operators.graph import common_neighbors
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    edges = (
+        nation.select(
+            F.format_string("N%d", F.col("n_nationkey")).alias("src"),
+            F.format_string("R%d", F.col("n_regionkey")).alias("dst"),
+        )
+        .unionByName(
+            supplier.select(
+                F.format_string("S%d", F.col("s_suppkey")).alias("src"),
+                F.format_string("N%d", F.col("s_nationkey")).alias("dst"),
+            )
+        )
+    )
+    return common_neighbors(edges, min_common=1).orderBy("u", "v")
+
+
+ORACLE_COMMON_NEIGHBORS = """
+WITH raw AS (
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS src,
+         'R' || CAST(n_regionkey AS VARCHAR) AS dst
+  FROM nation
+  UNION ALL
+  SELECT 'S' || CAST(s_suppkey AS VARCHAR),
+         'N' || CAST(s_nationkey AS VARCHAR)
+  FROM supplier
+),
+sym AS (
+  SELECT DISTINCT n, x FROM (
+    SELECT src AS n, dst AS x FROM raw WHERE src <> dst
+    UNION ALL
+    SELECT dst, src FROM raw WHERE src <> dst
+  )
+),
+deg AS (SELECT x, COUNT(*) AS deg FROM sym GROUP BY x),
+pairs AS (
+  SELECT e1.x AS u, e2.x AS v, COUNT(*) AS n_common
+  FROM sym e1 JOIN sym e2 ON e1.n = e2.n AND e1.x < e2.x
+  GROUP BY e1.x, e2.x
+),
+nonadj AS (
+  SELECT p.* FROM pairs p
+  ANTI JOIN sym s ON p.u = s.n AND p.v = s.x
+)
+SELECT
+  a.u, a.v, a.n_common, du.deg AS deg_u, dv.deg AS deg_v,
+  a.n_common AS jaccard_num,
+  du.deg + dv.deg - a.n_common AS jaccard_den
+FROM nonadj a
+JOIN deg du ON a.u = du.x
+JOIN deg dv ON a.v = dv.x
+ORDER BY u, v
+"""
+
+
 def _q_sparql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL text aggregates (operators/sparql.py): COUNT / SUM / AVG
     / GROUP_CONCAT(DISTINCT; SEPARATOR) with GROUP BY over a 3-pattern
@@ -1142,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_seq_inverse": _q_sparql_path_seq_inverse,
         "sparql_path_alt": _q_sparql_path_alt,
         "lpa_communities": _q_lpa_communities,
+        "common_neighbor_links": _q_common_neighbor_links,
         "transe_epoch": DQ.q_transe_epoch,
         "transe_link_prediction": DQ.q_transe_link_prediction,
         # -- (c) representative driver-green core ----------------------
@@ -1259,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
         "lpa_communities": _oracle_lpa(),
+        "common_neighbor_links": ORACLE_COMMON_NEIGHBORS,
         "transe_epoch": DQ.ORACLE_TRANSE_EPOCH,
         "transe_link_prediction": DQ.ORACLE_TRANSE_LINK_PREDICTION,
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,

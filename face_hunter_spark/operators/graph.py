@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "pagerank", "triangle_count", "property_path",
     "transitive_closure", "rdfs_entail", "label_propagation",
+    "common_neighbors",
 ]
 
 SCALE = 10**12
@@ -433,3 +434,84 @@ def label_propagation(
         # `new` covers the full domain each round
         labels = new.localCheckpoint()
     return labels
+
+
+def common_neighbors(
+    edges: DataFrame,
+    min_common: int = 1,
+    max_degree: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over the undirected
+    graph induced by ``edges`` — (u, v, n_common, deg_u, deg_v,
+    jaccard_num, jaccard_den) for every NON-adjacent candidate pair
+    with at least ``min_common`` shared neighbors, u < v.  The classic
+    same-as candidate generator: two entities sharing many neighbors
+    in the depicts/sameAs graph are merge candidates the exact-match
+    pass can't see.
+
+    Jaccard rides as an integer numerator/denominator pair
+    (|N(u)∩N(v)| and |N(u)∪N(v)| = deg_u + deg_v − n_common) so the
+    output is engine-exact; callers divide when they want the float.
+
+    Scale shape: the wedge self-join around each shared neighbor is
+    the whole cost, and a hub apex of degree d contributes d² pairs —
+    the last-reducer curse (same as triangle counting, WWW'11).
+    ``max_degree`` caps which nodes may act as the SHARED NEIGHBOR:
+    apexes above the cap are excluded before the self-join, an
+    explicit, oracle-mirrored approximation (the minhash bucket-cap
+    convention) — a node connected to everything carries no linking
+    signal anyway.  Default None = exact.  All joins are hash
+    equi-joins; counts aggregate with map-side combine.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    a, b = F.col(src), F.col(dst)
+    sym = (
+        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(a.alias("n"), b.alias("x"))
+        .unionByName(edges.select(b.alias("n"), a.alias("x")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    apex = sym
+    if max_degree is not None:
+        heavy = (
+            sym.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") > max_degree)
+            .select("n")
+        )
+        apex = sym.join(heavy, "n", "left_anti")
+    pairs = (
+        apex.select("n", F.col("x").alias("u"))
+        .join(apex.select("n", F.col("x").alias("v")), "n")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    # link PREDICTION: drop pairs that are already edges
+    pairs = pairs.join(
+        sym.select(F.col("n").alias("u"), F.col("x").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            "deg_u",
+            "deg_v",
+            F.col("n_common").alias("jaccard_num"),
+            (F.col("deg_u") + F.col("deg_v") - F.col("n_common"))
+            .alias("jaccard_den"),
+        )
+    )

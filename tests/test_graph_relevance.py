@@ -290,3 +290,52 @@ def test_lpa_partitioning_invariance_and_validation(spark):
     e2 = spark.createDataFrame(pairs, "src string, dst string")
     with pytest.raises(ValueError, match="n_iter"):
         label_propagation(e2, n_iter=0)
+
+
+# -------------------------------------------------- common neighbors
+
+
+def test_common_neighbors_square(spark):
+    from face_hunter_spark.operators.graph import common_neighbors
+
+    # square a-b-c-d-a: diagonals (a,c) and (b,d) share 2 neighbors
+    # and are non-adjacent; adjacent pairs are excluded
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    got = {
+        (r.u, r.v): (r.n_common, r.jaccard_num, r.jaccard_den)
+        for r in common_neighbors(e).collect()
+    }
+    assert got == {("a", "c"): (2, 2, 2), ("b", "d"): (2, 2, 2)}
+
+
+def test_common_neighbors_hub_cap_and_invariance(spark):
+    import pytest
+
+    from face_hunter_spark.operators.graph import common_neighbors
+
+    # hub h connects to everything; x and y also share n1
+    pairs = [("h", f"v{i}") for i in range(10)]
+    pairs += [("x", "n1"), ("y", "n1"), ("x", "h"), ("y", "h")]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    exact = {
+        (r.u, r.v): r.n_common for r in common_neighbors(e).collect()
+    }
+    # via the hub every leaf pair shares h; (x, y) share h AND n1
+    assert exact[("x", "y")] == 2
+    assert exact[("v0", "v1")] == 1
+    capped = {
+        (r.u, r.v): r.n_common
+        for r in common_neighbors(e, max_degree=5).collect()
+    }
+    # hub excluded as APEX (no leaf-leaf pairs via h), but it still
+    # participates as an endpoint: x and y are apexes for (h, n1)
+    assert capped == {("x", "y"): 1, ("h", "n1"): 2}
+    # deterministic at any partitioning
+    r1 = sorted(map(tuple, common_neighbors(e.repartition(1)).collect()))
+    r8 = sorted(map(tuple, common_neighbors(e.repartition(8)).collect()))
+    assert r1 == r8
+    with pytest.raises(ValueError, match="min_common"):
+        common_neighbors(e, min_common=0)
