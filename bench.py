@@ -209,6 +209,22 @@ def headline_queries(spark, sf_dir):
         ent, rel = te(pos, dim=16, k_neg=2)
         return _count(ent) + _count(rel)
 
+    def lpa_communities():
+        # SF-scaled deterministic LPA: 3 synchronous rounds over the
+        # customer<->nation bipartite graph (per-round join + counted
+        # argmax, lineage cut per round)
+        import __spark_entry__ as SE
+
+        return _count(SE._q_lpa_communities(spark, sf_dir))
+
+    def common_neighbor_links():
+        # SF-scaled wedge join: supplier<->nation ∪ nation<->region;
+        # at sf0.1 the within-nation supplier pairs dominate (~2M
+        # candidates) — the operator's real cost profile
+        import __spark_entry__ as SE
+
+        return _count(SE._q_common_neighbor_links(spark, sf_dir))
+
     def sparql_update_apply():
         # SF-scaled SPARQL UPDATE state transition: the modify form's
         # (G \ D) ∪ I algebra over a customer→nation membership graph
@@ -274,6 +290,8 @@ def headline_queries(spark, sf_dir):
         "negative_samples": negative_samples,
         "transe_epoch": transe_epoch,
         "sparql_update_apply": sparql_update_apply,
+        "lpa_communities": lpa_communities,
+        "common_neighbor_links": common_neighbor_links,
     }
 
 

@@ -255,3 +255,29 @@ def test_transe_epoch_plan_shape(spark, tmp_path):
     # COO gradient sums arrive pre-combined: partial then merge
     assert "partial_sum" in plan or "HashAggregate" in plan
     assert "SinglePartition" not in plan
+
+
+def test_lpa_and_common_neighbors_plan_shape(spark):
+    """The new graph ops' scale contracts: every LPA round is hash
+    joins + hash aggregation (no nested loops, no single-partition
+    exchange); the common-neighbor wedge join is an equi-join on the
+    shared-neighbor key with map-side-combined counts."""
+    from face_hunter_spark.operators.graph import (
+        common_neighbors,
+        label_propagation,
+    )
+
+    e = spark.createDataFrame(
+        [(f"a{i}", f"b{i % 7}") for i in range(64)],
+        "src string, dst string",
+    )
+    plan = plan_of(label_propagation(e, n_iter=1))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+    plan2 = plan_of(common_neighbors(e))
+    assert "BroadcastNestedLoopJoin" not in plan2
+    assert "CartesianProduct" not in plan2
+    assert "SinglePartition" not in plan2
+    assert "HashAggregate" in plan2  # counted wedges, partial+final
