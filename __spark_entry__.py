@@ -829,6 +829,63 @@ ORDER BY u, v
 """
 
 
+def _q_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distances (operators/graph.py::bfs_levels) from
+    nation N0 over the undirected customer↔nation ∪ nation↔region
+    membership graph — levels 0..4 (N0 → its customers/its region →
+    sibling nations → their customers).  Oracle: a bounded recursive
+    CTE taking MIN(level) per node."""
+    from face_hunter_spark.operators.graph import bfs_levels
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = (
+        customer.select(
+            F.format_string("C%d", F.col("c_custkey")).alias("src"),
+            F.format_string("N%d", F.col("c_nationkey")).alias("dst"),
+        )
+        .unionByName(
+            nation.select(
+                F.format_string("N%d", F.col("n_nationkey")).alias("src"),
+                F.format_string("R%d", F.col("n_regionkey")).alias("dst"),
+            )
+        )
+    )
+    return bfs_levels(edges, "N0", max_hops=4).orderBy("id")
+
+
+ORACLE_BFS = """
+WITH RECURSIVE sym AS (
+  SELECT DISTINCT n, x FROM (
+    SELECT src AS n, dst AS x FROM (
+      SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src,
+             'N' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+      UNION ALL
+      SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+             'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+    )
+    UNION ALL
+    SELECT dst, src FROM (
+      SELECT 'C' || CAST(c_custkey AS VARCHAR) AS src,
+             'N' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+      UNION ALL
+      SELECT 'N' || CAST(n_nationkey AS VARCHAR),
+             'R' || CAST(n_regionkey AS VARCHAR) FROM nation
+    )
+  ) WHERE n <> x
+),
+walk(id, lvl) AS (
+  SELECT 'N0', 0
+  UNION
+  SELECT s.x, w.lvl + 1
+  FROM walk w JOIN sym s ON s.n = w.id
+  WHERE w.lvl < 4
+)
+SELECT id, CAST(MIN(lvl) AS INTEGER) AS level
+FROM walk GROUP BY id ORDER BY id
+"""
+
+
 def _q_sparql_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL text aggregates (operators/sparql.py): COUNT / SUM / AVG
     / GROUP_CONCAT(DISTINCT; SEPARATOR) with GROUP BY over a 3-pattern
@@ -1207,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_alt": _q_sparql_path_alt,
         "lpa_communities": _q_lpa_communities,
         "common_neighbor_links": _q_common_neighbor_links,
+        "bfs_hop_distance": _q_bfs_hop_distance,
         "transe_epoch": DQ.q_transe_epoch,
         "transe_link_prediction": DQ.q_transe_link_prediction,
         # -- (c) representative driver-green core ----------------------
@@ -1325,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
         "lpa_communities": _oracle_lpa(),
         "common_neighbor_links": ORACLE_COMMON_NEIGHBORS,
+        "bfs_hop_distance": ORACLE_BFS,
         "transe_epoch": DQ.ORACLE_TRANSE_EPOCH,
         "transe_link_prediction": DQ.ORACLE_TRANSE_LINK_PREDICTION,
         "rdfs_entailment": DQ.ORACLE_RDFS_ENTAILMENT,

@@ -425,6 +425,29 @@ class SparkHunter:
         )
         return score_triples(df, ent, rel)
 
+    def distance(
+        self, a: str, b: str, max_hops: int = 6
+    ) -> int | None:
+        """Minimum hop distance between two nodes in the committed
+        KG's entity graph (URI-valued triples only; literals carry no
+        onward edges), or None if unreachable within ``max_hops`` /
+        before any link() commit — the "how are X and Y connected"
+        relatedness probe (operators/graph.py::bfs_levels)."""
+        from .operators.graph import bfs_levels
+
+        if not self.catalog.exists("triples"):
+            return None
+        t = self.catalog.read(self.spark, "triples")
+        edges = t.where(~F.coalesce("obj_is_literal", F.lit(False))).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        hit = (
+            bfs_levels(edges, a, max_hops=max_hops)
+            .where(F.col("id") == F.lit(b))
+            .collect()
+        )
+        return hit[0].level if hit else None
+
     def validate(self, shapes=None) -> dict | None:
         """Run the KG quality gate (quality.py) on this handle's
         catalog: SHACL-lite validation (default: the pipeline's

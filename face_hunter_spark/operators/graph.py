@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "pagerank", "triangle_count", "property_path",
     "transitive_closure", "rdfs_entail", "label_propagation",
-    "common_neighbors",
+    "common_neighbors", "bfs_levels",
 ]
 
 SCALE = 10**12
@@ -515,3 +515,61 @@ def common_neighbors(
             .alias("jaccard_den"),
         )
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    source: str,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum hop distance from ``source`` to every reachable node
+    within ``max_hops`` — (id, level), level 0 = the source itself.
+    property_path answers "which pairs are reachable"; this answers
+    "HOW FAR", the primitive behind entity-relatedness queries
+    ("how are X and Y connected") over the emitted KG.
+
+    Deterministic by construction (min-hop is unique), so a recursive
+    CTE replays it exactly (the driver oracle).
+
+    Scale shape: classic frontier expansion — per hop one hash
+    equi-join of the frontier against the edge list plus one anti-join
+    against the visited set, lineage cut per hop; the only driver-side
+    values are one frontier-size scalar per hop (early stop), bounded
+    by ``max_hops``.  At diameter-heavy graphs use property_path's
+    path-doubling instead (O(log d) rounds); BFS is the right shape
+    when ``max_hops`` is small, which relatedness queries are.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    a, b = F.col(src), F.col(dst)
+    e = edges.where(a.isNotNull() & b.isNotNull()).select(
+        a.alias("n"), b.alias("x")
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(b.alias("n"), a.alias("x"))
+        )
+    e = e.where(F.col("n") != F.col("x")).distinct().localCheckpoint()
+
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(source, 0)], "id string, level int"
+    ).localCheckpoint()
+    frontier = visited.select("id")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["n"])
+            .select(F.col("x").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("level", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return visited

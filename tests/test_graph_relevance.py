@@ -339,3 +339,72 @@ def test_common_neighbors_hub_cap_and_invariance(spark):
     assert r1 == r8
     with pytest.raises(ValueError, match="min_common"):
         common_neighbors(e, min_common=0)
+
+
+# ------------------------------------------------------------- BFS
+
+
+def test_bfs_levels_path_graph(spark):
+    import pytest
+
+    from face_hunter_spark.operators.graph import bfs_levels
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {
+        r.id: r.level for r in bfs_levels(e, "a", max_hops=6).collect()
+    }
+    # early stop + disconnected component excluded
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # max_hops truncates
+    got2 = {
+        r.id: r.level for r in bfs_levels(e, "a", max_hops=2).collect()
+    }
+    assert got2 == {"a": 0, "b": 1, "c": 2}
+    # directed: no back-edges
+    got3 = {
+        r.id: r.level
+        for r in bfs_levels(e, "c", max_hops=6, directed=True).collect()
+    }
+    assert got3 == {"c": 0, "d": 1}
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_levels(e, "a", max_hops=0)
+
+
+def test_bfs_partitioning_invariance(spark):
+    from face_hunter_spark.operators.graph import bfs_levels
+
+    pairs = [(f"v{i}", f"v{(i * 5 + 2) % 31}") for i in range(80)]
+
+    def run(parts):
+        e = spark.createDataFrame(
+            pairs, "src string, dst string"
+        ).repartition(parts)
+        return sorted(
+            map(tuple, bfs_levels(e, "v0", max_hops=4).collect())
+        )
+
+    assert run(1) == run(8)
+
+
+def test_facade_distance(spark, tmp_path):
+    from face_hunter_spark import synth
+    from face_hunter_spark.hunter import SparkHunter
+
+    h = SparkHunter(spark, str(tmp_path / "dkg"), n_entities=6)
+    assert h.distance("a", "b") is None  # before any commit
+    h.link(synth.documents_df(spark, 8, 6))
+    t = h.catalog.read(spark, "triples")
+    row = (
+        t.where(~F.col("obj_is_literal"))
+        .where(F.col("pred") == "http://xmlns.com/foaf/0.1/depicts")
+        .select("subj", "obj")
+        .limit(1)
+        .collect()[0]
+    )
+    scene, entity = row.subj, row.obj
+    assert h.distance(scene, entity) == 1
+    assert h.distance(entity, scene) == 1  # undirected
+    assert h.distance(scene, "urn:nowhere") is None
