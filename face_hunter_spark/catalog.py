@@ -49,8 +49,19 @@ def _cluster(
 
 
 class ParquetCatalog:
-    def __init__(self, root: str):
+    def __init__(self, root: str, expire_grace_seconds: float = 0.0):
+        """``expire_grace_seconds`` is the retention window for data
+        directories of snapshots REPLACED by overwrite/compact —
+        Iceberg's expire_snapshots retention.  Replaced snapshots leave
+        the manifest at the commit flip (new readers never see them)
+        but their files are deleted only once the grace period has
+        elapsed, so a reader that resolved paths from the pre-flip
+        manifest and is still mid-scan keeps its files.  The default 0
+        removes them at the next commit/expire call — single-process
+        semantics; concurrent-reader deployments set it to longer than
+        their slowest read job."""
         self.root = root
+        self.expire_grace_seconds = expire_grace_seconds
         os.makedirs(root, exist_ok=True)
 
     def _tdir(self, table: str) -> str:
@@ -59,12 +70,55 @@ class ParquetCatalog:
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self._tdir(table), "manifest.json")
 
-    def snapshots(self, table: str) -> list[dict]:
+    def _read_manifest(self, table: str) -> dict:
         p = self._manifest_path(table)
         if not os.path.exists(p):
-            return []
+            return {"snapshots": []}
         with open(p) as f:
-            return json.load(f)["snapshots"]
+            return json.load(f)
+
+    def snapshots(self, table: str) -> list[dict]:
+        return self._read_manifest(table)["snapshots"]
+
+    def expire_snapshots(self, table: str,
+                         grace_seconds: float | None = None) -> list[str]:
+        """Delete data directories of snapshots expired by an earlier
+        overwrite/compact once they are older than ``grace_seconds``
+        (default: the catalog's ``expire_grace_seconds``) — the
+        explicit maintenance half of Iceberg's expire_snapshots.
+        Returns the snapshot ids whose directories were removed.
+        Idempotent; safe to run any time."""
+        import shutil
+
+        if grace_seconds is None:
+            grace_seconds = self.expire_grace_seconds
+        removed: list[str] = []
+        with self._commit_lock(table):
+            manifest = self._read_manifest(table)
+            pending = manifest.get("expired", [])
+            if not pending:
+                return removed
+            cutoff = time.time() - grace_seconds
+            keep = []
+            for e in pending:
+                if e["expired_at"] <= cutoff:
+                    shutil.rmtree(
+                        os.path.join(self._tdir(table), "data",
+                                     f"snap={e['id']}"),
+                        ignore_errors=True,
+                    )
+                    removed.append(e["id"])
+                else:
+                    keep.append(e)
+            if keep:
+                manifest["expired"] = keep
+            else:
+                manifest.pop("expired", None)
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self._manifest_path(table))
+        return removed
 
     def _commit_lock(self, table: str):
         """Advisory per-table commit lock (fcntl.flock) held across
@@ -142,7 +196,10 @@ class ParquetCatalog:
         the table anti-joined against a delete set) and the flip is
         atomic.  ``df`` MAY read from the table's current snapshots —
         the plan executes into the new snapshot directory BEFORE the
-        manifest flips, and old data dirs are removed only after.
+        manifest flips, and old data dirs are removed only after the
+        flip AND past ``expire_grace_seconds`` (a reader that resolved
+        paths from the pre-flip manifest keeps its files mid-scan; see
+        :meth:`expire_snapshots`).
 
         Same optimistic concurrency as :meth:`compact`: aborts loudly
         (new dir removed, table untouched) if any commit landed while
@@ -195,15 +252,19 @@ class ParquetCatalog:
             if wrote_empty:
                 entry["empty"] = True
             manifest = {"snapshots": [entry]}
+            pending = self._read_manifest(table).get("expired", [])
+            ts = time.time()
+            pending += [{"id": s["id"], "expired_at": ts} for s in snaps]
+            if pending:
+                manifest["expired"] = pending
             tmp = self._manifest_path(table) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(manifest, f, indent=1)
             os.replace(tmp, self._manifest_path(table))  # atomic flip
-        for s in snaps:
-            shutil.rmtree(
-                os.path.join(self._tdir(table), "data", f"snap={s['id']}"),
-                ignore_errors=True,
-            )
+        # replaced dirs are deleted only past the grace window (see
+        # __init__ / expire_snapshots) — a reader that resolved paths
+        # from the pre-flip manifest keeps its files while it scans
+        self.expire_snapshots(table)
         return snap_id
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
@@ -385,15 +446,17 @@ class ParquetCatalog:
                     }
                 ]
             }
+            pending = self._read_manifest(table).get("expired", [])
+            ts = time.time()
+            pending += [{"id": s["id"], "expired_at": ts} for s in snaps]
+            if pending:
+                manifest["expired"] = pending
             tmp = self._manifest_path(table) + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(manifest, f, indent=1)
             os.replace(tmp, self._manifest_path(table))  # atomic flip
-        for s in snaps:
-            shutil.rmtree(
-                os.path.join(self._tdir(table), "data", f"snap={s['id']}"),
-                ignore_errors=True,
-            )
+        # grace-period deferred deletion — see overwrite/expire_snapshots
+        self.expire_snapshots(table)
         return snap_id
 
 

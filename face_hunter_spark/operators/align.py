@@ -1,11 +1,30 @@
 """Batched keypoint-based face alignment (the reference's
-facial_preprocessing.py:7-60: estimate a similarity transform from the
-detector's 5 MTCNN landmarks to the canonical ArcFace template, warp
-the crop, /255-normalize).
+facial_preprocessing.py:7-60 stage: align each detected face from its
+MTCNN landmarks before embedding, then /255-normalize).
 
-The reference aligns one face at a time with cv2.estimateAffinePartial2D
-+ cv2.warpAffine.  Here the whole Arrow batch is aligned in three
-vectorized numpy steps — no cv2, no per-face Python loop:
+TWO alignment kernels, both fully vectorized (no cv2, no per-face
+Python loop):
+
+* ``method="umeyama"`` (default) — closed-form least-squares
+  similarity from all 5 landmarks to the canonical insightface
+  ArcFace template.  This is a DELIBERATE algorithmic deviation from
+  the reference (SURVEY §2.12): the standard, better-conditioned
+  alignment every ArcFace deployment uses, rather than the
+  reference's 2-landmark heuristic.
+* ``method="eye_angle"`` — the reference's own algorithm
+  (facial_preprocessing.py:7-60), batched: rotate about the
+  floor-divided eye center by the eye-line angle, scale so the
+  eye-center→mouth-center distance fills ``(1 − 2·blank)`` of the
+  output height (blank=0.3), translate the eye center to
+  (0.5·w, blank·h) — the exact cv2.getRotationMatrix2D + translation
+  composition, replayed in closed form.  Interpolation deviates:
+  bilinear with edge-clamp here vs the reference's INTER_CUBIC with
+  zero-border (documented; immaterial to the fake-encoder parity
+  gates, and a real-codec deployment flips the sampler, not the
+  transform math).
+
+The reference aligns one face at a time through cv2; here the whole
+Arrow batch is aligned in three vectorized numpy steps:
 
 1. ``similarity_transforms``: closed-form least-squares similarity
    (rotation+scale+translation, no reflection) from each face's 5
@@ -29,8 +48,10 @@ from __future__ import annotations
 import numpy as np
 
 # Canonical ArcFace 112x112 5-landmark template (public constants from
-# the insightface alignment code; the reference hardcodes the same
-# template in facial_preprocessing.py:13-19).
+# the insightface alignment code).  The reference does NOT use this
+# template — its facial_preprocessing.py aligns by eye-angle rotation +
+# eye↔mouth-distance scale (see eye_angle_transforms below); the
+# template drives only the default "umeyama" method.
 ARCFACE_TEMPLATE = np.array(
     [
         [38.2946, 51.6963],   # left_eye
@@ -119,24 +140,100 @@ def bilinear_sample(
     return out.reshape(n, h, w, C).astype(np.float32)
 
 
+def eye_angle_transforms(
+    keypoints: np.ndarray,
+    out_hw: tuple[int, int] = (112, 112),
+    blank: float = 0.3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The reference's alignment transform
+    (facial_preprocessing.py:7-60), batched over n faces.
+
+    Per face: eye_center and mouth_center are the FLOOR-divided
+    landmark midpoints (the reference's ``// 2`` — a quirk kept for
+    parity); angle = atan2(right_eye−left_eye); scale =
+    (1 − 2·blank)·out_h / |mouth_center − eye_center|; the affine is
+    cv2.getRotationMatrix2D(eye_center, degrees(angle), scale) with
+    its translation column shifted so eye_center lands at
+    (0.5·out_w, blank·out_h).  Replayed in closed form:
+    alpha = s·cos θ, beta = s·sin θ,
+    M = [[alpha, beta, tx], [−beta, alpha, ty]].
+
+    keypoints: (n, 5, 2) in insightface order (left_eye, right_eye,
+    nose, mouth_left, mouth_right) — the reference ignores the nose.
+    Returns (A, t) FORWARD transforms (dst = src @ A.T + t), same
+    contract as :func:`similarity_transforms`.
+    """
+    kps = np.asarray(keypoints, dtype=np.float64)
+    le, re = kps[:, 0], kps[:, 1]
+    ml, mr = kps[:, 3], kps[:, 4]
+    eye_c = np.floor_divide(le + re, 2.0)
+    mouth_c = np.floor_divide(ml + mr, 2.0)
+    theta = np.arctan2(re[:, 1] - le[:, 1], re[:, 0] - le[:, 0])
+    d = mouth_c - eye_c
+    dist = np.sqrt((d * d).sum(axis=1))
+    if np.any(dist == 0):
+        raise ValueError(
+            "degenerate keypoints: eye center equals mouth center"
+        )
+    h, w = out_hw
+    scale = (1.0 - 2.0 * blank) * h / dist
+    alpha = scale * np.cos(theta)
+    beta = scale * np.sin(theta)
+    A = np.empty((len(kps), 2, 2), dtype=np.float64)
+    A[:, 0, 0] = alpha
+    A[:, 0, 1] = beta
+    A[:, 1, 0] = -beta
+    A[:, 1, 1] = alpha
+    # getRotationMatrix2D's translation about eye_center ...
+    cx, cy = eye_c[:, 0], eye_c[:, 1]
+    t = np.stack(
+        [
+            (1.0 - alpha) * cx - beta * cy,
+            beta * cx + (1.0 - alpha) * cy,
+        ],
+        axis=1,
+    )
+    # ... plus the reference's M[:, 2] += (target − eye_center) shift
+    t[:, 0] += 0.5 * w - cx
+    t[:, 1] += blank * h - cy
+    return A, t
+
+
 def align_crops_batch(
     crops: np.ndarray,
     keypoints: np.ndarray,
     out_hw: tuple[int, int] = (112, 112),
     template: np.ndarray = ARCFACE_TEMPLATE,
+    method: str = "umeyama",
+    blank: float = 0.3,
 ) -> np.ndarray:
-    """Align a BATCH of raw face crops to the ArcFace template.
+    """Align a BATCH of raw face crops for the embedding stage.
 
     crops: (n, H, W, 3) float32 raw detector patches; keypoints:
     (n, 5, 2) landmark (x, y) in CROP-LOCAL pixel coordinates.
     Returns (n, out_h, out_w, 3) float32 aligned faces — what a
-    production ONNX ArcFace encoder consumes
-    (facial_preprocessing.py:7-60).
+    production ONNX ArcFace encoder consumes.
+
+    ``method="umeyama"`` (default): least-squares similarity to
+    ``template`` — the engine's standard alignment (a documented
+    deviation from the reference, SURVEY §2.12).
+    ``method="eye_angle"``: the reference's own transform
+    (facial_preprocessing.py:7-60) for crop-level parity runs;
+    ``blank`` is its scaling parameter (reference default 0.3).
+    Both share the inverse-map bilinear sampler — a similarity's
+    inverse is analytic either way.
     """
     n = len(crops)
     if n == 0:
         return np.zeros((0, *out_hw, crops.shape[3]), dtype=np.float32)
-    A, t = similarity_transforms(keypoints, template)
+    if method == "umeyama":
+        A, t = similarity_transforms(keypoints, template)
+    elif method == "eye_angle":
+        A, t = eye_angle_transforms(keypoints, out_hw, blank=blank)
+    else:
+        raise ValueError(
+            f"method must be 'umeyama' or 'eye_angle', got {method!r}"
+        )
     Ainv, tinv = invert_similarity(A, t)
     h, w = out_hw
     gy, gx = np.mgrid[0:h, 0:w]

@@ -468,10 +468,17 @@ def common_neighbors(
     if min_common < 1:
         raise ValueError("min_common must be >= 1")
     a, b = F.col(src), F.col(dst)
+    # null/self-loop filter applies AFTER the union so BOTH directed
+    # halves are cleaned (self-loops are common in sameAs graphs);
+    # matches label_propagation/bfs_levels and the driver oracle.
     sym = (
-        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
-        .select(a.alias("n"), b.alias("x"))
+        edges.select(a.alias("n"), b.alias("x"))
         .unionByName(edges.select(b.alias("n"), a.alias("x")))
+        .where(
+            F.col("n").isNotNull()
+            & F.col("x").isNotNull()
+            & (F.col("n") != F.col("x"))
+        )
         .distinct()
         .localCheckpoint()
     )

@@ -320,10 +320,34 @@ def _insert_set(base: DataFrame, u: ParsedUpdate,
     return None
 
 
+def _check_clear_graph(u: "ParsedUpdate", graph_uri: str | None) -> None:
+    """Guard the destructive CLEAR GRAPH <iri> form.  The store is ONE
+    triple table, so — unlike the additive INSERT/DELETE GRAPH wrappers,
+    where the collapse is harmless — a CLEAR naming a graph that is NOT
+    this store would silently destroy all data.  The IRI must therefore
+    match the store's configured graph URI (the reference's funnel URI,
+    virtuoso_store.py:20-27); full wipes without a configured URI must
+    say CLEAR DEFAULT / CLEAR ALL explicitly."""
+    if u.form != "clear" or u.graph is None:
+        return
+    if graph_uri is None:
+        raise ValueError(
+            f"CLEAR GRAPH <{u.graph}> on a store with no configured "
+            "graph URI — pass graph_uri= to authorize, or use "
+            "CLEAR DEFAULT / CLEAR ALL for a full wipe"
+        )
+    if u.graph != graph_uri:
+        raise ValueError(
+            f"CLEAR GRAPH <{u.graph}> does not name this store's "
+            f"graph <{graph_uri}> — refusing to wipe"
+        )
+
+
 def updated_graph(
     triples: DataFrame,
     update: str | ParsedUpdate,
     allow_cartesian: bool = False,
+    graph_uri: str | None = None,
 ) -> DataFrame:
     """Pure state transition: the (subj, pred, obj) graph after
     applying ``update`` — (G \\ D) ∪ I with D and I both instantiated
@@ -335,6 +359,7 @@ def updated_graph(
     u = parse_update(update) if isinstance(update, str) else update
     base = triples.select("subj", "pred", "obj")
     if u.form == "clear":
+        _check_clear_graph(u, graph_uri)
         return base.limit(0)
     if u.form == "clear_named":
         return base
@@ -388,6 +413,7 @@ def execute_update(
     text: str,
     run_id: str | None = None,
     allow_cartesian: bool = False,
+    graph_uri: str | None = None,
 ) -> dict:
     """Parse + apply a SPARQL Update against a catalog-backed triple
     table and commit the result.  Returns
@@ -420,6 +446,7 @@ def execute_update(
               "snapshot": None}
 
     if u.form in ("clear", "clear_named"):
+        _check_clear_graph(u, graph_uri)
         if u.form == "clear" and catalog.exists(table):
             full = catalog.read(spark, table)
             if "snap" in full.columns:
@@ -474,11 +501,25 @@ def execute_update(
         if u.form == "modify" and full is not None:
             # template VARIABLES re-emit values whose shape the table
             # already knows: inherit it (any literal occurrence wins).
+            # The (is_literal, datatype) pair is picked ATOMICALLY via
+            # one struct-max — true > false > null on the first field,
+            # then max datatype among the winners — so a value asserted
+            # under two shapes can never pair is_literal from one source
+            # row with a datatype from another.
             # Plain equi-join — AQE broadcasts while it fits; at the
             # 10^8-distinct-object regime a forced broadcast would OOM
-            meta = full.groupBy(F.col("obj")).agg(
-                F.max("obj_is_literal").alias("_slit"),
-                F.max("obj_datatype").alias("_sdt"),
+            meta = (
+                full.groupBy(F.col("obj"))
+                .agg(
+                    F.max(
+                        F.struct("obj_is_literal", "obj_datatype")
+                    ).alias("_shape")
+                )
+                .select(
+                    "obj",
+                    F.col("_shape.obj_is_literal").alias("_slit"),
+                    F.col("_shape.obj_datatype").alias("_sdt"),
+                )
             )
             ins = ins.join(meta, ["obj"], "left")
         else:

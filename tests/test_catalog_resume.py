@@ -300,6 +300,49 @@ def test_compaction_preserves_data_and_expires_snapshots(spark, tmp_path):
     assert again in {s["id"] for s in cat.snapshots("t")}
 
 
+def test_overwrite_grace_period_defers_old_dir_deletion(spark, tmp_path):
+    """review r5: overwrite used to rmtree replaced snapshot dirs
+    immediately after the manifest flip, so a concurrent reader that
+    resolved paths from the pre-flip manifest could fail mid-scan with
+    missing files.  With expire_grace_seconds set, the replaced dirs
+    survive the flip (a pre-flip plan still scans), leave the manifest
+    (new readers never see them), and are deleted only by a later
+    expire_snapshots past the grace window."""
+    from face_hunter_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "kg"), expire_grace_seconds=3600)
+    old = cat.append(
+        "t", spark.createDataFrame([(1,), (2,)], "x long"), "r1"
+    )
+    # a reader plans against the pre-flip manifest (lazy — no scan yet)
+    pre_flip_reader = cat.read(spark, "t")
+    cat.overwrite(
+        "t", spark.createDataFrame([(9,)], "x long"), "r2"
+    )
+    old_dir = os.path.join(str(tmp_path / "kg"), "t", "data", f"snap={old}")
+    assert os.path.isdir(old_dir)  # deferred, not deleted at the flip
+    # the in-flight reader still completes against its resolved files
+    assert sorted(r["x"] for r in pre_flip_reader.collect()) == [1, 2]
+    # new readers see only the post-flip state
+    assert [r["x"] for r in cat.read(spark, "t").collect()] == [9]
+    # inside the grace window the sweep removes nothing...
+    assert cat.expire_snapshots("t") == []
+    assert os.path.isdir(old_dir)
+    # ...past it (grace override = 0) the dir goes and the manifest's
+    # expired ledger drains; a second sweep is an idempotent no-op
+    assert cat.expire_snapshots("t", grace_seconds=0) == [old]
+    assert not os.path.exists(old_dir)
+    assert cat.expire_snapshots("t", grace_seconds=0) == []
+    # default grace 0 keeps the old single-process semantics: dirs
+    # vanish at the commit itself
+    cat0 = ParquetCatalog(str(tmp_path / "kg0"))
+    o2 = cat0.append("t", spark.createDataFrame([(1,)], "x long"), "r1")
+    cat0.overwrite("t", spark.createDataFrame([(2,)], "x long"), "r2")
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "kg0"), "t", "data", f"snap={o2}")
+    )
+
+
 def test_sorted_append_tightens_file_stats(spark, tmp_path):
     """sort_by gives each parquet file near-disjoint min/max footer
     stats on the sort key — the file-skipping layout — and changes no

@@ -341,6 +341,25 @@ def test_common_neighbors_hub_cap_and_invariance(spark):
         common_neighbors(e, min_common=0)
 
 
+def test_common_neighbors_ignores_self_loops_and_nulls(spark):
+    from face_hunter_spark.operators.graph import common_neighbors
+
+    # regression (review r5): the reversed half of the symmetrized
+    # edge list took RAW edges, so a self-loop (u,u) — common in
+    # sameAs graphs — leaked into sym and inflated degrees/jaccard_den.
+    # ADVICE example: edges (u,a),(v,a),(u,u) must give deg_u=1,
+    # jaccard_den=1, not 2/2.
+    e = spark.createDataFrame(
+        [("u", "a"), ("v", "a"), ("u", "u"), ("a", None)],
+        "src string, dst string",
+    )
+    got = {
+        (r.u, r.v): (r.n_common, r.deg_u, r.deg_v, r.jaccard_den)
+        for r in common_neighbors(e).collect()
+    }
+    assert got == {("u", "v"): (1, 1, 1, 1)}
+
+
 # ------------------------------------------------------------- BFS
 
 

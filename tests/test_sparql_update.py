@@ -338,6 +338,50 @@ def test_modify_constant_literal_keeps_parsed_shape(spark, tmp_path):
     assert r.obj == "lit-1" and r.obj_is_literal
 
 
+def test_modify_shape_inheritance_picks_atomic_pair(spark, tmp_path):
+    # regression (review r5): a value asserted BOTH as a plain literal
+    # (null datatype) and as a datatyped literal used to inherit
+    # max(is_literal) and max(datatype) independently, stamping a
+    # (shape, datatype) combination no single source row had.  The
+    # struct-max pick must yield a pair from one actual source row:
+    # is_literal=true wins, then the max datatype AMONG literal rows.
+    from face_hunter_spark.catalog import ParquetCatalog
+    from face_hunter_spark.operators.triples import with_partitioning
+
+    cat = ParquetCatalog(str(tmp_path / "cat"))
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = spark.createDataFrame(
+        [
+            # "42" as a plain URI-ish object (not a literal) ...
+            ("d1", "d1", EX + "p", "42", False, None, "42"),
+            # ... and as a datatyped literal elsewhere
+            ("d2", "d2", EX + "q", "42", True, xsd_int, "42"),
+            ("d3", "d3", EX + "p", "seed", False, None, "seed"),
+        ],
+        "doc_id string, subj string, pred string, obj string, "
+        "obj_is_literal boolean, obj_datatype string, "
+        "obj_canonical string",
+    )
+    cat.append("triples", with_partitioning(rows, "seed"), "seed",
+               partition_by=["doc_bucket"])
+    execute_update(
+        spark, cat, "triples",
+        f"PREFIX ex: <{EX}> "
+        "INSERT { ?s ex:copy ?o } WHERE { ?s ex:p ?o }",
+        run_id="u1",
+    )
+    got = {
+        r.obj: (r.obj_is_literal, r.obj_datatype)
+        for r in cat.read(spark, "triples")
+        .where(F.col("pred") == EX + "copy")
+        .collect()
+    }
+    # the literal occurrence wins, and its datatype rides along with
+    # it atomically (never false+xsd_int or true+None here)
+    assert got["42"] == (True, xsd_int)
+    assert got["seed"] == (False, None)
+
+
 def test_question_mark_literal_is_not_a_variable(spark):
     # regression (review r4): a literal whose lexical form starts
     # with '?' was rejected as a variable in DATA blocks and
@@ -397,10 +441,26 @@ def test_clear_forms(spark, tmp_path):
     assert rep0 == {"form": "clear_named", "inserted": 0,
                     "deleted": 0, "snapshot": None}
     assert cat.read(spark, "triples").count() == 3
-    # CLEAR GRAPH <g> wipes the (single) graph copy-on-write
+    # CLEAR GRAPH <g> is destructive: with no configured store URI it
+    # refuses (a full wipe must say DEFAULT/ALL), and a mismatched IRI
+    # refuses even when one is configured
+    with pytest.raises(ValueError, match="no configured graph URI"):
+        execute_update(
+            spark, cat, "triples",
+            "CLEAR SILENT GRAPH <http://g.example/kg>",
+        )
+    with pytest.raises(ValueError, match="refusing to wipe"):
+        execute_update(
+            spark, cat, "triples",
+            "CLEAR GRAPH <http://other.example/kg>",
+            graph_uri="http://g.example/kg",
+        )
+    assert cat.read(spark, "triples").count() == 3
+    # a matching IRI wipes the (single) graph copy-on-write
     rep = execute_update(
         spark, cat, "triples",
         "CLEAR SILENT GRAPH <http://g.example/kg>", run_id="wipe",
+        graph_uri="http://g.example/kg",
     )
     assert rep["deleted"] == 3 and rep["snapshot"]
     assert cat.read(spark, "triples").count() == 0
@@ -412,6 +472,13 @@ def test_clear_forms(spark, tmp_path):
     g = _graph(spark, [("a", "p", "b")])
     assert updated_graph(g, "CLEAR DEFAULT").count() == 0
     assert updated_graph(g, "CLEAR NAMED").count() == 1
+    assert updated_graph(
+        g, "CLEAR GRAPH <http://g.example/kg>",
+        graph_uri="http://g.example/kg",
+    ).count() == 0
+    with pytest.raises(ValueError, match="refusing to wipe"):
+        updated_graph(g, "CLEAR GRAPH <http://other.example/kg>",
+                      graph_uri="http://g.example/kg")
     with pytest.raises(ValueError, match="CLEAR needs"):
         parse_update("CLEAR")
 
