@@ -1490,16 +1490,26 @@ def q_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_semantic_dedup(k: int = 6, n_iter: int = 4, dim: int = 64,
-                           tau_num: int = 4, tau_den: int = 5) -> str:
+                           tau_num: int = 4, tau_den: int = 5,
+                           max_cluster_size: int | None = None) -> str:
     """The kmeans oracle's CTE chain (shared via _kmeans_cte_parts, so
     the two oracles stay in lockstep) + an integer pair join: same
-    quantization, same final assignment, same squared-cosine test."""
+    quantization, same final assignment, same squared-cosine test.
+    ``max_cluster_size`` mirrors the engine's mega-cluster guard (pair
+    search restricted to clusters at/under the cap; everything still
+    appears in the output) — None omits the clause, matching the
+    driver query where no sf cluster approaches the engine default."""
     parts, dist = _kmeans_cte_parts(k, n_iter, dim)
     dot_ab = " + ".join(f"a.v[{i}] * b.v[{i}]" for i in range(1, dim + 1))
     n2 = lambda t: " + ".join(  # noqa: E731
         f"{t}.v[{i}] * {t}.v[{i}]" for i in range(1, dim + 1)
     )
     ctes = ",\n".join(parts)
+    cap_clause = (
+        "" if max_cluster_size is None else f"""
+    AND a.j IN (SELECT j FROM vl GROUP BY j
+                HAVING count(*) <= {max_cluster_size})"""
+    )
     return f"""
 WITH {ctes},
 assign AS (
@@ -1515,7 +1525,7 @@ dropped AS (
   FROM vl a JOIN vl b ON a.j = b.j AND a.vec_id < b.vec_id
   WHERE ({dot_ab}) >= 0
     AND {tau_den * tau_den} * ({dot_ab}) * ({dot_ab})
-        >= {tau_num * tau_num} * ({n2('a')}) * ({n2('b')}))
+        >= {tau_num * tau_num} * ({n2('a')}) * ({n2('b')}){cap_clause})
 SELECT vec_id, j::INT AS cluster FROM vl
 WHERE vec_id NOT IN (SELECT id_b FROM dropped)
 ORDER BY vec_id

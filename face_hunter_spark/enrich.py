@@ -95,13 +95,27 @@ def save_gallery(
     return catalog.append(GALLERY_TABLE, df, run_id)
 
 
+def load_gallery_df(spark: SparkSession, catalog: ParquetCatalog) -> DataFrame:
+    """Committed gallery as a Spark DataFrame — NO driver
+    materialization.  The scale-safe handle: pipeline.link_documents
+    accepts it directly, counts it once, and either collects it (at or
+    under the broadcast budget) or routes linking through the bucketed
+    shuffle join, so a 10^8-row gallery never has to fit on the driver
+    or in an executor replica."""
+    return catalog.read(spark, GALLERY_TABLE).select(
+        "gallery_id", "label", "entity_uri", "embedding"
+    )
+
+
 def load_gallery_pdf(spark: SparkSession, catalog: ParquetCatalog) -> pd.DataFrame:
     """Committed gallery -> the pandas frame the link jobs broadcast,
     ordered by gallery_id (argmin tie-breaks stay deterministic across
-    enrichment appends)."""
+    enrichment appends).  SMALL-gallery convenience (a full driver
+    collect): jobs should pass :func:`load_gallery_df`'s DataFrame to
+    link_documents instead, which stays under the broadcast budget
+    automatically."""
     return (
-        catalog.read(spark, GALLERY_TABLE)
-        .select("gallery_id", "label", "entity_uri", "embedding")
+        load_gallery_df(spark, catalog)
         .orderBy("gallery_id")
         .toPandas()
     )
@@ -224,11 +238,14 @@ def run_relink_job(
     run_id = run_id or uuid.uuid4().hex[:12]
     if kwargs.pop("cache_index", False):
         kwargs.setdefault("index_catalog", catalog)
-    gallery_pdf = load_gallery_pdf(spark, catalog)
+    # DataFrame handle: link_documents collects it only while it fits
+    # the broadcast budget; an over-budget (post-enrichment) gallery
+    # routes to the shuffle join with zero driver materialization
+    gallery = load_gallery_df(spark, catalog)
 
     full = canonicalized_triples(
         T.with_partitioning(
-            link_documents(documents, gallery_pdf, entity_catalog, **kwargs),
+            link_documents(documents, gallery, entity_catalog, **kwargs),
             run_id,
         ),
         entity_catalog,

@@ -97,16 +97,16 @@ def evaluate_linking(
         # frames with no in-gallery truth are skipped, like the
         # reference skips frames with empty ground truth
         F.size("y_true") > 0
-    ).cache()
+    )
 
-    fm = metrics.per_file_metrics(joined).collect()[0]
-    va = metrics.video_level_accuracy(joined).collect()[0]
-    joined.unpersist()
+    # ONE Spark job for both metric families (review r4: this used to
+    # be two collects over a cached frame — two recomputes)
+    r = metrics.evaluation_report(joined).collect()[0]
     return {
         "frame_metrics": {
-            "accuracy": fm.accuracy, "precision": fm.precision,
-            "recall": fm.recall, "f1": fm.f1,
+            "accuracy": r.accuracy, "precision": r.precision,
+            "recall": r.recall, "f1": r.f1,
         },
-        "video_accuracy": va.video_accuracy,
-        "n_videos": va.n_videos,
+        "video_accuracy": r.video_accuracy,
+        "n_videos": r.n_videos,
     }

@@ -620,6 +620,7 @@ def semantic_dedup(
     n_iter: int = 4,
     tau_num: int = 4,
     tau_den: int = 5,
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means
     clusters the embedding space, near-duplicate pairs are searched
@@ -643,7 +644,13 @@ def semantic_dedup(
     id, never an all-pairs scan; at 10^9 embeddings with k sized so
     clusters hold ~10^4-10^5 rows, per-cluster pair work stays
     executor-local and the only global stages are the k-centroid
-    broadcast argmax of kmeans."""
+    broadcast argmax of kmeans.  ``max_cluster_size`` ENFORCES that
+    sizing (review r5): a degenerate mega-cluster (k too small, or a
+    mode in the embedding space) is excluded from the pair search —
+    its rows all survive — instead of quietly becoming an n² join; the
+    same explicit, oracle-mirrored convention as minhash/simhash's
+    ``max_bucket_size``.  The cap is a count + filter reusing the
+    join's own exchange; None = uncapped."""
     from .cluster import kmeans
 
     q = df.select(
@@ -654,7 +661,17 @@ def semantic_dedup(
         ).alias("v"),
     )
     assigned, _ = kmeans(q, vec_col="v", id_col="id", k=k, n_iter=n_iter)
-    with_vec = assigned.join(
+    if max_cluster_size is not None:
+        small = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .where(F.col("n_members") <= max_cluster_size)
+            .select("cluster")
+        )
+        searchable = assigned.join(small, "cluster", "left_semi")
+    else:
+        searchable = assigned
+    with_vec = searchable.join(
         q.select(
             "id",
             F.transform("v", lambda x: x.cast("long")).alias("vl"),
@@ -662,6 +679,8 @@ def semantic_dedup(
         "id",
     )
     n2 = F.aggregate("vl", F.lit(0).cast("long"), lambda a, x: a + x * x)
+    # pair-search domain: capped clusters only; output domain: ALL rows
+    # (a mega-cluster's members simply all survive)
     e = with_vec.select("id", "cluster", "vl", n2.alias("n2"))
     a = e.select(
         F.col("id").alias("id_a"), "cluster",
@@ -690,8 +709,8 @@ def semantic_dedup(
         .select("id_b")
         .distinct()
     )
-    return e.join(
-        dropped, e["id"] == dropped["id_b"], "left_anti"
+    return assigned.join(
+        dropped, assigned["id"] == dropped["id_b"], "left_anti"
     ).select("id", "cluster")
 
 

@@ -154,14 +154,24 @@ def link_lsh(
     k: int = 1,
     bands: int = 8,
     rows_per_band: int = 6,
+    broadcast_gallery: bool = True,
 ) -> DataFrame:
     """Approximate kNN entity linking as a relational plan:
 
     mentions --sig--> explode(band buckets) --join(bucket)--> gallery
-    buckets (broadcast) --cosine--> window top-k --vote--> label.
+    buckets --cosine--> window top-k --vote--> label.
 
     All distance math is JVM-side (zip_with/aggregate higher-order
     functions) so the only Python stage is the signature matmul.
+
+    ``broadcast_gallery=True`` (default) hints the exploded gallery
+    side for a broadcast hash join — right while the gallery fits an
+    executor.  ``False`` is the BEYOND-broadcast form: a plain bucket
+    equi-join, so Catalyst/AQE picks a shuffled hash join partitioned
+    on the band bucket — both sides stream, nothing is collected or
+    replicated, and a 10^8-row gallery costs one bounded shuffle of
+    (bucket, id, embedding) rows.  pipeline.link_documents flips this
+    automatically past its broadcast budget.
     """
     sig = lsh_signature_udf(bands, rows_per_band)
 
@@ -189,8 +199,9 @@ def link_lsh(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
 
+    gal_side = F.broadcast(gal) if broadcast_gallery else gal
     cand = (
-        mention.join(F.broadcast(gal), "bucket")
+        mention.join(gal_side, "bucket")
         .dropDuplicates(["doc_id", "frame_no", "face_idx", "gallery_id"])
         .withColumn(
             "distance",

@@ -73,6 +73,46 @@ def per_file_metrics(df: DataFrame, file_col: str = "doc_id",
     )
 
 
+def evaluation_report(df: DataFrame, file_col: str = "doc_id",
+                      pred_col: str = "y_pred",
+                      true_col: str = "y_true") -> DataFrame:
+    """per_file_metrics AND video_level_accuracy fused into ONE job
+    (review r4: the eval harness used to run two separate collects
+    over the same joined frame — two full recomputes).  One row:
+    (accuracy, precision, recall, f1, video_accuracy, n_videos); both
+    per-file groupings share a single shuffle on ``file_col``."""
+    hit = (
+        F.size(F.array_intersect(F.array_distinct(pred_col),
+                                 F.array_distinct(true_col))) > 0
+    ).cast("int")
+    per_file = (
+        frame_metrics(df, pred_col, true_col)
+        .withColumn("hit", hit)
+        .groupBy(file_col)
+        .agg(
+            F.avg("accuracy").alias("accuracy"),
+            F.avg("precision").alias("precision"),
+            F.avg("recall").alias("recall"),
+            F.avg("f1").alias("f1"),
+            F.sum("hit").alias("hits"),
+            F.count(F.lit(1)).alias("frames"),
+        )
+        .withColumn(
+            "correct",
+            ((F.col("hits") / F.col("frames") > 0.1) | (F.col("hits") > 1))
+            .cast("int"),
+        )
+    )
+    return per_file.agg(
+        F.avg("accuracy").alias("accuracy"),
+        F.avg("precision").alias("precision"),
+        F.avg("recall").alias("recall"),
+        F.avg("f1").alias("f1"),
+        F.avg("correct").alias("video_accuracy"),
+        F.count(F.lit(1)).alias("n_videos"),
+    )
+
+
 def video_level_accuracy(
     df: DataFrame, file_col: str = "doc_id",
     pred_col: str = "y_pred", true_col: str = "y_true",

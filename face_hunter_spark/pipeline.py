@@ -34,6 +34,44 @@ from .operators import linking, scenes, spans, triples as T
 from .schemas import NS
 
 
+#: Default gallery broadcast budget, in ROWS.  A 512-d float32
+#: embedding row is ~2.2 KB driver/executor-side, so 500k rows is a
+#: ~1 GB broadcast — comfortably inside one executor, far under
+#: Spark's 8 GB broadcast hard cap, and already 5-50x the reference's
+#: whole-gallery scale.  Above it the driver .toPandas() collect and
+#: the per-executor replica both stop being sane, so linking routes to
+#: the bucketed shuffle join instead (strategy='lsh_shuffle',
+#: broadcast_gallery=False) without any driver materialization.
+GALLERY_BROADCAST_BUDGET_ROWS = 500_000
+
+
+def _route_gallery(gallery, strategy: str, budget_rows: int):
+    """Gallery input normalization + size-based strategy routing.
+
+    ``gallery`` may be the classic pandas frame (the reference's
+    labels/embeddings pickles fit trivially) or a Spark DataFrame
+    (catalog-backed galleries of any size).  A Spark gallery is
+    COUNTED (one cheap dim-scan job) before anything is collected:
+    at or under ``budget_rows`` it collects to the ordered pandas
+    frame the broadcast strategies consume; over budget the strategy
+    is overridden to the shuffle join and the gallery never touches
+    the driver.  Returns (strategy, gallery_pdf, gallery_df,
+    broadcast_gallery)."""
+    if not isinstance(gallery, DataFrame):
+        return strategy, gallery, None, True
+    if strategy == "lsh_shuffle":
+        return strategy, None, gallery, True
+    n = gallery.count()
+    if n > budget_rows:
+        return "lsh_shuffle", None, gallery, False
+    pdf = (
+        gallery.select("gallery_id", "label", "entity_uri", "embedding")
+        .orderBy("gallery_id")
+        .toPandas()
+    )
+    return strategy, pdf, None, True
+
+
 def link_documents(
     documents: DataFrame,
     gallery_pdf,
@@ -51,6 +89,7 @@ def link_documents(
     mention_labels: DataFrame | None = None,
     index_catalog=None,
     index_table: str = "ann_index",
+    broadcast_budget_rows: int = GALLERY_BROADCAST_BUDGET_ROWS,
 ) -> DataFrame:
     """documents -> un-partitioned triples DataFrame (pure transform).
 
@@ -61,9 +100,22 @@ def link_documents(
     (label, uri) dim table) additionally links entity labels in the
     TEXT spans and unions (doc, sdo:mentions, entity) triples into the
     output (operators/mentions.py) — the interleaved corpus's text
-    side, off by default for reference parity."""
+    side, off by default for reference parity.
+
+    ``gallery_pdf`` also accepts a Spark DataFrame: galleries at or
+    under ``broadcast_budget_rows`` collect to the ordered pandas
+    frame the broadcast strategies need; larger ones auto-route to the
+    bucketed shuffle join (``strategy='lsh_shuffle'`` with no broadcast
+    hint) so the gallery NEVER materializes on the driver or inside an
+    executor replica — the 10^8-face-gallery path."""
     from .operators import vision
     from .operators.util import ensure_parallelism
+
+    strategy, gallery_pdf, routed_df, bc_gal = _route_gallery(
+        gallery_pdf, strategy, broadcast_budget_rows
+    )
+    if routed_df is not None:
+        gallery_df = routed_df
 
     # fan the frame rows out BEFORE the Python stage: a narrow parquet
     # scan otherwise pins the decode/embed UDF to 1-2 tasks
@@ -169,7 +221,10 @@ def link_documents(
             media, n_entities=n_entities, one_face=one_face,
             encoder=encoder,
         )
-        linked = linking.link_lsh(faces, gallery_df, distance_threshold)
+        linked = linking.link_lsh(
+            faces, gallery_df, distance_threshold,
+            broadcast_gallery=bc_gal,
+        )
     else:
         raise ValueError(strategy)
     # fused path: frame assembly + scene smoothing in ONE doc_id

@@ -52,3 +52,33 @@ def test_video_level(spark):
     )
     r = video_level_accuracy(spark.createDataFrame(pdf)).collect()[0]
     assert r.video_accuracy == 0.5 and r.n_videos == 2
+
+
+def test_evaluation_report_fuses_both_families(spark):
+    """evaluation_report (one job) reproduces per_file_metrics +
+    video_level_accuracy exactly on a mixed corpus."""
+    from face_hunter_spark.operators.metrics import (
+        evaluation_report,
+        per_file_metrics,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a"] * 10 + ["b"] * 10 + ["c"] * 4,
+            "y_pred": (
+                [["X"]] * 2 + [["u"]] * 8          # a: 2/10 hits
+                + [["u"]] * 10                      # b: 0 hits
+                + [["X", "Y"], ["X"], ["u"], ["Y"]]  # c: 3/4 hits
+            ),
+            "y_true": [["X"]] * 20 + [["X", "Y"]] * 4,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fused = evaluation_report(df).collect()[0]
+    fm = per_file_metrics(df).collect()[0]
+    va = video_level_accuracy(df).collect()[0]
+    assert (fused.accuracy, fused.precision, fused.recall, fused.f1) == (
+        fm.accuracy, fm.precision, fm.recall, fm.f1
+    )
+    assert fused.video_accuracy == va.video_accuracy
+    assert fused.n_videos == va.n_videos == 3

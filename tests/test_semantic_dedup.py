@@ -61,3 +61,30 @@ def test_negative_dot_never_drops(spark):
     out = semantic_dedup(_df(spark, rows), k=1, n_iter=1,
                          tau_num=1, tau_den=2)
     assert out.count() == 2
+
+
+def test_mega_cluster_cap_bounds_pair_search(spark):
+    """review r5: the docs promised 10^4-10^5-row clusters but nothing
+    enforced it — one degenerate cluster could quietly become an
+    all-pairs join.  With max_cluster_size, a cluster over the cap is
+    EXCLUDED from the pair search (its members all survive) while
+    normal clusters still dedup; None restores the uncapped result."""
+    # k=1 -> everything lands in one "mega" cluster of 6 > cap 5
+    capped = semantic_dedup(
+        _df(spark, ROWS), k=1, n_iter=2, tau_num=9, tau_den=10,
+        max_cluster_size=5,
+    )
+    assert sorted(r.id for r in capped.collect()) == [0, 1, 2, 3, 4, 5]
+    # uncapped (explicit None) drops the near-dups as before
+    full = semantic_dedup(
+        _df(spark, ROWS), k=1, n_iter=2, tau_num=9, tau_den=10,
+        max_cluster_size=None,
+    )
+    assert sorted(r.id for r in full.collect()) == [0, 3, 5]
+    # a cap the clusters fit inside changes nothing (default-path
+    # regression guard: driver-query clusters sit far under 100k)
+    roomy = semantic_dedup(
+        _df(spark, ROWS), k=1, n_iter=2, tau_num=9, tau_den=10,
+        max_cluster_size=100,
+    )
+    assert sorted(r.id for r in roomy.collect()) == [0, 3, 5]
