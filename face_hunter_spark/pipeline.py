@@ -58,6 +58,19 @@ def _route_gallery(gallery, strategy: str, budget_rows: int):
     the driver.  Returns (strategy, gallery_pdf, gallery_df,
     broadcast_gallery)."""
     if not isinstance(gallery, DataFrame):
+        if strategy == "lsh_shuffle":
+            # pandas gallery + explicit shuffle strategy (facade/CLI):
+            # lift it to a DataFrame; small by definition, so the
+            # broadcast hint stays on
+            from pyspark.sql import SparkSession
+
+            from .schemas import GALLERY
+
+            spark = SparkSession.getActiveSession()
+            cols = [f.name for f in GALLERY.fields]
+            return strategy, None, spark.createDataFrame(
+                gallery[cols], GALLERY
+            ), True
         return strategy, gallery, None, True
     if strategy == "lsh_shuffle":
         return strategy, None, gallery, True
@@ -111,11 +124,15 @@ def link_documents(
     from .operators import vision
     from .operators.util import ensure_parallelism
 
-    strategy, gallery_pdf, routed_df, bc_gal = _route_gallery(
-        gallery_pdf, strategy, broadcast_budget_rows
-    )
-    if routed_df is not None:
-        gallery_df = routed_df
+    if strategy == "lsh_shuffle" and gallery_df is not None:
+        # explicit classic API: caller supplied the shuffle-side frame
+        bc_gal = True
+    else:
+        strategy, gallery_pdf, routed_df, bc_gal = _route_gallery(
+            gallery_pdf, strategy, broadcast_budget_rows
+        )
+        if routed_df is not None:
+            gallery_df = routed_df
 
     # fan the frame rows out BEFORE the Python stage: a narrow parquet
     # scan otherwise pins the decode/embed UDF to 1-2 tasks
