@@ -631,6 +631,58 @@ ORDER BY subj, pred, obj
 """
 
 
+def _q_sparql_service_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated-query analogue (operators/sparql.py SERVICE snapshot
+    evaluation — the offline form of the reference's live DBpedia/
+    Wikidata service{} blocks, graph.py:194-244): the local graph holds
+    customer→nation edges; a REGISTERED SNAPSHOT of a 'remote regions
+    endpoint' holds nation→region edges; one SPARQL text query joins
+    across them through the shared ?n variable with a post-join FILTER
+    on the service-bound ?r.  The oracle replays the equi-join chain."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    local = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    snapshot = nation.join(
+        region, F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(
+        F.col("n_name").alias("subj"),
+        F.lit("http://example.org/inRegion").alias("pred"),
+        F.col("r_name").alias("obj"),
+    )
+    out = execute(
+        local,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?n ?r WHERE {
+          ?c ex:inNation ?n .
+          SERVICE <http://regions.example/sparql> { ?n ex:inRegion ?r }
+          FILTER (?r != "ASIA")
+        }
+        """,
+        services={"http://regions.example/sparql": snapshot},
+    )
+    return out.orderBy("c", "n", "r")
+
+
+ORACLE_SPARQL_SERVICE = """
+SELECT c_name AS c, n_name AS n, r_name AS r
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name <> 'ASIA'
+ORDER BY c, n, r
+"""
+
+
 def _kg_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared base graph for the path-operator queries: customer→nation
     membership edges + nation→region containment edges."""
@@ -1194,11 +1246,12 @@ ORDER BY frame_no
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDERING CONTRACT (VERDICT r3 "Next round" #1): the driver
+    # ORDERING CONTRACT (VERDICT r4 "Next round" #1): the driver
     # harness verifies roughly the FIRST 50 entries per round.  The
     # dict is therefore ordered in three blocks:
-    #   (a) the 33 round-3 entries that had never been through the
-    #       real driver (judged green only via the local mirror),
+    #   (a) the 9 round-4 entries that have never been through the
+    #       real driver window (judged green only via the local
+    #       mirror) — they MUST land in CORRECTNESS_r05,
     #   (b) entries new this round,
     #   (c) a representative core of already-driver-green queries
     #       (the kg pipeline + one per operator family) filling the
@@ -1206,13 +1259,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every entry keeps its oracle regardless of position — the local
     # mirror (scripts/driver_check.py) still covers the full ledger.
     return {
-        # -- (a) driver-evidence gap: round-3 training-data suite -----
+        # -- (a) driver-evidence gap: never inside a 50-query window --
+        "sparql_text_agg": _q_sparql_text_agg,
+        "sparql_path_seq_inverse": _q_sparql_path_seq_inverse,
+        "sparql_path_alt": _q_sparql_path_alt,
+        "sparql_update_apply": _q_sparql_update_apply,
+        "lpa_communities": _q_lpa_communities,
+        "common_neighbor_links": _q_common_neighbor_links,
+        "bfs_hop_distance": _q_bfs_hop_distance,
+        "transe_epoch": DQ.q_transe_epoch,
+        "transe_link_prediction": DQ.q_transe_link_prediction,
+        # -- (b) new this round ---------------------------------------
+        "sparql_service_join": _q_sparql_service_join,
+        # -- (c) representative driver-green core ----------------------
+        "kg_triples_by_pred": _q_kg_triples,
+        "kg_scene_search": _q_kg_scene_search,
+        "kg_videos_by_attribute": _q_kg_videos_by_attribute,
+        "kg_entity_mentions": _q_kg_entity_mentions,
+        "largest_face_geometry": _q_largest_face_geometry,
+        "scene_extraction": _q_scene_extraction,
+        "span_roundtrip": _q_span_roundtrip,
+        "multimodal_decode": _q_multimodal_decode,
+        "connected_components": _q_connected_components,
         "connected_components_bigstar": _q_connected_components_bigstar,
+        "incremental_cc": _q_incremental_cc,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "knn_top1": DQ.q_knn_top1,
+        "minhash_lsh_pairs": DQ.q_minhash_lsh_pairs,
         "minhash_dedup_survivors": DQ.q_minhash_dedup_survivors,
+        "semantic_dedup_survivors": DQ.q_semantic_dedup_survivors,
+        "simhash_fingerprints": DQ.q_simhash_fingerprints,
+        "exact_dup_groups": DQ.q_exact_dup_groups,
+        "duplicate_spans": DQ.q_duplicate_spans,
+        "cut_duplicate_spans": DQ.q_cut_duplicate_spans,
+        "eval_metrics": DQ.q_eval_metrics,
+        "pricing_summary": DQ.q_pricing_summary,
+        "enrich_candidate_validation": _q_enrich_candidate_validation,
+        "aligned_crop_checksums": _q_aligned_crop_checksums,
+        "bgp_scene_depicts": _q_bgp_scene_depicts,
+        "bgp_entity_titles": _q_bgp_entity_titles,
+        "bgp_optional_filter": _q_bgp_optional_filter,
+        "sparql_text_select": _q_sparql_text_select,
+        "sparql_construct": _q_sparql_construct,
+        "describe_entity": DQ.q_describe_entity,
+        "property_path_khop": DQ.q_property_path_khop,
+        "rdfs_entailment": DQ.q_rdfs_entailment,
+        "negative_samples": DQ.q_negative_samples,
+        "shacl_violations": DQ.q_shacl_violations,
+        "void_predicate_partitions": DQ.q_void_predicate_partitions,
         "jsonl_interleaved_spans": _q_jsonl_interleaved_spans,
         "kmeans_assignments": DQ.q_kmeans_assignments,
         "corpus_split_mixture": DQ.q_corpus_split_mixture,
         "quality_filter_survivors": DQ.q_quality_filter_survivors,
+        # ---- below the ~50 window; still mirror-verified every round
         "sequence_packing": DQ.q_sequence_packing,
         "repetition_profile": DQ.q_repetition_profile,
         "pii_redaction": DQ.q_pii_redaction,
@@ -1240,51 +1340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": DQ.q_event_funnel,
         "event_transitions": DQ.q_event_transitions,
         "kmv_corpus_overlap": DQ.q_kmv_corpus_overlap,
-        # -- (b) new this round ---------------------------------------
-        "enrich_candidate_validation": _q_enrich_candidate_validation,
-        "aligned_crop_checksums": _q_aligned_crop_checksums,
-        "bgp_scene_depicts": _q_bgp_scene_depicts,
-        "bgp_entity_titles": _q_bgp_entity_titles,
-        "property_path_khop": DQ.q_property_path_khop,
-        "semantic_dedup_survivors": DQ.q_semantic_dedup_survivors,
-        "incremental_cc": _q_incremental_cc,
-        "bgp_optional_filter": _q_bgp_optional_filter,
-        "rdfs_entailment": DQ.q_rdfs_entailment,
-        "negative_samples": DQ.q_negative_samples,
-        "sparql_construct": _q_sparql_construct,
-        "shacl_violations": DQ.q_shacl_violations,
-        "void_predicate_partitions": DQ.q_void_predicate_partitions,
-        "duplicate_spans": DQ.q_duplicate_spans,
-        "cut_duplicate_spans": DQ.q_cut_duplicate_spans,
-        "describe_entity": DQ.q_describe_entity,
-        "sparql_text_select": _q_sparql_text_select,
-        "sparql_update_apply": _q_sparql_update_apply,
-        "sparql_text_agg": _q_sparql_text_agg,
-        "sparql_path_seq_inverse": _q_sparql_path_seq_inverse,
-        "sparql_path_alt": _q_sparql_path_alt,
-        "lpa_communities": _q_lpa_communities,
-        "common_neighbor_links": _q_common_neighbor_links,
-        "bfs_hop_distance": _q_bfs_hop_distance,
-        "transe_epoch": DQ.q_transe_epoch,
-        "transe_link_prediction": DQ.q_transe_link_prediction,
-        # -- (c) representative driver-green core ----------------------
-        "kg_triples_by_pred": _q_kg_triples,
-        "kg_scene_search": _q_kg_scene_search,
-        "kg_videos_by_attribute": _q_kg_videos_by_attribute,
-        "kg_entity_mentions": _q_kg_entity_mentions,
-        "largest_face_geometry": _q_largest_face_geometry,
-        "scene_extraction": _q_scene_extraction,
-        "span_roundtrip": _q_span_roundtrip,
-        "multimodal_decode": _q_multimodal_decode,
-        "connected_components": _q_connected_components,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ivf_topk": _q_ivf_topk,
-        "knn_top1": DQ.q_knn_top1,
-        "minhash_lsh_pairs": DQ.q_minhash_lsh_pairs,
-        "simhash_fingerprints": DQ.q_simhash_fingerprints,
-        "exact_dup_groups": DQ.q_exact_dup_groups,
-        "eval_metrics": DQ.q_eval_metrics,
-        "pricing_summary": DQ.q_pricing_summary,
         # ---- remaining driver-green ledger (below the ~50 window;
         # ---- still mirror-verified every round) ----------------------
         "star_join_revenue": DQ.q_star_join_revenue,
@@ -1378,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         # exact oracle applies verbatim
         "sparql_text_select": _DO.sql_bgp_optional_filter(),
         "sparql_update_apply": ORACLE_SPARQL_UPDATE,
+        "sparql_service_join": ORACLE_SPARQL_SERVICE,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

@@ -97,6 +97,8 @@ class SparkHunter:
         import uuid as _uuid
 
         self._view_suffix = "_h" + _uuid.uuid4().hex[:8]
+        # endpoint IRI -> offline snapshot triples for SERVICE{} groups
+        self._services: dict = {}
 
     # ------------------------------------------------------ write path
 
@@ -327,6 +329,23 @@ class SparkHunter:
             filters=filters, exclude_asserted=exclude_asserted,
         )
 
+    def register_service_snapshot(self, endpoint: str, df) -> None:
+        """Register an OFFLINE SNAPSHOT of a federated endpoint's
+        triples (columns subj, pred, obj) under its IRI — afterwards
+        ``SERVICE <endpoint> { patterns }`` groups in :meth:`sparql`
+        evaluate against the snapshot and join on the shared
+        variables, the batch analogue of the reference's live
+        DBpedia/Wikidata service{} blocks (graph.py:194-244).  The
+        built-in attributes dim join (:meth:`query`) remains the
+        simpler form for the reference's documented filter example."""
+        missing = {"subj", "pred", "obj"} - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"service snapshot needs subj/pred/obj columns; "
+                f"missing {sorted(missing)}"
+            )
+        self._services[endpoint] = df
+
     def sparql(
         self,
         text: str,
@@ -342,8 +361,11 @@ class SparkHunter:
         ORDER BY / LIMIT / OFFSET —
         compiled onto the same BGP plan as :meth:`match`.  Returns a
         DataFrame (bool for ASK); None (False for ASK) before any
-        link() commit.  SERVICE{} federation raises NotImplementedError
-        — use :meth:`query` with an attribute dim table instead."""
+        link() commit.  SERVICE{} groups evaluate against snapshots
+        registered with :meth:`register_service_snapshot`; an
+        unregistered endpoint raises NotImplementedError (live
+        federation is out of scope — or use :meth:`query` with an
+        attribute dim table)."""
         from .operators.sparql import execute, parse
 
         if not self.catalog.exists("triples"):
@@ -354,6 +376,7 @@ class SparkHunter:
             text,
             allow_cartesian=allow_cartesian,
             entailment=entailment,
+            services=self._services or None,
         )
 
     def update(self, text: str, run_id: str | None = None) -> dict:

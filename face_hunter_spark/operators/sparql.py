@@ -197,6 +197,12 @@ class ParsedQuery:
     # BIND (expr AS ?v): (sql_expr, var) applied in document order
     # after all joins
     binds: list = field(default_factory=list)
+    # SERVICE <endpoint> {...}: (endpoint_iri, patterns) — evaluated
+    # against a REGISTERED OFFLINE SNAPSHOT of that endpoint's triples
+    # (execute(services={iri: df}) / hunter.register_service_snapshot)
+    # and inner-joined on the shared variables; unregistered endpoints
+    # raise at execute (live federation stays out of scope)
+    services: list = field(default_factory=list)
     select: list | None = None  # None = SELECT *
     # (func, arg_var|None, distinct, alias) for each (AGG(?v) AS ?a)
     # in the SELECT list; non-empty => grouped query
@@ -523,12 +529,38 @@ class _Parser:
                 if self._at_op("."):
                     self._next()
                 continue
-            if self._at_kw("service"):
-                raise NotImplementedError(
-                    "SERVICE{} federation needs a live endpoint; the "
-                    "offline analogue is an attribute dim-table join — "
-                    "see query.get_videos_with_filters / h.query"
-                )
+            if not template_mode and self._at_kw("service"):
+                self._next()
+                if self._at_kw("silent"):
+                    self._next()
+                t = self._next()
+                if t is None or t.kind != "IRI":
+                    raise ValueError("SERVICE needs an <endpoint-iri>")
+                endpoint = t.text[1:-1]
+                self._expect_op("{")
+                sub = ParsedQuery(form="service")
+                while not self._at_op("}"):
+                    if self._at_kw("optional", "filter", "union",
+                                   "service", "minus", "values", "bind"):
+                        raise NotImplementedError(
+                            "only plain triple patterns are supported "
+                            "inside a SERVICE{} group (snapshot "
+                            "evaluation subset)"
+                        )
+                    self._triples_block(sub)
+                self._expect_op("}")
+                if not sub.patterns:
+                    raise ValueError("empty SERVICE group")
+                if any(isinstance(p[1], tuple) for p in sub.patterns):
+                    raise NotImplementedError(
+                        "property paths inside a SERVICE{} group are "
+                        "not in the supported subset — materialize the "
+                        "closure into the snapshot instead"
+                    )
+                q.services.append((endpoint, sub.patterns))
+                if self._at_op("."):
+                    self._next()
+                continue
             if self._at_op("{"):
                 if template_mode:
                     raise ValueError(
@@ -1238,15 +1270,56 @@ def _apply_solution_clauses(
     return df
 
 
+def _apply_services(
+    df: DataFrame,
+    q: ParsedQuery,
+    services: dict,
+    allow_cartesian: bool,
+) -> DataFrame:
+    """Join each SERVICE group's bindings — evaluated against its
+    registered snapshot's (subj, pred, obj) triples — onto the outer
+    bindings on the shared variables (SPARQL 1.1 Federated Query
+    evaluates the service pattern remotely and joins; here 'remote' is
+    the offline snapshot).  Uncorrelated groups need allow_cartesian,
+    same as every other cross-product seam."""
+    for endpoint, pats in q.services:
+        snap = services[endpoint].select("subj", "pred", "obj")
+        sub = bgp.graph_pattern(
+            snap, pats, select=None, distinct=False,
+            allow_cartesian=allow_cartesian,
+        )
+        shared = [c for c in sub.columns if c in df.columns]
+        if shared:
+            df = df.join(sub, on=shared, how="inner")
+        elif allow_cartesian:
+            df = df.crossJoin(sub)
+        else:
+            raise ValueError(
+                "SERVICE group shares no variable with the outer "
+                "patterns (a cross product) — correlate it or pass "
+                "allow_cartesian=True"
+            )
+    return df
+
+
 def execute(
     triples: DataFrame,
     text: str,
     allow_cartesian: bool = False,
     entailment: str | None = None,
+    services: dict | None = None,
 ):
     """Parse + run a SPARQL query against a (subj, pred, obj) triple
     DataFrame.  SELECT/DESCRIBE/CONSTRUCT return a DataFrame; ASK
     returns a bool.
+
+    ``services`` maps endpoint IRIs to OFFLINE SNAPSHOT triple
+    DataFrames: a ``SERVICE <iri> { patterns }`` group evaluates its
+    patterns against the registered snapshot and joins the bindings on
+    the shared variables — the engine's analogue of the reference's
+    live DBpedia/Wikidata service{} blocks (graph.py:194-244).  A
+    SERVICE naming an unregistered endpoint raises NotImplementedError
+    (live federation is out of scope, SURVEY §2.8).
 
     ``entailment='rdfs'`` answers under the RDFS regime (rdflib users
     get this from a reasoner plugin; Virtuoso from inference rules):
@@ -1264,20 +1337,40 @@ def execute(
         base = triples.select("subj", "pred", "obj")
         triples = base.unionByName(rdfs_entail(base))
     q = parse(text)
+    if q.services:
+        missing = [
+            e for e, _ in q.services
+            if services is None or e not in services
+        ]
+        if missing:
+            raise NotImplementedError(
+                f"SERVICE <{missing[0]}> names no registered offline "
+                "snapshot; live federation needs a live endpoint — "
+                "register one (execute(services={iri: df}) / "
+                "hunter.register_service_snapshot) or use the "
+                "attribute dim-table join "
+                "(query.get_videos_with_filters / h.query)"
+            )
     if q.form != "describe":
         q = _rewrite_path_ops(q)
         triples, q = _expand_paths(triples, q)
+    # group-level FILTERs may reference service-bound variables, so
+    # with SERVICE groups present they run AFTER the snapshot joins
+    # (Catalyst still pushes the main-side predicates below the join)
+    deferred_filters: list = []
+    if q.services and q.filters:
+        deferred_filters, q.filters = q.filters, []
     has_negation = bool(
         q.exists_clauses or q.minus_clauses or q.values_clauses or q.binds
     )
     if q.form == "ask":
-        if has_negation:
-            df = _apply_solution_clauses(
-                triples,
-                _bindings(triples, q, allow_cartesian),
-                q,
-                allow_cartesian,
-            )
+        if has_negation or q.services:
+            df = _bindings(triples, q, allow_cartesian)
+            if q.services:
+                df = _apply_services(df, q, services, allow_cartesian)
+                for expr in deferred_filters:
+                    df = df.where(F.expr(expr))
+            df = _apply_solution_clauses(triples, df, q, allow_cartesian)
             return len(df.limit(1).take(1)) > 0
         return any(
             bgp.ask(
@@ -1291,11 +1384,11 @@ def execute(
         )
     if q.form == "describe":
         return bgp.describe(triples, q.describe_node)
-    if q.form == "construct" and has_negation:
+    if q.form == "construct" and (has_negation or q.services):
         raise NotImplementedError(
-            "EXISTS/MINUS/VALUES/BIND in a CONSTRUCT WHERE clause is "
-            "not in the supported subset — SELECT the bindings and "
-            "materialize with construct() directly"
+            "EXISTS/MINUS/VALUES/BIND/SERVICE in a CONSTRUCT WHERE "
+            "clause is not in the supported subset — SELECT the "
+            "bindings and materialize with construct() directly"
         )
     if q.form == "construct":
         out = None
@@ -1311,6 +1404,10 @@ def execute(
             out = g if out is None else out.unionByName(g)
         return out if len(q.unions) == 0 else out.distinct()
     df = _bindings(triples, q, allow_cartesian)
+    if q.services:
+        df = _apply_services(df, q, services, allow_cartesian)
+        for expr in deferred_filters:
+            df = df.where(F.expr(expr))
     if has_negation:
         df = _apply_solution_clauses(triples, df, q, allow_cartesian)
     # sequence-path join variables are not solution bindings (SPARQL

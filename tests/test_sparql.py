@@ -107,10 +107,25 @@ def test_parse_modifiers():
 
 
 def test_parse_loud_seams():
-    with pytest.raises(NotImplementedError, match="SERVICE"):
+    # SERVICE now PARSES (snapshot evaluation, r5); executing without
+    # a registered snapshot raises — see test_service_snapshot_*
+    q = sparql.parse(
+        "SELECT ?v WHERE { SERVICE <http://dbpedia.org/sparql> "
+        "{ ?v dc:title ?t } }"
+    )
+    assert q.services == [
+        ("http://dbpedia.org/sparql",
+         [("?v", "http://purl.org/dc/elements/1.1/title", "?t")]),
+    ]
+    with pytest.raises(NotImplementedError, match="inside a SERVICE"):
         sparql.parse(
-            "SELECT ?v WHERE { SERVICE <http://dbpedia.org/sparql> "
-            "{ ?v dc:title ?t } }"
+            "SELECT ?v WHERE { SERVICE <http://x> "
+            "{ OPTIONAL { ?v dc:title ?t } } }"
+        )
+    with pytest.raises(NotImplementedError, match="paths inside"):
+        sparql.parse(
+            "SELECT ?v WHERE { SERVICE <http://x> "
+            "{ ?v dc:title+ ?t } }"
         )
     with pytest.raises(NotImplementedError, match="lone nested group"):
         sparql.parse("SELECT ?v WHERE { { ?v dc:title ?t } }")
@@ -650,3 +665,109 @@ def test_numeric_and_concat_aggregates(spark):
            WHERE { ?s <http://e/tag> ?g }""",
     ).collect()[0]
     assert row2.c == "a b"
+
+
+# ------------------------------------------------- SERVICE snapshots
+
+
+def _attributes_snapshot(spark):
+    rows = [
+        ("http://dbpedia.org/resource/A", "http://e/gender", "male"),
+        ("http://dbpedia.org/resource/A", "http://e/birth", "1950-01-01"),
+        ("http://www.wikidata.org/entity/Q2", "http://e/gender", "female"),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+
+
+def test_service_snapshot_joins_bindings(spark, triples):
+    snap = _attributes_snapshot(spark)
+    text = """
+    SELECT ?s ?e ?g WHERE {
+      ?s foaf:depicts ?e .
+      SERVICE <http://dbpedia.org/sparql> { ?e <http://e/gender> ?g }
+    }
+    """
+    got = sorted(
+        tuple(r)
+        for r in sparql.execute(
+            triples, text, services={"http://dbpedia.org/sparql": snap}
+        ).collect()
+    )
+    assert got == [
+        ("s1", "http://dbpedia.org/resource/A", "male"),
+        ("s1", "http://www.wikidata.org/entity/Q2", "female"),
+        ("s3", "http://dbpedia.org/resource/A", "male"),
+    ]
+    # outer FILTER applies over service-bound vars too
+    got2 = sparql.execute(
+        triples,
+        """
+        SELECT ?s WHERE {
+          ?s foaf:depicts ?e .
+          SERVICE <http://dbpedia.org/sparql> { ?e <http://e/gender> ?g }
+          FILTER (?g = "female")
+        }
+        """,
+        services={"http://dbpedia.org/sparql": snap},
+    ).collect()
+    assert [r.s for r in got2] == ["s1"]
+
+
+def test_service_snapshot_ask_and_unregistered(spark, triples):
+    snap = _attributes_snapshot(spark)
+    svc = {"http://dbpedia.org/sparql": snap}
+    ask = """
+    ASK {
+      ?s foaf:depicts ?e .
+      SERVICE <http://dbpedia.org/sparql> { ?e <http://e/gender> "female" }
+    }
+    """
+    assert sparql.execute(triples, ask, services=svc) is True
+    ask_miss = ask.replace('"female"', '"other"')
+    assert sparql.execute(triples, ask_miss, services=svc) is False
+    # unregistered endpoint raises loudly at execute
+    with pytest.raises(NotImplementedError, match="register"):
+        sparql.execute(
+            triples,
+            "SELECT ?e WHERE { SERVICE <http://other/sparql> "
+            "{ ?e <http://e/gender> ?g } }",
+        )
+    # uncorrelated service group needs allow_cartesian
+    with pytest.raises(ValueError, match="allow_cartesian"):
+        sparql.execute(
+            triples,
+            """SELECT ?v ?g WHERE {
+                 ?v dc:title ?t .
+                 SERVICE <http://dbpedia.org/sparql>
+                 { ?x <http://e/gender> ?g } }""",
+            services=svc,
+        ).collect()
+
+
+def test_facade_register_service_snapshot(spark, tmp_path):
+    import pytest as _pytest
+
+    from face_hunter_spark import synth
+    from face_hunter_spark.hunter import SparkHunter
+
+    h = SparkHunter(spark, str(tmp_path / "kg"), n_entities=6)
+    h.link(synth.documents_df(spark, 6, 6))
+    with _pytest.raises(ValueError, match="subj/pred/obj"):
+        h.register_service_snapshot(
+            "http://x", spark.createDataFrame([(1,)], "a int")
+        )
+    h.register_service_snapshot("http://attrs", _attributes_snapshot(spark))
+    out = h.sparql(
+        """
+        SELECT DISTINCT ?e ?g WHERE {
+          ?s foaf:depicts ?e .
+          SERVICE <http://attrs> { ?e <http://e/gender> ?g }
+        }
+        """
+    )
+    rows = {(r.e, r.g) for r in out.collect()}
+    # the synthetic corpus links dbpedia.org/resource URIs; only A is
+    # in the snapshot
+    assert rows <= {("http://dbpedia.org/resource/A", "male")}
