@@ -76,6 +76,32 @@ def kg_pipeline_lsh_df(spark, sf_dir):
     )
 
 
+def kg_pipeline_shuffle_df(spark, sf_dir):
+    """Same pipeline through the BEYOND-broadcast gallery route
+    (broadcast budget forced to 0 so the gallery stays a DataFrame and
+    linking is the bucketed LSH shuffle join — the 10^8-face-gallery
+    path, review r4 #2); measured so its cost vs the broadcast forms
+    is a recorded number, not a guess."""
+    import __spark_entry__ as em
+    from face_hunter_spark import synth
+    from face_hunter_spark.pipeline import link_documents
+    from face_hunter_spark.schemas import ENTITY_CATALOG, GALLERY
+
+    docs = em._interleaved_documents(spark, sf_dir)
+    gallery_pdf = synth.make_gallery_pdf(
+        n_entities=em.N_ENTITIES, thumbs_per_entity=8, distractors=3
+    )
+    gallery_df = spark.createDataFrame(gallery_pdf, GALLERY)
+    catalog = spark.createDataFrame(
+        synth.make_entity_catalog_pdf(n_entities=em.N_ENTITIES, distractors=3),
+        ENTITY_CATALOG,
+    )
+    return link_documents(
+        docs, gallery_df, catalog, n_entities=em.N_ENTITIES,
+        broadcast_budget_rows=0,
+    )
+
+
 def kg_pipeline_hnsw_df(spark, sf_dir):
     """Same pipeline, per-executor HNSW matcher (the reference's
     'appr' default algorithm)."""
@@ -246,6 +272,12 @@ def headline_queries(spark, sf_dir):
         "kg_link_pipeline_hnsw": lambda: _count(
             kg_pipeline_hnsw_df(spark, sf_dir)
         ),
+        "kg_link_pipeline_shuffle": lambda: _count(
+            kg_pipeline_shuffle_df(spark, sf_dir)
+        ),
+        "sparql_service_join": lambda: _count(
+            em._q_sparql_service_join(spark, sf_dir)
+        ),
         "pricing_summary": lambda: _count(DQ.q_pricing_summary(spark, sf_dir)),
         "star_join_revenue": lambda: _count(DQ.q_star_join_revenue(spark, sf_dir)),
         "sessionize_events": lambda: _count(DQ.q_sessionize_events(spark, sf_dir)),
@@ -295,6 +327,18 @@ def headline_queries(spark, sf_dir):
     }
 
 
+def _load1() -> float | None:
+    """1-minute load average — recorded alongside every timing so a
+    co-tenant load spike is VISIBLE in the artifact instead of having
+    to be inferred from prose (review r4: the committed BENCH_r04 was
+    a noisy-window artifact with no load evidence in the JSON)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
 def run_suite(repeats: int = 2) -> dict:
     """Each query runs `repeats` times; the MIN is recorded.  The host
     is shared with co-tenant load (observed 1-30 load average from
@@ -303,16 +347,19 @@ def run_suite(repeats: int = 2) -> dict:
     estimate and also absorbs first-run JIT/codegen warmup."""
     spark = build(f"local[{CPUS}]", shuffle=max(int(CPUS) * 2, 8))
     timings: dict[str, float] = {}
+    load1: dict[str, list] = {}
     nd = n_docs(spark, SF_DIR)
     kg_sec = None
     for name, fn in headline_queries(spark, SF_DIR).items():
         best = None
+        before = _load1()
         for _ in range(repeats):
             t0 = time.monotonic()
             fn()
             dt = round(time.monotonic() - t0, 3)
             best = dt if best is None or dt < best else best
         timings[name] = best
+        load1[name] = [before, _load1()]
         if name == "kg_link_pipeline":
             kg_sec = best
     spark.stop()
@@ -327,7 +374,29 @@ def run_suite(repeats: int = 2) -> dict:
         "n_docs": nd,
         "docs_per_sec": round(nd / kg_sec, 2) if kg_sec else None,
         "cpus": int(CPUS),
+        "load1_per_query": load1,
     }
+
+
+def run_suite_trusted(max_attempts: int = 3, tolerance: float = 0.10) -> dict:
+    """Retry-to-stable harness (review r4 #3): the suite runs up to
+    ``max_attempts`` times and stops as soon as the two FASTEST
+    attempts agree within ``tolerance`` — corroborated evidence that
+    the window was quiet — keeping the best attempt as the artifact.
+    A single noisy window can no longer become the round's committed
+    number unless every attempt was noisy, and then the recorded
+    attempt totals + per-query load averages say so."""
+    results: list[dict] = []
+    for _ in range(max_attempts):
+        results.append(run_suite())
+        vals = sorted(r["value"] for r in results)
+        if len(vals) >= 2 and vals[1] <= vals[0] * (1.0 + tolerance):
+            break
+    best = min(results, key=lambda r: r["value"])
+    best["attempt_totals_sec"] = [r["value"] for r in results]
+    best["attempts"] = len(results)
+    best["attempt_tolerance"] = tolerance
+    return best
 
 
 def _replicated_kg_df(spark, sf_dir: str, replicas: int):
@@ -456,4 +525,7 @@ if __name__ == "__main__":
             json.dump(res, f, indent=1)
         print(json.dumps(res))
     else:
-        print(json.dumps(run_suite()))
+        attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+        res = run_suite_trusted(max_attempts=attempts)
+        res["loadavg_at_start"] = _loadavg
+        print(json.dumps(res))
