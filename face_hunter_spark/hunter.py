@@ -55,6 +55,7 @@ class SparkHunter:
         hnsw_shards: int | None = None,
         cache_index: bool = False,
         encoder: str = "hash",
+        graph_uri: str | None = None,
     ):
         self.spark = spark
         self.catalog = ParquetCatalog(catalog_root)
@@ -99,6 +100,10 @@ class SparkHunter:
         self._view_suffix = "_h" + _uuid.uuid4().hex[:8]
         # endpoint IRI -> offline snapshot triples for SERVICE{} groups
         self._services: dict = {}
+        # the store's single graph URI (the reference's funnel URI,
+        # virtuoso_store.py:20-27) — authorizes CLEAR GRAPH <iri> in
+        # update(); None leaves the destructive form refused
+        self.graph_uri = graph_uri
 
     # ------------------------------------------------------ write path
 
@@ -394,7 +399,8 @@ class SparkHunter:
         from .operators.sparql_update import execute_update
 
         report = execute_update(
-            self.spark, self.catalog, "triples", text, run_id=run_id
+            self.spark, self.catalog, "triples", text, run_id=run_id,
+            graph_uri=self.graph_uri,
         )
         if self.catalog.exists("triples"):
             self._refresh_views()

@@ -522,3 +522,21 @@ def test_facade_update_roundtrip(spark, tmp_path):
     rep2 = h.update(f"DELETE DATA {{ <v9> <{EX}p> \"nine\" . }}")
     assert rep2["deleted"] == 1
     assert not h.ask([("v9", EX + "p", "nine")])
+
+
+def test_facade_graph_uri_gates_clear(spark, tmp_path):
+    from face_hunter_spark.hunter import SparkHunter
+
+    # no configured URI -> CLEAR GRAPH refused on this handle
+    h0 = SparkHunter(spark, str(tmp_path / "h0"), n_entities=4)
+    h0.update(f'INSERT DATA {{ <v1> <{EX}p> "one" . }}')
+    with pytest.raises(ValueError, match="no configured graph URI"):
+        h0.update("CLEAR GRAPH <http://g.example/kg>")
+    # configured URI -> matching CLEAR wipes, mismatched refuses
+    h = SparkHunter(spark, str(tmp_path / "h1"), n_entities=4,
+                    graph_uri="http://g.example/kg")
+    h.update(f'INSERT DATA {{ <v1> <{EX}p> "one" . }}')
+    with pytest.raises(ValueError, match="refusing to wipe"):
+        h.update("CLEAR GRAPH <http://other.example/kg>")
+    rep = h.update("CLEAR GRAPH <http://g.example/kg>")
+    assert rep["deleted"] == 1
