@@ -245,6 +245,7 @@ class SparkHunter:
         allow_cartesian: bool = False,
         optional=None,
         filters=None,
+        optional_filters=None,
     ) -> DataFrame | None:
         """SPARQL-style basic-graph-pattern matching over the committed
         triple table (operators/bgp.py) — the compiled form of what
@@ -266,7 +267,7 @@ class SparkHunter:
         return graph_pattern(
             triples, patterns, select=select, distinct=distinct,
             allow_cartesian=allow_cartesian, optional=optional,
-            filters=filters,
+            filters=filters, optional_filters=optional_filters,
         )
 
     def ask(
@@ -274,6 +275,7 @@ class SparkHunter:
         patterns,
         optional=None,
         filters=None,
+        optional_filters=None,
         allow_cartesian: bool = False,
     ) -> bool:
         """SPARQL ``ASK`` over the committed triple table: True iff the
@@ -290,6 +292,7 @@ class SparkHunter:
             patterns,
             optional=optional,
             filters=filters,
+            optional_filters=optional_filters,
             allow_cartesian=allow_cartesian,
         )
 
@@ -315,6 +318,7 @@ class SparkHunter:
         template,
         optional=None,
         filters=None,
+        optional_filters=None,
         exclude_asserted: bool = False,
     ) -> DataFrame | None:
         """SPARQL CONSTRUCT over the committed triple table
@@ -331,7 +335,8 @@ class SparkHunter:
         triples = self.spark.table("triples" + self._view_suffix)
         return _construct(
             triples, patterns, template, optional=optional,
-            filters=filters, exclude_asserted=exclude_asserted,
+            filters=filters, optional_filters=optional_filters,
+            exclude_asserted=exclude_asserted,
         )
 
     def register_service_snapshot(self, endpoint: str, df) -> None:

@@ -84,6 +84,7 @@ def graph_pattern(
     allow_cartesian: bool = False,
     optional=None,
     filters=None,
+    optional_filters=None,
 ) -> DataFrame:
     """Match a list of (subj, pred, obj) patterns against a triple
     DataFrame (columns ``subj``, ``pred``, ``obj``; extra columns are
@@ -108,6 +109,17 @@ def graph_pattern(
     Catalyst pushes each predicate as deep as join semantics allow
     (below the joins for required vars, post-join where an optional
     NULL is observable) — no hand-scheduling.
+
+    ``optional_filters`` is a list aligned with ``optional``: the g-th
+    entry is a list of SQL boolean expressions belonging INSIDE the
+    g-th OPTIONAL group — SPARQL's ``LeftJoin(P1, P2, F)``, where the
+    filter joins the left-join CONDITION: a left row whose every
+    candidate extension fails F is kept unextended (NULL-padded), NOT
+    dropped.  Implemented by renaming the group's shared columns and
+    folding F into the join's ON expression — one left join, same
+    physical shape as the unfiltered form; the filter may reference
+    outer variables (they resolve to the left side unambiguously
+    because the group's shared columns are renamed away).
     """
     if not patterns:
         raise ValueError("need at least one pattern")
@@ -137,7 +149,32 @@ def graph_pattern(
                 f"optional group {g} binds no new variable — use a "
                 "required pattern (or drop it) instead"
             )
-        plan = plan.join(gplan, on=shared, how="left")
+        gfilters = (
+            list(optional_filters[g])
+            if optional_filters and g < len(optional_filters)
+            and optional_filters[g]
+            else []
+        )
+        if not gfilters:
+            plan = plan.join(gplan, on=shared, how="left")
+        else:
+            # LeftJoin(P1, P2, F): rename the group's shared columns so
+            # every name resolves unambiguously, then fold the equality
+            # keys AND the filter into the join condition — unmatched
+            # (or all-extensions-fail-F) left rows survive NULL-padded
+            ren = {v: f"__optf{g}__{v}" for v in shared}
+            gp = gplan
+            for v, r in ren.items():
+                gp = gp.withColumnRenamed(v, r)
+            cond = None
+            for v in shared:
+                c = F.col(v) == F.col(ren[v])
+                cond = c if cond is None else cond & c
+            for e in gfilters:
+                cond = cond & F.expr(e)
+            plan = plan.join(gp, on=cond, how="left").drop(
+                *ren.values()
+            )
         bound = bound | gvars
 
     for expr in filters or []:
@@ -159,6 +196,7 @@ def construct(
     template,
     optional=None,
     filters=None,
+    optional_filters=None,
     allow_cartesian: bool = False,
     exclude_asserted: bool = False,
 ) -> DataFrame:
@@ -194,6 +232,7 @@ def construct(
         distinct=False,
         allow_cartesian=allow_cartesian,
         optional=optional,
+        optional_filters=optional_filters,
         filters=filters,
     )
     bound = set(bindings.columns)
@@ -243,6 +282,7 @@ def ask(
     patterns,
     optional=None,
     filters=None,
+    optional_filters=None,
     allow_cartesian: bool = False,
 ) -> bool:
     """SPARQL ``ASK`` analogue: True iff at least one binding for
@@ -261,6 +301,7 @@ def ask(
         distinct=False,
         allow_cartesian=allow_cartesian,
         optional=optional,
+        optional_filters=optional_filters,
         filters=filters,
     )
     return len(bindings.limit(1).take(1)) > 0

@@ -181,9 +181,14 @@ class ParsedQuery:
     form: str  # 'select' | 'ask' | 'describe' | 'construct'
     patterns: list = field(default_factory=list)
     optional: list = field(default_factory=list)  # list of pattern lists
+    # per-OPTIONAL-group FILTER SQL lists, aligned with ``optional``:
+    # SPARQL's LeftJoin(P1, P2, F) folds the filter into the left-join
+    # CONDITION (a left row whose every extension fails F is kept
+    # unextended), distinct from the group-level post-join filters
+    optional_filters: list = field(default_factory=list)
     filters: list = field(default_factory=list)  # Spark SQL strings
     # each element is one UNION block: a list of >= 2 branches, each a
-    # (patterns, optional, filters) triple
+    # (patterns, optional, optional_filters, filters) 4-tuple
     unions: list = field(default_factory=list)
     # FILTER [NOT] EXISTS {...}: (positive:bool, patterns) — semi/anti
     # join on the shared variables
@@ -481,13 +486,22 @@ class _Parser:
                 self._next()
                 sub = ParsedQuery(form="optional")
                 self._parse_group(sub)
-                if sub.filters:
+                if (
+                    sub.optional
+                    or sub.unions
+                    or sub.exists_clauses
+                    or sub.minus_clauses
+                    or sub.values_clauses
+                    or sub.binds
+                    or sub.services
+                ):
                     raise NotImplementedError(
-                        "FILTER inside OPTIONAL changes left-join "
-                        "semantics; hoist it out or use h.match(...) "
-                        "with a hand-built plan"
+                        "only triple patterns and FILTER are supported "
+                        "inside OPTIONAL {...} — hoist other clauses to "
+                        "the outer group"
                     )
                 q.optional.append(sub.patterns)
+                q.optional_filters.append(sub.filters)
                 continue
             if not template_mode and self._at_kw("filter"):
                 self._next()
@@ -588,7 +602,8 @@ class _Parser:
 
     def _parse_union_branch(self):
         """One '{...}' branch of a UNION block -> (patterns, optional,
-        filters).  Nested UNION inside a branch is not supported."""
+        optional_filters, filters).  Nested UNION inside a branch is
+        not supported."""
         sub = ParsedQuery(form="union-branch")
         self._parse_group(sub)
         if sub.unions:
@@ -601,12 +616,15 @@ class _Parser:
             or sub.minus_clauses
             or sub.values_clauses
             or sub.binds
+            or sub.services
         ):
             raise NotImplementedError(
-                "EXISTS/MINUS/VALUES/BIND inside a UNION branch is not "
-                "in the supported subset — hoist it to the outer group"
+                "EXISTS/MINUS/VALUES/BIND/SERVICE inside a UNION branch "
+                "is not in the supported subset — hoist it to the "
+                "outer group"
             )
-        return (sub.patterns, sub.optional, sub.filters)
+        return (sub.patterns, sub.optional, sub.optional_filters,
+                sub.filters)
 
     def _parse_values(self):
         """VALUES ?x { ... } or VALUES (?x ?y) { (a b) ... } ->
@@ -1023,6 +1041,7 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
                          else (s, elt, o)],
                         [],
                         [],
+                        [],
                     )
                     for elt in p[1]
                 ])
@@ -1037,9 +1056,10 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
             (
                 rewrite(pp, False, "a UNION branch"),
                 [rewrite(g, False, "a UNION branch") for g in oo],
+                off,
                 ff,
             )
-            for (pp, oo, ff) in branches
+            for (pp, oo, off, ff) in branches
         ]
         for branches in q.unions
     ]
@@ -1107,8 +1127,8 @@ def _expand_paths(
     q.optional = [rewrite(g) for g in q.optional]
     q.unions = [
         [
-            (rewrite(p), [rewrite(g) for g in o], f)
-            for (p, o, f) in branches
+            (rewrite(p), [rewrite(g) for g in o], of, f)
+            for (p, o, of, f) in branches
         ]
         for branches in q.unions
     ]
@@ -1151,23 +1171,28 @@ def _expand_paths(
 def _variants(q: ParsedQuery) -> list:
     """Expand UNION blocks distributively: outer ⋈ (A ∪ B) =
     (outer ⋈ A) ∪ (outer ⋈ B) under SPARQL bag semantics, so each
-    variant is one (patterns, optional, filters) evaluation and the
-    results union.  Multiple UNION blocks take the cross product of
-    their branch choices (the algebra's join of two unions)."""
+    variant is one (patterns, optional, optional_filters, filters)
+    evaluation and the results union.  Multiple UNION blocks take the
+    cross product of their branch choices (the algebra's join of two
+    unions)."""
     from itertools import product
 
     if not q.unions:
-        return [(q.patterns, q.optional, q.filters)]
+        return [
+            (q.patterns, q.optional, q.optional_filters, q.filters)
+        ]
     out = []
     for combo in product(*q.unions):
-        pats, opts, filts = (
-            list(q.patterns), list(q.optional), list(q.filters),
+        pats, opts, optfs, filts = (
+            list(q.patterns), list(q.optional),
+            list(q.optional_filters), list(q.filters),
         )
-        for p, o, f in combo:
+        for p, o, of, f in combo:
             pats += p
             opts += o
+            optfs += of
             filts += f
-        out.append((pats, opts, filts))
+        out.append((pats, opts, optfs, filts))
     return out
 
 
@@ -1184,10 +1209,11 @@ def _bindings(
             select=None,
             distinct=False,
             optional=o or None,
+            optional_filters=of or None,
             filters=f or None,
             allow_cartesian=allow_cartesian,
         )
-        for p, o, f in _variants(q)
+        for p, o, of, f in _variants(q)
     ]
     if len(dfs) == 1:
         return dfs[0]
@@ -1377,10 +1403,11 @@ def execute(
                 triples,
                 p,
                 optional=o or None,
+                optional_filters=of or None,
                 filters=f or None,
                 allow_cartesian=allow_cartesian,
             )
-            for p, o, f in _variants(q)
+            for p, o, of, f in _variants(q)
         )
     if q.form == "describe":
         return bgp.describe(triples, q.describe_node)
@@ -1392,12 +1419,13 @@ def execute(
         )
     if q.form == "construct":
         out = None
-        for p, o, f in _variants(q):
+        for p, o, of, f in _variants(q):
             g = bgp.construct(
                 triples,
                 p,
                 template=q.template,
                 optional=o or None,
+                optional_filters=of or None,
                 filters=f or None,
                 allow_cartesian=allow_cartesian,
             )

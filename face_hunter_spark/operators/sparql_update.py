@@ -295,6 +295,7 @@ def _delete_set(base: DataFrame, u: ParsedUpdate,
             w.patterns,
             template=u.delete_template,
             optional=w.optional or None,
+            optional_filters=w.optional_filters or None,
             filters=w.filters or None,
             allow_cartesian=allow_cartesian,
         )
@@ -314,6 +315,7 @@ def _insert_set(base: DataFrame, u: ParsedUpdate,
             w.patterns,
             template=u.insert_template,
             optional=w.optional or None,
+            optional_filters=w.optional_filters or None,
             filters=w.filters or None,
             allow_cartesian=allow_cartesian,
         )

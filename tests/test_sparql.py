@@ -134,10 +134,18 @@ def test_parse_loud_seams():
             "SELECT ?v WHERE { { { ?v dc:title ?t } UNION "
             "{ ?v dc:identifier ?t } } UNION { ?v dc:title ?t } }"
         )
-    with pytest.raises(NotImplementedError, match="OPTIONAL"):
+    # FILTER inside OPTIONAL parses into the group-aligned slot
+    q = sparql.parse(
+        "SELECT ?v WHERE { ?v dc:title ?t . "
+        'OPTIONAL { ?v dc:identifier ?i . FILTER(?i != "x") } }'
+    )
+    assert len(q.optional) == 1 and len(q.optional_filters) == 1
+    assert q.optional_filters[0] == ["(i <> 'x')"]
+    with pytest.raises(NotImplementedError, match="inside OPTIONAL"):
         sparql.parse(
             "SELECT ?v WHERE { ?v dc:title ?t . "
-            'OPTIONAL { ?v dc:identifier ?i . FILTER(?i != "x") } }'
+            "OPTIONAL { ?v dc:identifier ?i . "
+            "OPTIONAL { ?v dc:title ?u } } }"
         )
     with pytest.raises(ValueError, match="unknown prefix"):
         sparql.parse("SELECT ?v WHERE { ?v nosuch:pred ?t }")
@@ -184,6 +192,77 @@ def test_optional_and_filter(triples):
     assert got == [
         ("s1", "http://dbpedia.org/resource/A"),
         ("s2", None),
+        ("s3", "http://dbpedia.org/resource/A"),
+    ]
+
+
+def test_filter_inside_optional_keeps_left_rows(triples):
+    # LeftJoin(P1, P2, F): the filter constrains the EXTENSION, not the
+    # left row.  s1 depicts both a dbpedia and a wikidata entity; the
+    # inner filter keeps only the dbpedia extension.  s2 has no depicts
+    # row at all.  Crucially, a scene whose every extension fails the
+    # filter must SURVIVE unextended — that's what distinguishes the
+    # inner filter from the hoisted (post-join) form.
+    text = """
+    SELECT ?s ?e WHERE {
+      ?s a video:Scene .
+      OPTIONAL { ?s foaf:depicts ?e
+                 FILTER ( strstarts(str(?e), "http://www.wikidata.org") ) }
+    }
+    """
+    got = sorted(
+        (r.s, r.e) for r in sparql.execute(triples, text).collect()
+    )
+    # s1: only the wikidata extension survives; s2: no depicts at all;
+    # s3: HAS a depicts row but it fails F -> kept with e = NULL (the
+    # hoisted form would have dropped s3 entirely)
+    assert got == [
+        ("s1", "http://www.wikidata.org/entity/Q2"),
+        ("s2", None),
+        ("s3", None),
+    ]
+
+
+def test_filter_inside_optional_references_outer_var(triples):
+    # the inner filter may correlate with a variable bound OUTSIDE the
+    # group: extensions only for scenes starting at 0:00:00
+    text = """
+    SELECT ?s ?t ?e WHERE {
+      ?s temporal:hasStartTime ?t .
+      OPTIONAL { ?s foaf:depicts ?e FILTER ( ?t = "0:00:00" ) }
+    }
+    """
+    got = sorted(
+        (r.s, r.t, r.e)
+        for r in sparql.execute(triples, text).collect()
+    )
+    assert got == [
+        ("s1", "0:00:00", "http://dbpedia.org/resource/A"),
+        ("s1", "0:00:00", "http://www.wikidata.org/entity/Q2"),
+        ("s2", "0:00:05", None),
+        ("s3", "0:01:40", None),
+    ]
+
+
+def test_filter_inside_optional_in_union_branch(triples):
+    # the 4-tuple branch shape carries the group filter through the
+    # distributive UNION evaluation
+    text = """
+    SELECT ?s ?e WHERE {
+      { ?s a video:Scene .
+        OPTIONAL { ?s foaf:depicts ?e
+                   FILTER ( strstarts(str(?e), "http://dbpedia.org") ) } }
+      UNION
+      { ?s temporal:hasStartTime "0:00:05" . }
+    }
+    """
+    got = sorted(
+        (r.s, r.e) for r in sparql.execute(triples, text).collect()
+    )
+    assert got == [
+        ("s1", "http://dbpedia.org/resource/A"),
+        ("s2", None),
+        ("s2", None),  # the union branch binds ?s only -> ?e NULL
         ("s3", "http://dbpedia.org/resource/A"),
     ]
 

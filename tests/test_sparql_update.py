@@ -524,6 +524,35 @@ def test_facade_update_roundtrip(spark, tmp_path):
     assert not h.ask([("v9", EX + "p", "nine")])
 
 
+def test_modify_where_optional_inner_filter(spark):
+    # LeftJoin semantics inside an update WHERE clause: the inner
+    # filter constrains the extension, and a subject whose every label
+    # fails it still matches the WHERE (with ?l unbound -> the INSERT
+    # template triple using ?l is skipped per CONSTRUCT rules, but the
+    # flag triple still lands)
+    g = _graph(spark, [
+        ("s1", "p", "o1"),
+        ("s2", "p", "o2"),
+        ("s1", "label", "keep-me"),
+        ("s2", "label", "drop"),
+    ])
+    out = updated_graph(
+        g,
+        "INSERT { ?s <flag> \"y\" . ?s <kept_label> ?l } "
+        "WHERE { ?s <p> ?o . "
+        "OPTIONAL { ?s <label> ?l FILTER (strstarts(?l, \"keep\")) } }",
+    )
+    assert _spo(out) == {
+        ("s1", "p", "o1"),
+        ("s2", "p", "o2"),
+        ("s1", "label", "keep-me"),
+        ("s2", "label", "drop"),
+        ("s1", "flag", "y"),
+        ("s2", "flag", "y"),  # survives unextended — hoisted F would drop it
+        ("s1", "kept_label", "keep-me"),
+    }
+
+
 def test_facade_graph_uri_gates_clear(spark, tmp_path):
     from face_hunter_spark.hunter import SparkHunter
 
