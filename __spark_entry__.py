@@ -683,6 +683,58 @@ ORDER BY c, n, r
 """
 
 
+def _q_sparql_optional_inner_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILTER inside OPTIONAL — SPARQL LeftJoin(P1, P2, F) (the
+    reference's OPTIONAL{dbp:name FILTER(LANG(?n)='en')} template
+    shape, knowledge_graphs.py:103-104): the filter constrains the
+    EXTENSION, not the left row, so a nation whose only region edge
+    fails the filter SURVIVES unextended — the hoisted (post-join)
+    form in sparql_text_select would drop it.  ASIA nations are the
+    observable difference: 25 rows here, 20 hoisted.  NULL
+    extensions project as '(none)' so the row order is
+    NULL-convention-proof on both engines."""
+    from face_hunter_spark.operators.sparql import execute
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    base = nation.select(
+        F.col("n_name").alias("subj"),
+        F.lit("http://example.org/kind").alias("pred"),
+        F.lit("nation").alias("obj"),
+    ).unionByName(
+        nation.join(
+            region, F.col("n_regionkey") == F.col("r_regionkey")
+        ).select(
+            F.col("n_name").alias("subj"),
+            F.lit("http://example.org/inRegion").alias("pred"),
+            F.col("r_name").alias("obj"),
+        )
+    )
+    out = execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?n ?r WHERE {
+          ?n ex:kind "nation" .
+          OPTIONAL { ?n ex:inRegion ?r FILTER (?r != "ASIA") }
+        }
+        """,
+    )
+    return out.select(
+        "n", F.coalesce("r", F.lit("(none)")).alias("r")
+    ).orderBy("n", "r")
+
+
+ORACLE_SPARQL_OPTIONAL_INNER = """
+SELECT n_name AS n,
+       CASE WHEN r_name <> 'ASIA' THEN r_name ELSE '(none)' END AS r
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n, r
+"""
+
+
 def _kg_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared base graph for the path-operator queries: customer→nation
     membership edges + nation→region containment edges."""
@@ -1271,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transe_link_prediction": DQ.q_transe_link_prediction,
         # -- (b) new this round ---------------------------------------
         "sparql_service_join": _q_sparql_service_join,
+        "sparql_optional_inner_filter": _q_sparql_optional_inner_filter,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -1434,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text_select": _DO.sql_bgp_optional_filter(),
         "sparql_update_apply": ORACLE_SPARQL_UPDATE,
         "sparql_service_join": ORACLE_SPARQL_SERVICE,
+        "sparql_optional_inner_filter": ORACLE_SPARQL_OPTIONAL_INNER,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
