@@ -735,6 +735,37 @@ ORDER BY n, r
 """
 
 
+def _q_sparql_path_zero_or_one(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Property path ``p?`` (zero-or-one, completing the ^ / seq / alt
+    / + / * operator set): nodes within ZERO or ONE inRegion hop of
+    "ASIA" — the five ASIA member nations (one hop) plus the anchor
+    itself (the zero-length path).  No closure job: the path
+    materializes as the plain edge slice + one anchored zero row."""
+    from face_hunter_spark.operators.sparql import execute
+
+    graph = _kg_edge_graph(spark, sf_dir)
+    return execute(
+        graph,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?x WHERE { ?x ex:inRegion? "ASIA" }
+        ORDER BY ?x
+        """,
+    )
+
+
+ORACLE_SPARQL_PATH_ZERO_OR_ONE = """
+SELECT n_name AS x
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+UNION ALL
+SELECT 'ASIA' AS x
+ORDER BY x
+"""
+
+
 def _kg_edge_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared base graph for the path-operator queries: customer→nation
     membership edges + nation→region containment edges."""
@@ -1324,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) new this round ---------------------------------------
         "sparql_service_join": _q_sparql_service_join,
         "sparql_optional_inner_filter": _q_sparql_optional_inner_filter,
+        "sparql_path_zero_or_one": _q_sparql_path_zero_or_one,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -1488,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update_apply": ORACLE_SPARQL_UPDATE,
         "sparql_service_join": ORACLE_SPARQL_SERVICE,
         "sparql_optional_inner_filter": ORACLE_SPARQL_OPTIONAL_INNER,
+        "sparql_path_zero_or_one": ORACLE_SPARQL_PATH_ZERO_OR_ONE,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

@@ -122,7 +122,7 @@ _TOKEN_RE = re.compile(
     | (?P<NUMBER>[+-]?(?:\d+\.\d*|\.\d+|\d+))
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_#-]*)
     | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*+\[\]/|^])
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}().;,=<>!*+\[\]/|^?])
     """,
     re.X,
 )
@@ -714,7 +714,7 @@ class _Parser:
             self._next()
 
     def _path_primary(self, t: "_Tok | None" = None):
-        """One path element: ['^'] iri ['+'|'*'] -> (uri, inv, mod)."""
+        """One path element: ['^'] iri ['+'|'*'|'?'] -> (uri, inv, mod)."""
         if t is None:
             t = self._next()
         inv = False
@@ -733,7 +733,7 @@ class _Parser:
                 f"unexpected {t.text!r}"
             )
         mod = None
-        if self._at_op("+", "*"):
+        if self._at_op("+", "*", "?"):
             mod = self._next().text
         return (uri, inv, mod)
 
@@ -762,9 +762,9 @@ class _Parser:
             uri, inv, mod = first
             if inv and mod:
                 raise NotImplementedError(
-                    "^pred+ / ^pred* is not in the supported subset — "
-                    "swap the pattern's subject and object and use "
-                    "pred+ instead"
+                    "^pred+ / ^pred* / ^pred? is not in the supported "
+                    "subset — swap the pattern's subject and object "
+                    "and use the uninverted modifier instead"
                 )
             if mod:
                 return ("__path__", uri, mod)
@@ -773,9 +773,9 @@ class _Parser:
             return uri
         if any(mod for _, _, mod in elts):
             raise NotImplementedError(
-                "'+'/'*' inside a sequence/alternative path is not in "
-                "the supported subset — bind the closure step to its "
-                "own pattern"
+                "'+'/'*'/'?' inside a sequence/alternative path is not "
+                "in the supported subset — bind the modified step to "
+                "its own pattern"
             )
         parts = [
             ("__inv__", uri) if inv else uri for uri, inv, _ in elts
@@ -1084,9 +1084,11 @@ def _expand_paths(
     transitive closure of pred's edge slice appended as synthetic
     triples under a collision-proof name (pred + unit separator), so
     the pattern then matches like any other constant predicate.
-    ``pred*`` additionally needs the zero-length path, which SPARQL
-    defines over EVERY node — tractable only when the pattern anchors
-    one end on a constant, so an unanchored ``*`` raises.
+    ``pred*`` and ``pred?`` additionally need the zero-length path,
+    which SPARQL defines over EVERY node — tractable only when the
+    pattern anchors one end on a constant, so an unanchored ``*``/``?``
+    raises; ``pred?`` is the plain edge slice plus that zero row (no
+    closure job).
 
     Scale shape: one closure per distinct path predicate (path-doubling
     self-joins over that predicate's slice only — operators/graph.py),
@@ -1114,12 +1116,13 @@ def _expand_paths(
                         break
                 if const is None:
                     raise NotImplementedError(
-                        "pred* needs a constant subject or object "
+                        f"pred{mod} needs a constant subject or object "
                         "(the zero-length path over every node is "
-                        "unbounded); anchor one end or use pred+"
+                        "unbounded); anchor one end"
+                        + (" or use pred+" if mod == "*" else "")
                     )
-                key = uri + "\x1f*" + const
-                specs[key] = (uri, "*", const)
+                key = uri + "\x1f" + mod + const
+                specs[key] = (uri, mod, const)
             out.append((s, key, o))
         return out
 
@@ -1144,17 +1147,19 @@ def _expand_paths(
     base = triples.select("subj", "pred", "obj")
     out = base
     for key, (uri, mod, const) in sorted(specs.items()):
-        clo = transitive_closure(
-            base.where(F.col("pred") == F.lit(uri)).select(
-                F.col("subj").alias("src"), F.col("obj").alias("dst")
-            )
+        edges = base.where(F.col("pred") == F.lit(uri)).select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
-        rows = clo.select(
+        # '?' (zero-or-one) is the plain edge slice plus the anchored
+        # zero-length row — no closure job at all; '+'/'*' need the
+        # path-doubling transitive closure
+        reach = edges if mod == "?" else transitive_closure(edges)
+        rows = reach.select(
             F.col("src").alias("subj"),
             F.lit(key).alias("pred"),
             F.col("dst").alias("obj"),
         )
-        if mod == "*":
+        if mod in ("*", "?"):
             rows = rows.where(
                 (F.col("subj") == F.lit(const))
                 | (F.col("obj") == F.lit(const))

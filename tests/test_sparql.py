@@ -531,6 +531,45 @@ def test_property_path_star_anchored(spark):
         )
 
 
+def test_property_path_zero_or_one(spark):
+    P_SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    tri = spark.createDataFrame(
+        [("e1", P_SUB, "e2"), ("e2", P_SUB, "e3"),
+         ("x1", RDF_TYPE, "e1")],
+        "subj string, pred string, obj string",
+    )
+    # subject-anchored: the node itself (zero) + its DIRECT successors
+    # only — e3 is two hops away and must NOT appear (contrast with *)
+    got = sorted(
+        r.x for r in sparql.execute(
+            tri, "SELECT ?x WHERE { <e1> rdfs:subClassOf? ?x }"
+        ).collect()
+    )
+    assert got == ["e1", "e2"]
+    # object-anchored: direct predecessors + the node itself
+    got2 = sorted(
+        r.x for r in sparql.execute(
+            tri, "SELECT ?x WHERE { ?x rdfs:subClassOf? <e3> }"
+        ).collect()
+    )
+    assert got2 == ["e2", "e3"]
+    # joins with surrounding patterns (the path end itself anchored —
+    # a variable bound elsewhere does not anchor the zero-length path)
+    got3 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?i WHERE { ?i a ?base . ?base rdfs:subClassOf? <e2> }",
+    ).collect()))
+    assert got3 == [("x1",)]  # e1 reaches e2 in one hop; e2 via zero
+    with pytest.raises(NotImplementedError, match="constant"):
+        sparql.execute(
+            tri, "SELECT ?x WHERE { ?y rdfs:subClassOf? ?x }"
+        )
+    with pytest.raises(NotImplementedError, match="sequence"):
+        sparql.execute(
+            tri, "SELECT ?x WHERE { ?x <a>/<b>? ?y }"
+        )
+
+
 def test_property_path_cycle_safe(spark):
     P = "http://example.org/next"
     tri = spark.createDataFrame(
