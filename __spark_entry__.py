@@ -1097,6 +1097,68 @@ ORDER BY r
 """
 
 
+def _q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 subqueries (operators/sparql.py): a
+    ``{ SELECT ... GROUP BY ... }`` group evaluated bottom-up and
+    hash-joined onto the outer patterns on the shared variable, with
+    an outer FILTER over the subquery-projected aggregate.  Graph is
+    TPC-H orders→customer→nation re-expressed as triples; the query
+    finds customers with ≥ 15 orders plus their nation — the
+    reference's users would need two round-trips for this, a subquery
+    does it in one (graph.py:194-244 accepts raw SPARQL 1.1)."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+            .alias("subj"),
+            F.lit("http://example.org/byCustomer").alias("pred"),
+            F.col("c_name").alias("obj"),
+        )
+        .unionByName(
+            customer.join(
+                nation, F.col("c_nationkey") == F.col("n_nationkey")
+            ).select(
+                F.col("c_name").alias("subj"),
+                F.lit("http://example.org/inNation").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?nat ?n WHERE {
+          ?c ex:inNation ?nat .
+          { SELECT ?c (COUNT(?o) AS ?n)
+            WHERE { ?o ex:byCustomer ?c } GROUP BY ?c }
+          FILTER (?n >= 15)
+        }
+        ORDER BY ?c
+        """,
+    )
+
+
+ORACLE_SPARQL_SUBQUERY = """
+WITH cnt AS (
+  SELECT c.c_name AS c, COUNT(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_name
+)
+SELECT cu.c_name AS c, na.n_name AS nat, CAST(cnt.n AS BIGINT) AS n
+FROM customer cu
+JOIN nation na ON cu.c_nationkey = na.n_nationkey
+JOIN cnt ON cnt.c = cu.c_name
+WHERE cnt.n >= 15
+ORDER BY c
+"""
+
+
 def _q_kg_scene_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read path (SURVEY.md §2.8, graph.py:153-192): run the pipeline,
     register the scene_view, and search scenes depicting the busiest
@@ -1356,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_service_join": _q_sparql_service_join,
         "sparql_optional_inner_filter": _q_sparql_optional_inner_filter,
         "sparql_path_zero_or_one": _q_sparql_path_zero_or_one,
+        "sparql_subquery": _q_sparql_subquery,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -1521,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_service_join": ORACLE_SPARQL_SERVICE,
         "sparql_optional_inner_filter": ORACLE_SPARQL_OPTIONAL_INNER,
         "sparql_path_zero_or_one": ORACLE_SPARQL_PATH_ZERO_OR_ONE,
+        "sparql_subquery": ORACLE_SPARQL_SUBQUERY,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

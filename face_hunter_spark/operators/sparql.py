@@ -55,14 +55,23 @@ Supported subset — exactly the shapes the reference emits/accepts
   (the reference's filter shape: graph.py:217 ``regex(str(?w), ...) &&
   (?sex = "male"@en) && ?date < "..."^^xsd:date``).
 
+* subqueries ``{ SELECT ... WHERE { ... } }`` as a group element —
+  evaluated bottom-up to a DataFrame of their projected variables
+  (their own aggregates/DISTINCT/ORDER/LIMIT apply inside, per the
+  SPARQL 1.1 evaluation order) and hash-joined onto the outer
+  bindings on the shared variables; only the projected variables are
+  visible outside, as the spec requires.  Group FILTERs referencing
+  subquery-projected variables evaluate after the join (Catalyst
+  still pushes main-side predicates below it).  An uncorrelated
+  subquery is a cross product and needs ``allow_cartesian``.
+
 Deliberate seams, raised loudly rather than silently mis-answered:
-``SERVICE <endpoint> { ... }`` (live federation — the offline analogue
-is a broadcast attribute join, see query.get_videos_with_filters),
-lone nested groups and nested UNION-in-UNION (FILTER-scoping
-semantics this subset doesn't model), unanchored ``pred*``,
-subqueries, and FILTER inside OPTIONAL (the BGP compiler applies
-filters after all joins; a filter scoped to the left-join's ON clause
-would change semantics).
+``SERVICE <endpoint> { ... }`` naming an endpoint with no registered
+offline snapshot (live federation — the offline analogue is a
+broadcast attribute join, see query.get_videos_with_filters), lone
+nested non-SELECT groups and nested UNION-in-UNION (FILTER-scoping
+semantics this subset doesn't model), subqueries nested inside
+OPTIONAL/UNION/EXISTS/MINUS blocks, and unanchored ``pred*``.
 
 Literal matching: the triple table stores a literal's LEXICAL form in
 ``obj`` (datatype/lang live in obj_datatype / obj_is_literal —
@@ -208,6 +217,9 @@ class ParsedQuery:
     # and inner-joined on the shared variables; unregistered endpoints
     # raise at execute (live federation stays out of scope)
     services: list = field(default_factory=list)
+    # { SELECT ... WHERE {...} } subqueries: each a full ParsedQuery
+    # evaluated bottom-up and joined on its projected variables
+    subqueries: list = field(default_factory=list)
     select: list | None = None  # None = SELECT *
     # (func, arg_var|None, distinct, alias) for each (AGG(?v) AS ?a)
     # in the SELECT list; non-empty => grouped query
@@ -494,6 +506,7 @@ class _Parser:
                     or sub.values_clauses
                     or sub.binds
                     or sub.services
+                    or sub.subqueries
                 ):
                     raise NotImplementedError(
                         "only triple patterns and FILTER are supported "
@@ -581,6 +594,32 @@ class _Parser:
                         "nested groups are not allowed in a CONSTRUCT "
                         "template"
                     )
+                nxt = (
+                    self.toks[self.i + 1]
+                    if self.i + 1 < len(self.toks)
+                    else None
+                )
+                if (
+                    nxt is not None
+                    and nxt.kind == "NAME"
+                    and nxt.text.lower() == "select"
+                ):
+                    # { SELECT ... } subquery: parse the full inner
+                    # query (its own WHERE, aggregates and solution
+                    # modifiers) and record it for bottom-up evaluation
+                    self._next()  # '{'
+                    sub = self._parse_select()
+                    self._expect_op("}")
+                    if self._at_kw("union"):
+                        raise NotImplementedError(
+                            "a subquery cannot be a UNION branch in "
+                            "this subset — hoist it next to the UNION "
+                            "block instead"
+                        )
+                    q.subqueries.append(sub)
+                    if self._at_op("."):
+                        self._next()
+                    continue
                 branches = [self._parse_union_branch()]
                 while self._at_kw("union"):
                     self._next()
@@ -617,11 +656,12 @@ class _Parser:
             or sub.values_clauses
             or sub.binds
             or sub.services
+            or sub.subqueries
         ):
             raise NotImplementedError(
-                "EXISTS/MINUS/VALUES/BIND/SERVICE inside a UNION branch "
-                "is not in the supported subset — hoist it to the "
-                "outer group"
+                "EXISTS/MINUS/VALUES/BIND/SERVICE/subquery inside a "
+                "UNION branch is not in the supported subset — hoist "
+                "it to the outer group"
             )
         return (sub.patterns, sub.optional, sub.optional_filters,
                 sub.filters)
@@ -680,6 +720,7 @@ class _Parser:
             or sub.unions
             or sub.exists_clauses
             or sub.minus_clauses
+            or sub.subqueries
         ):
             raise NotImplementedError(
                 f"only plain triple patterns are supported inside "
@@ -1368,39 +1409,46 @@ def execute(
         base = triples.select("subj", "pred", "obj")
         triples = base.unionByName(rdfs_entail(base))
     q = parse(text)
-    if q.services:
-        missing = [
-            e for e, _ in q.services
-            if services is None or e not in services
-        ]
-        if missing:
-            raise NotImplementedError(
-                f"SERVICE <{missing[0]}> names no registered offline "
-                "snapshot; live federation needs a live endpoint — "
-                "register one (execute(services={iri: df}) / "
-                "hunter.register_service_snapshot) or use the "
-                "attribute dim-table join "
-                "(query.get_videos_with_filters / h.query)"
-            )
+    missing = [
+        e for e in _service_endpoints(q)
+        if services is None or e not in services
+    ]
+    if missing:
+        raise NotImplementedError(
+            f"SERVICE <{missing[0]}> names no registered offline "
+            "snapshot; live federation needs a live endpoint — "
+            "register one (execute(services={iri: df}) / "
+            "hunter.register_service_snapshot) or use the "
+            "attribute dim-table join "
+            "(query.get_videos_with_filters / h.query)"
+        )
+    # subqueries expand their own paths against the pre-expansion
+    # graph (top-level synthetic closure triples are invisible to them
+    # anyway — collision-proof predicate names)
+    base_triples = triples
     if q.form != "describe":
         q = _rewrite_path_ops(q)
         triples, q = _expand_paths(triples, q)
-    # group-level FILTERs may reference service-bound variables, so
-    # with SERVICE groups present they run AFTER the snapshot joins
+    # group-level FILTERs may reference service- or subquery-bound
+    # variables, so with those groups present they run AFTER the joins
     # (Catalyst still pushes the main-side predicates below the join)
     deferred_filters: list = []
-    if q.services and q.filters:
+    if (q.services or q.subqueries) and q.filters:
         deferred_filters, q.filters = q.filters, []
     has_negation = bool(
         q.exists_clauses or q.minus_clauses or q.values_clauses or q.binds
     )
     if q.form == "ask":
-        if has_negation or q.services:
+        if has_negation or q.services or q.subqueries:
             df = _bindings(triples, q, allow_cartesian)
             if q.services:
                 df = _apply_services(df, q, services, allow_cartesian)
-                for expr in deferred_filters:
-                    df = df.where(F.expr(expr))
+            if q.subqueries:
+                df = _apply_subqueries(
+                    df, q, base_triples, allow_cartesian, services
+                )
+            for expr in deferred_filters:
+                df = df.where(F.expr(expr))
             df = _apply_solution_clauses(triples, df, q, allow_cartesian)
             return len(df.limit(1).take(1)) > 0
         return any(
@@ -1416,10 +1464,12 @@ def execute(
         )
     if q.form == "describe":
         return bgp.describe(triples, q.describe_node)
-    if q.form == "construct" and (has_negation or q.services):
+    if q.form == "construct" and (
+        has_negation or q.services or q.subqueries
+    ):
         raise NotImplementedError(
-            "EXISTS/MINUS/VALUES/BIND/SERVICE in a CONSTRUCT WHERE "
-            "clause is not in the supported subset — SELECT the "
+            "EXISTS/MINUS/VALUES/BIND/SERVICE/subquery in a CONSTRUCT "
+            "WHERE clause is not in the supported subset — SELECT the "
             "bindings and materialize with construct() directly"
         )
     if q.form == "construct":
@@ -1436,11 +1486,100 @@ def execute(
             )
             out = g if out is None else out.unionByName(g)
         return out if len(q.unions) == 0 else out.distinct()
-    df = _bindings(triples, q, allow_cartesian)
+    return _finish_select(
+        triples, base_triples, q, allow_cartesian, services,
+        deferred_filters,
+    )
+
+
+def _service_endpoints(q: ParsedQuery) -> list:
+    """All SERVICE endpoint IRIs in q, including inside subqueries."""
+    eps = [e for e, _ in q.services]
+    for sub in q.subqueries:
+        eps += _service_endpoints(sub)
+    return eps
+
+
+def _eval_subquery(
+    base_triples: DataFrame,
+    sub: ParsedQuery,
+    allow_cartesian: bool,
+    services: dict | None,
+) -> DataFrame:
+    """Evaluate one ``{ SELECT ... }`` subquery bottom-up against the
+    (entailment-applied) base triples: its own property paths,
+    bindings, aggregates and solution modifiers run first, and only
+    its projected variables leave the subquery (SPARQL 1.1 §12)."""
+    sub = _rewrite_path_ops(sub)
+    expanded, sub = _expand_paths(base_triples, sub)
+    deferred: list = []
+    if (sub.services or sub.subqueries) and sub.filters:
+        deferred, sub.filters = sub.filters, []
+    return _finish_select(
+        expanded, base_triples, sub, allow_cartesian, services, deferred
+    )
+
+
+def _apply_subqueries(
+    df: DataFrame | None,
+    q: ParsedQuery,
+    base_triples: DataFrame,
+    allow_cartesian: bool,
+    services: dict | None,
+) -> DataFrame:
+    """Hash-join each subquery's projected bindings onto the outer
+    bindings on the shared variables (the algebra's Join(P, subselect);
+    a subquery-only WHERE clause starts from the first subquery's
+    result).  Uncorrelated subqueries are cross products and need
+    allow_cartesian, same as every other cross-product seam."""
+    for sub in q.subqueries:
+        sdf = _eval_subquery(base_triples, sub, allow_cartesian, services)
+        if df is None:
+            df = sdf
+            continue
+        shared = [c for c in sdf.columns if c in df.columns]
+        if shared:
+            df = df.join(sdf, on=shared, how="inner")
+        elif allow_cartesian:
+            df = df.crossJoin(sdf)
+        else:
+            raise ValueError(
+                "subquery shares no variable with the outer patterns "
+                "(a cross product) — correlate it or pass "
+                "allow_cartesian=True"
+            )
+    return df
+
+
+def _finish_select(
+    triples: DataFrame,
+    base_triples: DataFrame,
+    q: ParsedQuery,
+    allow_cartesian: bool,
+    services: dict | None,
+    deferred_filters: list,
+) -> DataFrame:
+    """The SELECT evaluation pipeline shared by top-level queries and
+    subqueries: bindings -> SERVICE joins -> subquery joins ->
+    deferred filters -> solution clauses -> aggregation -> projection
+    -> DISTINCT -> ORDER/OFFSET/LIMIT.  ``triples`` is the
+    path-expanded graph for q's own patterns; ``base_triples`` the
+    pre-expansion graph nested subqueries expand against."""
+    has_negation = bool(
+        q.exists_clauses or q.minus_clauses or q.values_clauses or q.binds
+    )
+    if q.patterns or q.unions or not q.subqueries:
+        df = _bindings(triples, q, allow_cartesian)
+    else:
+        df = None  # subquery-only WHERE clause: start from the first
+    if q.subqueries:
+        df = _apply_subqueries(
+            df, q, base_triples, allow_cartesian, services
+        )
     if q.services:
         df = _apply_services(df, q, services, allow_cartesian)
-        for expr in deferred_filters:
-            df = df.where(F.expr(expr))
+    for expr in deferred_filters:
+        df = df.where(F.expr(expr))
     if has_negation:
         df = _apply_solution_clauses(triples, df, q, allow_cartesian)
     # sequence-path join variables are not solution bindings (SPARQL

@@ -889,3 +889,148 @@ def test_facade_register_service_snapshot(spark, tmp_path):
     # the synthetic corpus links dbpedia.org/resource URIs; only A is
     # in the snapshot
     assert rows <= {("http://dbpedia.org/resource/A", "male")}
+
+
+# ----------------------------------------------------------- subqueries
+
+
+def test_subquery_aggregate_join(triples):
+    # the SPARQL 1.1 idiom: aggregate bottom-up, join the counts onto
+    # the outer patterns, filter on the aggregated value
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?v ?scene ?n WHERE {
+             ?v hunter:hasScene ?scene .
+             { SELECT ?scene (COUNT(?e) AS ?n)
+               WHERE { ?scene foaf:depicts ?e } GROUP BY ?scene }
+             FILTER (?n >= 2)
+           } ORDER BY ?scene""",
+    ).collect()))
+    assert got == [("v1", "s1", 2)]
+
+
+def test_subquery_projection_hides_inner_vars(triples):
+    # ?e is bound inside the subquery but not projected: it must not
+    # leak (SELECT * outside sees only ?v ?scene ?n), and it must NOT
+    # join against an outer ?e
+    df = sparql.execute(
+        triples,
+        """SELECT * WHERE {
+             ?v hunter:hasScene ?scene .
+             { SELECT ?scene (COUNT(?e) AS ?n)
+               WHERE { ?scene foaf:depicts ?e } GROUP BY ?scene }
+           }""",
+    )
+    assert sorted(df.columns) == ["n", "scene", "v"]
+    # outer ?e is a DIFFERENT variable from the subquery's hidden ?e:
+    # s1's two depicts rows each join the same (scene, n) row
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?scene ?e ?n WHERE {
+             ?scene foaf:depicts ?e .
+             { SELECT ?scene (COUNT(?e) AS ?n)
+               WHERE { ?scene foaf:depicts ?e } GROUP BY ?scene }
+           } ORDER BY ?scene ?e""",
+    ).collect()))
+    assert got == [
+        ("s1", "http://dbpedia.org/resource/A", 2),
+        ("s1", "http://www.wikidata.org/entity/Q2", 2),
+        ("s3", "http://dbpedia.org/resource/A", 1),
+    ]
+
+
+def test_subquery_only_where_and_order_limit(triples):
+    # subquery-only WHERE clause starts from the subquery's result;
+    # inner ORDER BY + LIMIT applies BEFORE the outer projection
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?scene ?n WHERE {
+             { SELECT ?scene (COUNT(?e) AS ?n)
+               WHERE { ?scene foaf:depicts ?e }
+               GROUP BY ?scene ORDER BY DESC(?n) LIMIT 1 }
+           }""",
+    ).collect()))
+    assert got == [("s1", 2)]
+
+
+def test_subquery_ask_and_nested(triples):
+    assert sparql.execute(
+        triples,
+        """ASK { ?v hunter:hasScene ?scene .
+             { SELECT ?scene (COUNT(?e) AS ?n)
+               WHERE { ?scene foaf:depicts ?e } GROUP BY ?scene }
+             FILTER (?n >= 2) }""",
+    ) is True
+    assert sparql.execute(
+        triples,
+        """ASK { ?v hunter:hasScene ?scene .
+             { SELECT ?scene (COUNT(?e) AS ?n)
+               WHERE { ?scene foaf:depicts ?e } GROUP BY ?scene }
+             FILTER (?n >= 5) }""",
+    ) is False
+    # a subquery nested inside a subquery (uncorrelated outer join ->
+    # needs allow_cartesian)
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?v ?maxn WHERE {
+             ?v hunter:hasScene ?scene .
+             { SELECT ?scene (COUNT(?e) AS ?n)
+               WHERE { ?scene foaf:depicts ?e } GROUP BY ?scene }
+             { SELECT (MAX(?m) AS ?maxn) WHERE {
+                 { SELECT ?s2 (COUNT(?e2) AS ?m)
+                   WHERE { ?s2 foaf:depicts ?e2 } GROUP BY ?s2 } } }
+             FILTER (?n = ?maxn)
+           }""",
+        allow_cartesian=True,
+    ).collect()))
+    assert got == [("v1", 2)]
+
+
+def test_subquery_seams(triples):
+    with pytest.raises(ValueError, match="cross product"):
+        sparql.execute(
+            triples,
+            """SELECT ?v ?n WHERE {
+                 ?v dc:title ?t .
+                 { SELECT (COUNT(?e) AS ?n)
+                   WHERE { ?s foaf:depicts ?e } }
+               }""",
+        )
+    with pytest.raises(NotImplementedError, match="inside OPTIONAL"):
+        sparql.parse(
+            """SELECT ?v WHERE { ?v dc:title ?t .
+                 OPTIONAL { { SELECT ?v WHERE { ?v dc:title ?u } } } }"""
+        )
+    with pytest.raises(NotImplementedError, match="UNION"):
+        sparql.parse(
+            """SELECT ?v WHERE {
+                 { SELECT ?v WHERE { ?v dc:title ?t } }
+                 UNION { ?v dc:identifier ?t } }"""
+        )
+    with pytest.raises(NotImplementedError, match="triple patterns"):
+        sparql.parse(
+            """SELECT ?v WHERE { ?v dc:title ?t .
+                 FILTER NOT EXISTS {
+                   { SELECT ?v WHERE { ?v dc:identifier ?i } } } }"""
+        )
+
+
+def test_subquery_with_property_path(spark):
+    # the subquery expands its own property paths against the base
+    # graph: count each node's descendants via p+ bottom-up
+    rows = [
+        ("a", "http://e/p", "b"),
+        ("b", "http://e/p", "c"),
+        ("x", "http://e/lbl", "nope"),
+        ("a", "http://e/lbl", "root"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = sorted(map(tuple, sparql.execute(
+        t,
+        """SELECT ?s ?lbl ?n WHERE {
+             ?s <http://e/lbl> ?lbl .
+             { SELECT ?s (COUNT(?d) AS ?n)
+               WHERE { ?s <http://e/p>+ ?d } GROUP BY ?s }
+           }""",
+    ).collect()))
+    assert got == [("a", "root", 2)]
