@@ -1144,6 +1144,107 @@ def _q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sparql_path_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared triple base for the grouped-path/negset driver queries:
+    customer --inNation--> nation, supplier --suppNation--> nation,
+    nation --inRegion--> region, all as lexical triples."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("http://example.org/inNation").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+        .unionByName(
+            supplier.join(
+                nation, F.col("s_nationkey") == F.col("n_nationkey")
+            ).select(
+                F.col("s_name").alias("subj"),
+                F.lit("http://example.org/suppNation").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+        .unionByName(
+            nation.join(
+                region, F.col("n_regionkey") == F.col("r_regionkey")
+            ).select(
+                F.col("n_name").alias("subj"),
+                F.lit("http://example.org/inRegion").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+
+
+def _q_sparql_path_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped property path ``(p1|p2)/p3`` (operators/sparql.py
+    _path_alt/_path_seq): the parenthesized alternative distributes
+    over the sequence into two UNION branches, each chaining through a
+    hidden join variable — customers AND suppliers resolved to their
+    region in one pattern."""
+    from face_hunter_spark.operators.sparql import execute
+
+    return execute(
+        _sparql_path_base(spark, sf_dir),
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?x ?r WHERE {
+          ?x (ex:inNation|ex:suppNation)/ex:inRegion ?r .
+        }
+        ORDER BY ?x
+        """,
+    )
+
+
+ORACLE_SPARQL_PATH_GROUPED = """
+SELECT x, r FROM (
+  SELECT c.c_name AS x, rg.r_name AS r
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region rg ON n.n_regionkey = rg.r_regionkey
+  UNION ALL
+  SELECT s.s_name AS x, rg.r_name AS r
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region rg ON n.n_regionkey = rg.r_regionkey
+) ORDER BY x
+"""
+
+
+def _q_sparql_path_negset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set inside a sequence step
+    (operators/sparql.py _parse_negset): ``!(p1|p2)`` compiles to a
+    hidden predicate variable plus a NOT IN filter Catalyst pushes to
+    the scan — here it selects exactly the customer→nation edges, so
+    the chained ``/ex:inRegion`` lands customers (not suppliers) in
+    their region."""
+    from face_hunter_spark.operators.sparql import execute
+
+    return execute(
+        _sparql_path_base(spark, sf_dir),
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?x ?r WHERE {
+          ?x !(ex:suppNation|ex:inRegion)/ex:inRegion ?r .
+        }
+        ORDER BY ?x
+        """,
+    )
+
+
+ORACLE_SPARQL_PATH_NEGSET = """
+SELECT c.c_name AS x, rg.r_name AS r
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region rg ON n.n_regionkey = rg.r_regionkey
+ORDER BY x
+"""
+
+
 ORACLE_SPARQL_SUBQUERY = """
 WITH cnt AS (
   SELECT c.c_name AS c, COUNT(*) AS n
@@ -1419,6 +1520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional_inner_filter": _q_sparql_optional_inner_filter,
         "sparql_path_zero_or_one": _q_sparql_path_zero_or_one,
         "sparql_subquery": _q_sparql_subquery,
+        "sparql_path_grouped": _q_sparql_path_grouped,
+        "sparql_path_negset": _q_sparql_path_negset,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -1585,6 +1688,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_optional_inner_filter": ORACLE_SPARQL_OPTIONAL_INNER,
         "sparql_path_zero_or_one": ORACLE_SPARQL_PATH_ZERO_OR_ONE,
         "sparql_subquery": ORACLE_SPARQL_SUBQUERY,
+        "sparql_path_grouped": ORACLE_SPARQL_PATH_GROUPED,
+        "sparql_path_negset": ORACLE_SPARQL_PATH_NEGSET,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

@@ -24,16 +24,23 @@ Supported subset — exactly the shapes the reference emits/accepts
 * ``{ A } UNION { B }`` blocks — evaluated distributively
   (outer ⋈ (A ∪ B) = (outer ⋈ A) ∪ (outer ⋈ B) under bag semantics),
   with variables absent from a branch coming back NULL/unbound;
-* property paths ``pred+`` / ``pred*`` — the predicate's transitive
-  closure (operators/graph.py path-doubling) materialized as synthetic
-  triples, then matched like any constant predicate; ``*`` needs a
-  constant subject or object (its zero-length path is defined over
-  every node); ``^pred`` inverse (subject/object swap), ``p1/p2/...``
-  sequences (fresh join variables, hidden from SELECT * per the
-  spec's no-intermediate-bindings rule) and ``p1|p2|...``
-  alternatives (compiled to a UNION block) — all pure pattern
-  rewrites; mixing ``/`` with ``|`` (grouping) or putting ``+``/``*``
-  inside a sequence raises;
+* property paths over the full SPARQL 1.1 path grammar — ``pred+`` /
+  ``pred*`` / ``pred?`` closures (transitive closure via
+  operators/graph.py path-doubling materialized as synthetic triples,
+  then matched like any constant predicate; ``*``/``?`` need a
+  constant subject or object since their zero-length path is defined
+  over every node), ``^pred`` inverse (subject/object swap; ``^``
+  distributes through groups and closures), ``p1/p2/...`` sequences
+  (fresh join variables, hidden from SELECT * per the spec's
+  no-intermediate-bindings rule, closure steps allowed mid-sequence),
+  ``p1|p2|...`` alternatives (compiled to a UNION block),
+  parenthesized groups ``(p1|p2)/p3`` (normalized to
+  alternatives-of-sequences, distributing ``|`` over ``/``), and
+  negated property sets ``!p`` / ``!(p1|p2)`` (a hidden predicate
+  variable plus a NOT IN filter) — all pure pattern rewrites; the
+  loud seams are closure of a GROUPED path (``(a/b)+``, a
+  composite-relation closure) and inverse members in/of a negated
+  set;
 * negation: ``FILTER [NOT] EXISTS { ... }`` (left-semi/left-anti hash
   join on the shared variables) and ``MINUS { ... }`` (left-anti; a
   group sharing no variable removes nothing, per spec);
@@ -754,74 +761,159 @@ class _Parser:
         if self._at_op("."):
             self._next()
 
-    def _path_primary(self, t: "_Tok | None" = None):
-        """One path element: ['^'] iri ['+'|'*'|'?'] -> (uri, inv, mod)."""
+    def _path_iri(self, t: "_Tok") -> str:
+        if t.kind == "IRI":
+            return t.text[1:-1]
+        if t.kind == "PNAME":
+            return self._expand_pname(t)
+        if t.kind == "NAME" and t.text == "a":
+            return RDF_TYPE
+        raise ValueError(
+            f"property path needs an IRI at offset {t.pos}: "
+            f"unexpected {t.text!r}"
+        )
+
+    def _path_alt(self, t: "_Tok | None" = None) -> list:
+        """Path -> disjunctive normal form: a list of SEQUENCES, each
+        a list of atomic steps ('step', uri, inv, mod) or
+        ('negset', (uris...)).  '|' concatenates alternatives; '/'
+        cross-concatenates them (distributing '|' over '/')."""
+        dnf = self._path_seq(t)
+        while self._at_op("|"):
+            self._next()
+            dnf = dnf + self._path_seq()
+        return dnf
+
+    def _path_seq(self, t: "_Tok | None" = None) -> list:
+        dnf = self._path_elt(t)
+        while self._at_op("/"):
+            self._next()
+            rhs = self._path_elt()
+            dnf = [a + b for a in dnf for b in rhs]
+        return dnf
+
+    def _path_elt(self, t: "_Tok | None" = None) -> list:
+        """One path element (['^'] primary [mod]) -> its DNF."""
         if t is None:
             t = self._next()
         inv = False
         if t.kind == "OP" and t.text == "^":
             inv = True
             t = self._next()
-        if t.kind == "IRI":
-            uri = t.text[1:-1]
-        elif t.kind == "PNAME":
-            uri = self._expand_pname(t)
-        elif t.kind == "NAME" and t.text == "a":
-            uri = RDF_TYPE
-        else:
-            raise ValueError(
-                f"property path needs an IRI at offset {t.pos}: "
-                f"unexpected {t.text!r}"
-            )
+        if t.kind == "OP" and t.text == "!":
+            # negated property set: !iri or !(iri|iri|...), forward
+            # predicates only (an inverse member would need the
+            # two-branch fwd/rev union the spec defines — out of subset)
+            uris = self._parse_negset()
+            if self._at_op("+", "*", "?"):
+                raise NotImplementedError(
+                    "a closure modifier on a negated property set is "
+                    "not in the supported subset"
+                )
+            if inv:
+                raise NotImplementedError(
+                    "^!(...) is not in the supported subset — swap the "
+                    "pattern's subject and object instead"
+                )
+            return [[("negset", tuple(uris))]]
+        if t.kind == "OP" and t.text == "(":
+            inner = self._path_alt()
+            self._expect_op(")")
+            if self._at_op("+", "*", "?"):
+                mod = self._next().text
+                if (
+                    len(inner) == 1
+                    and len(inner[0]) == 1
+                    and inner[0][0][0] == "step"
+                    and inner[0][0][3] is None
+                ):
+                    _, uri, ginv, _ = inner[0][0]
+                    return [[("step", uri, ginv != inv, mod)]]
+                raise NotImplementedError(
+                    "'+'/'*'/'?' on a grouped path is the closure of a "
+                    "composite relation — not in the supported subset; "
+                    "materialize the group as its own predicate and "
+                    "close that"
+                )
+            if inv:
+                inner = [_invert_path_seq(s) for s in inner]
+            return inner
+        uri = self._path_iri(t)
         mod = None
         if self._at_op("+", "*", "?"):
             mod = self._next().text
-        return (uri, inv, mod)
+        return [[("step", uri, inv, mod)]]
+
+    def _parse_negset(self) -> list:
+        # caller has already consumed the '!'
+        if self._at_op("("):
+            self._next()
+            uris = []
+            while True:
+                nt = self._next()
+                if nt.kind == "OP" and nt.text == "^":
+                    raise NotImplementedError(
+                        "an inverse member inside !(...) is not in the "
+                        "supported subset (it needs the spec's "
+                        "two-branch forward/reverse union)"
+                    )
+                uris.append(self._path_iri(nt))
+                if self._at_op("|"):
+                    self._next()
+                    continue
+                self._expect_op(")")
+                return uris
+        nt = self._next()
+        if nt.kind == "OP" and nt.text == "^":
+            raise NotImplementedError(
+                "!^pred is not in the supported subset — swap the "
+                "pattern's subject and object and use !pred"
+            )
+        return [self._path_iri(nt)]
 
     def _path_expr(self, t: "_Tok"):
-        """Predicate-position path expression over the supported
-        subset: a single pred (optionally ^-inverted or +/*-closed),
-        or a '/'-sequence / '|'-alternative of (optionally inverted)
-        preds.  Sequences and alternatives compile to plain pattern
-        rewrites in execute() — fresh join variables for '/', a UNION
-        block for '|' — so no new execution machinery exists for
-        them.  Mixing '/' with '|' (grouping) and +/* inside a
-        sequence/alternative are outside the subset and raise."""
-        first = self._path_primary(t)
-        elts = [first]
-        op = None
-        while self._at_op("/", "|"):
-            o = self._next().text
-            if op is not None and o != op:
-                raise NotImplementedError(
-                    "mixed '/' and '|' in one property path needs "
-                    "grouping, which is not in the supported subset"
-                )
-            op = o
-            elts.append(self._path_primary())
-        if len(elts) == 1:
-            uri, inv, mod = first
-            if inv and mod:
-                raise NotImplementedError(
-                    "^pred+ / ^pred* / ^pred? is not in the supported "
-                    "subset — swap the pattern's subject and object "
-                    "and use the uninverted modifier instead"
-                )
-            if mod:
-                return ("__path__", uri, mod)
-            if inv:
-                return ("__inv__", uri)
-            return uri
-        if any(mod for _, _, mod in elts):
-            raise NotImplementedError(
-                "'+'/'*'/'?' inside a sequence/alternative path is not "
-                "in the supported subset — bind the modified step to "
-                "its own pattern"
-            )
-        parts = [
-            ("__inv__", uri) if inv else uri for uri, inv, _ in elts
-        ]
-        return ("__seq__", parts) if op == "/" else ("__alt__", parts)
+        """Predicate-position path expression: the SPARQL 1.1 path
+        grammar with '^' inverse, '/' sequence, '|' alternative,
+        '(...)' grouping and '!' negated property sets, normalized to
+        alternatives-of-sequences (DNF) and mapped onto the pattern
+        rewrites execute() already evaluates — fresh join variables
+        for sequences, a UNION block for alternatives, synthetic
+        closure triples for '+'/'*'/'?' steps, a not-in predicate
+        filter for negated sets.  Out of subset (loud raise): closure
+        of a grouped path ('(a/b)+' — composite-relation closure),
+        inverse/closure ON a negated set, and inverse members inside
+        one."""
+        dnf = self._path_alt(t)
+        if len(dnf) == 1:
+            seq = dnf[0]
+            if len(seq) == 1:
+                k = seq[0]
+                if k[0] == "negset":
+                    return ("__seq__", [("__negset__", k[1])])
+                _, uri, inv, mod = k
+                if inv and mod:
+                    # ^p+ between the pattern's own ends: emit as a
+                    # 1-step sequence; the rewriter swaps the ends
+                    return ("__seq__", [("__invpath__", uri, mod)])
+                if mod:
+                    return ("__path__", uri, mod)
+                if inv:
+                    return ("__inv__", uri)
+                return uri
+            return ("__seq__", [_path_part(k) for k in seq])
+        if all(
+            len(s) == 1 and s[0][0] == "step" and s[0][3] is None
+            for s in dnf
+        ):
+            # plain single-pred alternatives: the compact legacy marker
+            return ("__alt__", [
+                ("__inv__", s[0][1]) if s[0][2] else s[0][1]
+                for s in dnf
+            ])
+        return (
+            "__altseq__",
+            [[_path_part(k) for k in s] for s in dnf],
+        )
 
     def _term(self, pred_pos: bool = False, allow_var: bool = True):
         t = self._next()
@@ -830,7 +922,7 @@ class _Parser:
                 raise ValueError(f"expected a node, got variable {t.text}")
             # normalize '$name' to '?name' — the bgp compiler's var syntax
             return "?" + t.text[1:]
-        if pred_pos and t.kind == "OP" and t.text == "^":
+        if pred_pos and t.kind == "OP" and t.text in ("^", "!", "("):
             return self._path_expr(t)
         if t.kind == "IRI":
             iri = t.text[1:-1]
@@ -1033,21 +1125,101 @@ def parse(text: str) -> ParsedQuery:
     return _Parser(text).parse()
 
 
+def _invert_path_seq(seq: list) -> list:
+    """^(sequence): reverse the step order and flip each step's
+    direction (the relational inverse of a composition)."""
+    out = []
+    for k in reversed(seq):
+        if k[0] == "negset":
+            raise NotImplementedError(
+                "inverting a negated property set is not in the "
+                "supported subset — swap the pattern's subject and "
+                "object instead"
+            )
+        _, uri, inv, mod = k
+        out.append(("step", uri, not inv, mod))
+    return out
+
+
+def _path_part(k: tuple):
+    """DNF step -> the sequence-part marker the rewriter emits."""
+    if k[0] == "negset":
+        return ("__negset__", k[1])
+    _, uri, inv, mod = k
+    if mod and inv:
+        return ("__invpath__", uri, mod)
+    if mod:
+        return ("__path__", uri, mod)
+    if inv:
+        return ("__inv__", uri)
+    return uri
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
     """Compile the algebra-free path operators into plain patterns:
 
     * ``^pred``  — subject/object swap on the pattern;
     * ``p1/p2``  — chained patterns through fresh join variables
       (``__seqN`` — dropped from SELECT * output, per SPARQL's rule
-      that path intermediates bind nothing);
+      that path intermediates bind nothing); a ``+``/``*``/``?`` step
+      inside a sequence emits a ``__path__`` pattern the closure
+      materializer expands, and an inverted step swaps its pattern's
+      ends;
     * ``p1|p2``  — a synthetic UNION block (one branch per
-      alternative), evaluated by the existing distributive machinery;
-      supported in the required top-level patterns only (inside
-      OPTIONAL/EXISTS/MINUS/UNION the branch algebra would differ).
+      alternative; an alternative that is itself a sequence chains
+      inside its branch), evaluated by the existing distributive
+      machinery; supported in the required top-level patterns only
+      (inside OPTIONAL/EXISTS/MINUS/UNION the branch algebra would
+      differ);
+    * ``!(...)`` — a fresh hidden predicate variable plus a
+      ``NOT IN`` filter appended to the enclosing group's filter list
+      (required group, OPTIONAL group, or UNION branch; EXISTS/MINUS
+      carry no filter slot and raise).
     """
     counter = [0]
 
-    def rewrite(patterns, allow_alt: bool, where: str):
+    def emit_step(cur, elt, nxt, out, fsink, where):
+        if not isinstance(elt, tuple):
+            out.append((cur, elt, nxt))
+        elif elt[0] == "__inv__":
+            out.append((nxt, elt[1], cur))
+        elif elt[0] == "__path__":
+            out.append((cur, elt, nxt))
+        elif elt[0] == "__invpath__":
+            out.append((nxt, ("__path__", elt[1], elt[2]), cur))
+        elif elt[0] == "__negset__":
+            if fsink is None:
+                raise NotImplementedError(
+                    f"negated property sets inside {where} are not in "
+                    "the supported subset — hoist the pattern to the "
+                    "required group"
+                )
+            var = f"__seqneg{counter[0]}"
+            counter[0] += 1
+            out.append((cur, "?" + var, nxt))
+            fsink.append(
+                f"`{var}` NOT IN ("
+                + ", ".join(_sql_str(u) for u in elt[1])
+                + ")"
+            )
+        else:  # pragma: no cover — parser emits no other markers
+            out.append((cur, elt, nxt))
+
+    def emit_seq(s, parts, o, out, fsink, where):
+        cur = s
+        for i, elt in enumerate(parts):
+            last = i == len(parts) - 1
+            nxt = o if last else f"?__seq{counter[0]}"
+            if not last:
+                counter[0] += 1
+            emit_step(cur, elt, nxt, out, fsink, where)
+            cur = nxt
+
+    def rewrite(patterns, allow_alt: bool, where: str, fsink):
         out = []
         for s, p, o in patterns:
             if not isinstance(p, tuple) or p[0] == "__path__":
@@ -1056,64 +1228,64 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
             kind = p[0]
             if kind == "__inv__":
                 out.append((o, p[1], s))
+            elif kind == "__invpath__":
+                out.append((o, ("__path__", p[1], p[2]), s))
             elif kind == "__seq__":
-                cur = s
-                parts = p[1]
-                for i, elt in enumerate(parts):
-                    last = i == len(parts) - 1
-                    nxt = o if last else f"?__seq{counter[0]}"
-                    if not last:
-                        counter[0] += 1
-                    if isinstance(elt, tuple):  # ("__inv__", uri)
-                        out.append((nxt, elt[1], cur))
-                    else:
-                        out.append((cur, elt, nxt))
-                    cur = nxt
-            elif kind == "__alt__":
+                emit_seq(s, p[1], o, out, fsink, where)
+            elif kind in ("__alt__", "__altseq__"):
                 if not allow_alt:
                     raise NotImplementedError(
                         f"'|' alternative paths inside {where} are "
                         "not in the supported subset — hoist the "
                         "pattern to the required group"
                     )
-                q.unions.append([
-                    (
-                        [(o, elt[1], s) if isinstance(elt, tuple)
-                         else (s, elt, o)],
-                        [],
-                        [],
-                        [],
-                    )
-                    for elt in p[1]
-                ])
+                branches = []
+                for alt in p[1]:
+                    bp: list = []
+                    bf: list = []
+                    parts = alt if kind == "__altseq__" else [alt]
+                    emit_seq(s, parts, o, bp, bf, where)
+                    branches.append((bp, [], [], bf))
+                q.unions.append(branches)
             else:  # pragma: no cover — parser emits no other markers
                 out.append((s, p, o))
         return out
 
     # pre-existing union blocks first (appending alt blocks while
     # iterating would revisit them)
-    q.unions = [
-        [
-            (
-                rewrite(pp, False, "a UNION branch"),
-                [rewrite(g, False, "a UNION branch") for g in oo],
-                off,
-                ff,
+    new_unions = []
+    for branches in q.unions:
+        nb = []
+        for pp, oo, off, ff in branches:
+            ff = list(ff)
+            pp2 = rewrite(pp, False, "a UNION branch", ff)
+            off = (
+                [list(g) for g in off]
+                if len(off) == len(oo)
+                else [[] for _ in oo]
             )
-            for (pp, oo, off, ff) in branches
-        ]
-        for branches in q.unions
-    ]
-    q.patterns = rewrite(q.patterns, True, "the required group")
+            oo2 = [
+                rewrite(g, False, "OPTIONAL", off[j])
+                for j, g in enumerate(oo)
+            ]
+            nb.append((pp2, oo2, off, ff))
+        new_unions.append(nb)
+    q.unions = new_unions
+    q.patterns = rewrite(
+        q.patterns, True, "the required group", q.filters
+    )
+    while len(q.optional_filters) < len(q.optional):
+        q.optional_filters.append([])
     q.optional = [
-        rewrite(g, False, "OPTIONAL") for g in q.optional
+        rewrite(g, False, "OPTIONAL", q.optional_filters[i])
+        for i, g in enumerate(q.optional)
     ]
     q.exists_clauses = [
-        (pos, rewrite(p, False, "FILTER EXISTS"))
+        (pos, rewrite(p, False, "FILTER EXISTS", None))
         for pos, p in q.exists_clauses
     ]
     q.minus_clauses = [
-        rewrite(p, False, "MINUS") for p in q.minus_clauses
+        rewrite(p, False, "MINUS", None) for p in q.minus_clauses
     ]
     return q
 

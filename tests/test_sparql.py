@@ -489,17 +489,25 @@ def test_property_path_inverse_sequence_alternative(spark):
         "?n <http://e/inRegion> ?r }",
     ).collect()))
     assert got5 == [("c1", "r1"), ("c2", "r1"), ("n1", "r1")]
-    # unsupported shapes raise loudly
+    # '/' binds tighter than '|' (SPARQL path precedence): a/b|c is
+    # (a/b)|c — inNation/inRegion plus the border edge set
+    got6 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?x ?y WHERE { ?x "
+        "<http://e/inNation>/<http://e/inRegion>|<http://e/border> "
+        "?y }",
+    ).collect()))
+    assert got6 == [("c1", "r1"), ("c2", "r1"), ("n1", "n2")]
+    # closure step inside a sequence: border+/inRegion
+    got7 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?x ?r WHERE "
+        "{ ?x <http://e/border>+/<http://e/inRegion> ?r }",
+    ).collect()))
+    assert got7 == [("n1", "r1")]
+    # still-unsupported shapes raise loudly
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="mixed"):
-        sparql.execute(
-            tri, "SELECT ?x WHERE { ?x <a>/<b>|<c> ?y }"
-        )
-    with _pytest.raises(NotImplementedError, match="sequence"):
-        sparql.execute(
-            tri, "SELECT ?x WHERE { ?x <a>/<b>+ ?y }"
-        )
     with _pytest.raises(NotImplementedError, match="OPTIONAL"):
         sparql.execute(
             tri,
@@ -564,7 +572,10 @@ def test_property_path_zero_or_one(spark):
         sparql.execute(
             tri, "SELECT ?x WHERE { ?y rdfs:subClassOf? ?x }"
         )
-    with pytest.raises(NotImplementedError, match="sequence"):
+    # '?' mid-sequence now parses, but its step ends on a fresh join
+    # variable — no constant anchor, so the zero-length path is still
+    # unbounded and raises the anchoring seam
+    with pytest.raises(NotImplementedError, match="constant"):
         sparql.execute(
             tri, "SELECT ?x WHERE { ?x <a>/<b>? ?y }"
         )
@@ -1034,3 +1045,72 @@ def test_subquery_with_property_path(spark):
            }""",
     ).collect()))
     assert got == [("a", "root", 2)]
+
+
+# -------------------------------------- grouped paths + negated sets
+
+
+def test_property_path_groups_and_negsets(spark):
+    tri = spark.createDataFrame(
+        [
+            ("a", "http://e/p", "b"),
+            ("b", "http://e/q", "c"),
+            ("a", "http://e/q", "d"),
+            ("d", "http://e/r", "e"),
+            ("c", "http://e/r", "f"),
+            ("a", "http://e/lbl", "rootlab"),
+            ("x", "http://e/lbl", "lab"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    P = "PREFIX e: <http://e/>\n"
+
+    def run(q, **kw):
+        return sorted(map(tuple, sparql.execute(tri, P + q, **kw).collect()))
+
+    # grouped alternative inside a sequence, distributed over '/'
+    assert run("SELECT ?s ?o WHERE { ?s (e:p|e:q)/e:r ?o }") == [
+        ("a", "e"), ("b", "f"),
+    ]
+    # grouped inverse of a sequence: ^(p/q) reverses and flips
+    assert run("SELECT ?s ?o WHERE { ?s ^(e:p/e:q) ?o }") == [("c", "a")]
+    # single-atom group with modifier collapses: (p)+ == p+
+    assert run(
+        "SELECT ?s ?o WHERE { ?s (e:p)+ ?o . ?s e:lbl ?l }"
+    ) == [("a", "b")]
+    # inverted closure between the pattern's own ends: ^p+
+    assert run("SELECT ?s ?o WHERE { ?s ^e:q+ ?o }") == [
+        ("c", "b"), ("d", "a"),
+    ]
+    # negated property set, single and grouped
+    assert run("SELECT ?s ?o WHERE { ?s !e:lbl ?o . ?s e:lbl ?l }") == [
+        ("a", "b"), ("a", "d"),
+    ]
+    assert run("SELECT ?s ?o WHERE { ?s !(e:p|e:q|e:lbl) ?o }") == [
+        ("c", "f"), ("d", "e"),
+    ]
+    # negset inside a sequence step and SELECT * hiding
+    df = sparql.execute(
+        tri, P + "SELECT * WHERE { ?s e:p/!(e:r|e:lbl) ?o }"
+    )
+    assert sorted(df.columns) == ["o", "s"]
+    assert sorted(
+        (r["s"], r["o"]) for r in df.collect()
+    ) == [("a", "c")]
+    # negset inside OPTIONAL folds into the left-join condition:
+    # every subject keeps its row, x has no non-lbl edge -> NULL
+    assert run(
+        "SELECT ?s ?o WHERE { ?s e:lbl ?l . "
+        "OPTIONAL { ?s !e:lbl ?o } } ORDER BY ?s ?o"
+    ) == [("a", "b"), ("a", "d"), ("x", None)]
+    # seams: composite closure, inverse-in-negset, modifier on negset,
+    # negset inside MINUS (no filter slot)
+    for bad, msg in [
+        ("SELECT ?s WHERE { ?s (e:p/e:q)+ ?o }", "grouped path"),
+        ("SELECT ?s WHERE { ?s !(^e:p) ?o }", "inverse member"),
+        ("SELECT ?s WHERE { ?s !e:p+ ?o }", "modifier on a negated"),
+        ("SELECT ?s WHERE { ?s e:lbl ?l . "
+         "MINUS { ?s !e:lbl ?o } }", "negated property sets inside"),
+    ]:
+        with pytest.raises(NotImplementedError):
+            sparql.execute(tri, P + bad)
