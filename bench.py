@@ -278,6 +278,12 @@ def headline_queries(spark, sf_dir):
         "sparql_service_join": lambda: _count(
             em._q_sparql_service_join(spark, sf_dir)
         ),
+        "sparql_subquery": lambda: _count(
+            em._q_sparql_subquery(spark, sf_dir)
+        ),
+        "sparql_path_grouped": lambda: _count(
+            em._q_sparql_path_grouped(spark, sf_dir)
+        ),
         "pricing_summary": lambda: _count(DQ.q_pricing_summary(spark, sf_dir)),
         "star_join_revenue": lambda: _count(DQ.q_star_join_revenue(spark, sf_dir)),
         "sessionize_events": lambda: _count(DQ.q_sessionize_events(spark, sf_dir)),

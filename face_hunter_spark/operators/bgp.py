@@ -235,6 +235,24 @@ def construct(
         optional_filters=optional_filters,
         filters=filters,
     )
+    return construct_from_bindings(
+        bindings,
+        template,
+        asserted=triples if exclude_asserted else None,
+    )
+
+
+def construct_from_bindings(
+    bindings: DataFrame,
+    template,
+    asserted: DataFrame | None = None,
+) -> DataFrame:
+    """Instantiate a CONSTRUCT template once per binding row — the
+    materialization half of :func:`construct`, exposed so callers that
+    assemble the bindings through richer algebra (UNION variants,
+    negation clauses, subqueries — operators/sparql.py) reuse the same
+    single-explode plan.  ``asserted`` (a triple DataFrame) anti-joins
+    the output to the novel triples only."""
     bound = set(bindings.columns)
     structs = []
     for t, tpl in enumerate(template):
@@ -255,7 +273,10 @@ def construct(
                     raise ValueError(
                         f"template {t} uses unbound variable ?{var}"
                     )
-                cols.append(F.col(var).alias(pos))
+                # all-lexical triple model: a non-string binding (an
+                # aggregated count from a subquery, a BIND number)
+                # materializes as its lexical form
+                cols.append(F.col(var).cast("string").alias(pos))
             else:
                 cols.append(F.lit(term).alias(pos))
         structs.append(F.struct(*cols))
@@ -268,9 +289,9 @@ def construct(
         & F.col("pred").isNotNull()
         & F.col("obj").isNotNull()
     ).distinct()
-    if exclude_asserted:
+    if asserted is not None:
         out = out.join(
-            triples.select("subj", "pred", "obj"),
+            asserted.select("subj", "pred", "obj"),
             ["subj", "pred", "obj"],
             "left_anti",
         )

@@ -16,7 +16,11 @@ Supported subset — exactly the shapes the reference emits/accepts
 * ``SELECT [DISTINCT] ?a ?b | *  WHERE { ... }`` with ``ORDER BY``
   (``ASC``/``DESC``), ``LIMIT``, ``OFFSET``;
 * ``ASK { ... }`` / ``DESCRIBE <node>`` /
-  ``CONSTRUCT { template } WHERE { ... }``;
+  ``CONSTRUCT { template } WHERE { ... }`` — the WHERE clause takes
+  the full solution algebra (UNION, OPTIONAL, negation, VALUES/BIND,
+  SERVICE snapshots, subqueries); the template instantiates once over
+  the combined binding rows, casting non-string bindings to their
+  lexical form;
 * triple blocks with ``;`` predicate lists, ``,`` object lists and the
   ``a`` = rdf:type keyword — the reference's house style
   (``?scene a video:Scene ; foaf:depicts ?e ; ...``);
@@ -1636,28 +1640,18 @@ def execute(
         )
     if q.form == "describe":
         return bgp.describe(triples, q.describe_node)
-    if q.form == "construct" and (
-        has_negation or q.services or q.subqueries
-    ):
-        raise NotImplementedError(
-            "EXISTS/MINUS/VALUES/BIND/SERVICE/subquery in a CONSTRUCT "
-            "WHERE clause is not in the supported subset — SELECT the "
-            "bindings and materialize with construct() directly"
-        )
     if q.form == "construct":
-        out = None
-        for p, o, of, f in _variants(q):
-            g = bgp.construct(
-                triples,
-                p,
-                template=q.template,
-                optional=o or None,
-                optional_filters=of or None,
-                filters=f or None,
-                allow_cartesian=allow_cartesian,
-            )
-            out = g if out is None else out.unionByName(g)
-        return out if len(q.unions) == 0 else out.distinct()
+        # assemble the solution bindings through the same algebra the
+        # SELECT path uses (UNION variants, SERVICE/subquery joins,
+        # EXISTS/MINUS/VALUES/BIND), then instantiate the template
+        # once over the combined rows — the bindings plan executes
+        # ONCE, and a variant-absent (NULL) template var skips that
+        # row per the spec instead of erroring
+        df = _finish_select(
+            triples, base_triples, q, allow_cartesian, services,
+            deferred_filters,
+        )
+        return bgp.construct_from_bindings(df, q.template)
     return _finish_select(
         triples, base_triples, q, allow_cartesian, services,
         deferred_filters,

@@ -1114,3 +1114,34 @@ def test_property_path_groups_and_negsets(spark):
     ]:
         with pytest.raises(NotImplementedError):
             sparql.execute(tri, P + bad)
+
+
+def test_construct_with_solution_clauses(triples):
+    # CONSTRUCT over a WHERE clause using MINUS + BIND + subquery —
+    # previously a loud seam, now routed through the SELECT algebra
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """PREFIX ex: <http://x/>
+           CONSTRUCT { ?s ex:flagged ?flag } WHERE {
+             ?s a video:Scene .
+             MINUS { ?s foaf:depicts <http://www.wikidata.org/entity/Q2> }
+             BIND ( strstarts(str(?s), "s") AS ?flag )
+           }""",
+    ).collect()))
+    assert got == [
+        ("s2", "http://x/flagged", "true"),
+        ("s3", "http://x/flagged", "true"),
+    ]
+    got2 = sorted(map(tuple, sparql.execute(
+        triples,
+        """PREFIX ex: <http://x/>
+           CONSTRUCT { ?v ex:sceneCount ?n } WHERE {
+             ?v dc:title ?t .
+             { SELECT ?v (COUNT(?s) AS ?n)
+               WHERE { ?v hunter:hasScene ?s } GROUP BY ?v }
+           }""",
+    ).collect()))
+    assert got2 == [
+        ("v1", "http://x/sceneCount", "2"),
+        ("v2", "http://x/sceneCount", "1"),
+    ]
