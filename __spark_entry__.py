@@ -1245,6 +1245,68 @@ ORDER BY x
 """
 
 
+def _q_sparql_filter_functions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPARQL FILTER/BIND builtin surface (operators/sparql.py
+    _function/_value_expr): arithmetic over lexical numerics, SUBSTR /
+    STRLEN / UCASE / CONCAT / STRBEFORE, IF through BIND, and a
+    variable-vs-NUMBER comparison that must try_cast (not ANSI-cast)
+    the lexical side.  Over customer rows re-expressed as triples."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = (
+        customer.select(
+            F.col("c_name").alias("subj"),
+            F.lit("http://example.org/segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .unionByName(
+            customer.select(
+                F.col("c_name").alias("subj"),
+                F.lit("http://example.org/balance").alias("pred"),
+                F.col("c_acctbal").cast("string").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?seg ?tier WHERE {
+          ?c ex:segment ?s .
+          ?c ex:balance ?b .
+          BIND ( concat(substr(?s, 1, 4), "-",
+                        ucase(strbefore(?c, "#"))) AS ?seg )
+          BIND ( if(?b * 2 >= 19000, "high", "low") AS ?tier )
+          FILTER ( ?b >= 9000 && strlen(?s) > 8 )
+        }
+        ORDER BY ?c
+        """,
+    )
+
+
+ORACLE_SPARQL_FILTER_FUNCTIONS = """
+SELECT c, seg, tier FROM (
+  SELECT
+    c_name AS c,
+    c_mktsegment AS s,
+    CAST(c_acctbal AS VARCHAR) AS b,
+    substr(c_mktsegment, 1, 4) || '-' ||
+      upper(CASE WHEN instr(c_name, '#') > 0
+            THEN substr(c_name, 1, instr(c_name, '#') - 1)
+            ELSE '' END) AS seg,
+    CASE WHEN TRY_CAST(CAST(c_acctbal AS VARCHAR) AS DOUBLE) * 2
+              >= 19000
+         THEN 'high' ELSE 'low' END AS tier
+  FROM customer
+)
+WHERE TRY_CAST(b AS DOUBLE) >= 9000 AND length(s) > 8
+ORDER BY c
+"""
+
+
 ORACLE_SPARQL_SUBQUERY = """
 WITH cnt AS (
   SELECT c.c_name AS c, COUNT(*) AS n
@@ -1522,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_subquery": _q_sparql_subquery,
         "sparql_path_grouped": _q_sparql_path_grouped,
         "sparql_path_negset": _q_sparql_path_negset,
+        "sparql_filter_functions": _q_sparql_filter_functions,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -1690,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_subquery": ORACLE_SPARQL_SUBQUERY,
         "sparql_path_grouped": ORACLE_SPARQL_PATH_GROUPED,
         "sparql_path_negset": ORACLE_SPARQL_PATH_NEGSET,
+        "sparql_filter_functions": ORACLE_SPARQL_FILTER_FUNCTIONS,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

@@ -147,6 +147,22 @@ def lsh_signature_udf(bands: int, rows_per_band: int, dim: int = 512):
     return sig
 
 
+def _pair_cosine_distance(emb_col, gemb_col):
+    """1 - cos(a, b) per candidate pair, one BLAS batch per Arrow
+    batch (float64 accumulation, float32 result).  The pandas_udf is
+    wrapped at CALL time — decorating at module import would need an
+    active SparkSession before one exists."""
+
+    def kernel(emb: pd.Series, gemb: pd.Series) -> pd.Series:
+        a = np.stack(emb.to_numpy()).astype(np.float64)
+        b = np.stack(gemb.to_numpy()).astype(np.float64)
+        dot = np.einsum("ij,ij->i", a, b)
+        norms = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series((1.0 - dot / norms).astype(np.float32))
+
+    return F.pandas_udf(kernel, "float")(emb_col, gemb_col)
+
+
 def link_lsh(
     faces: DataFrame,
     gallery: DataFrame,
@@ -161,8 +177,11 @@ def link_lsh(
     mentions --sig--> explode(band buckets) --join(bucket)--> gallery
     buckets --cosine--> window top-k --vote--> label.
 
-    All distance math is JVM-side (zip_with/aggregate higher-order
-    functions) so the only Python stage is the signature matmul.
+    The per-pair cosine runs in an Arrow-vectorized pandas UDF (one
+    BLAS batch per Arrow batch) — the earlier interpreted
+    zip_with/aggregate form evaluated a 512-element fold per candidate
+    pair Catalyst-side and dominated the route's wall time.  The only
+    other Python stage is the signature matmul.
 
     ``broadcast_gallery=True`` (default) hints the exploded gallery
     side for a broadcast hash join — right while the gallery fits an
@@ -182,46 +201,40 @@ def link_lsh(
     # cheaper than recomputing the vision kernel at any scale.
     faces = faces.localCheckpoint(eager=False)
 
-    # norms are per-ROW quantities: folding them BEFORE the bucket
-    # join runs the 512-element aggregate once per mention/gallery row
-    # instead of once per CANDIDATE PAIR (measured ~35% off the
-    # distance stage; float-identical — same left-fold over the same
-    # array either way)
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     mention = faces.where(F.col("face_idx").isNotNull()).select(
         "doc_id",
         "frame_no",
         "ts_ms",
         "face_idx",
         "embedding",
-        norm(F.col("embedding")).alias("m_norm"),
         F.explode(sig("embedding")).alias("bucket"),
     )
     gal = gallery.select(
         "gallery_id",
         F.col("label").alias("g_label"),
         F.col("embedding").alias("g_embedding"),
-        norm(F.col("embedding")).alias("g_norm"),
         F.explode(sig("embedding")).alias("bucket"),
     )
 
-    dot = F.aggregate(
-        F.zip_with("embedding", "g_embedding", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
     gal_side = F.broadcast(gal) if broadcast_gallery else gal
+    # per-pair cosine distance in ONE Arrow-vectorized stage: the
+    # interpreted zip_with/aggregate form evaluated 512-element folds
+    # per candidate pair Catalyst-side and dominated the shuffle
+    # route's wall time (~6x the whole broadcast pipeline at sf0.1);
+    # einsum over the stacked batch does the same math in float64 and
+    # rounds to float32 exactly like the previous .cast("float")
+    # ONE shuffle clusters candidates by face: hash partitioning on
+    # (doc_id, frame_no, face_idx) satisfies every downstream
+    # requirement — the pair dedup (its group key is a superset), both
+    # rank windows (same keys), and the vote aggregate — so Catalyst
+    # plans the dedup-rank-vote chain with no further exchange
     cand = (
         mention.join(gal_side, "bucket")
+        .repartition("doc_id", "frame_no", "face_idx")
         .dropDuplicates(["doc_id", "frame_no", "face_idx", "gallery_id"])
         .withColumn(
             "distance",
-            (
-                F.lit(1.0) - dot / (F.col("m_norm") * F.col("g_norm"))
-            ).cast("float"),
+            _pair_cosine_distance("embedding", "g_embedding"),
         )
     )
 

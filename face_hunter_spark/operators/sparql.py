@@ -60,11 +60,21 @@ Supported subset — exactly the shapes the reference emits/accepts
   leaves both unspecified); SUM/AVG try_cast the lexical form to
   DOUBLE, dropping unparseable values per SPARQL's
   ignore-errors-in-aggregation rule;
-* ``FILTER ( expr )`` with ``&&  ||  !  = != < > <= >=``, ``BOUND``,
-  ``REGEX(STR(?v), "pat")``, ``CONTAINS``, ``STRSTARTS``, ``STR`` —
-  compiled to Spark SQL expressions over the bound variables
-  (the reference's filter shape: graph.py:217 ``regex(str(?w), ...) &&
-  (?sex = "male"@en) && ?date < "..."^^xsd:date``).
+* ``FILTER ( expr )`` with ``&&  ||  !  = != < > <= >=``,
+  ``IN``/``NOT IN`` lists, arithmetic ``+ - * /`` (try_cast to DOUBLE
+  per side — a non-numeric lexical form yields NULL and the row
+  drops, SPARQL's type-error semantics; comparing a variable against
+  a bare NUMBER literal try_casts the variable side the same way),
+  and the builtins ``BOUND``, ``REGEX(STR(?v), "pat"[, "i"])``,
+  ``CONTAINS``, ``STRSTARTS``, ``STRENDS``, ``STR``, ``STRLEN``,
+  ``UCASE``/``LCASE``, ``SUBSTR``, ``REPLACE`` (with the ``"i"``
+  flag), ``CONCAT``, ``COALESCE``, ``STRBEFORE``/``STRAFTER``,
+  ``IF``, ``ABS``/``CEIL``/``FLOOR``/``ROUND`` — all compiled to
+  Spark SQL expressions over the bound variables (the reference's
+  filter shape: graph.py:217 ``regex(str(?w), ...) &&
+  (?sex = "male"@en) && ?date < "..."^^xsd:date``); the same
+  expression subset powers ``BIND``, and a group FILTER referencing a
+  BIND/subquery/SERVICE-bound variable evaluates after those clauses.
 
 * subqueries ``{ SELECT ... WHERE { ... } }`` as a group element —
   evaluated bottom-up to a DataFrame of their projected variables
@@ -1022,16 +1032,74 @@ class _Parser:
             inner = self._filter_expr()
             self._expect_op(")")
             return self._maybe_cmp(f"({inner})")
-        return self._maybe_cmp(self._operand())
+        return self._maybe_cmp(self._value_expr())
 
     _CMP = {"=": "=", "!=": "<>", "<": "<", ">": ">", "<=": "<=", ">=": ">="}
+
+    _NUM_LIT = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)$")
 
     def _maybe_cmp(self, left: str) -> str:
         t = self._peek()
         if t is not None and t.kind == "OP" and t.text in self._CMP:
             op = self._CMP[self._next().text]
-            right = self._operand()
+            right = self._value_expr()
+            # SPARQL numeric comparison over the all-lexical model:
+            # comparing a variable to a NUMBER literal try_casts the
+            # variable side (ANSI string->int cast would ERROR on
+            # non-integer lexical forms; try_cast yields NULL, which
+            # the comparison rejects — the spec's type-error-drops-row)
+            if self._NUM_LIT.match(right) and not self._NUM_LIT.match(
+                left
+            ):
+                left = f"try_cast({left} AS DOUBLE)"
+            elif self._NUM_LIT.match(left) and not self._NUM_LIT.match(
+                right
+            ):
+                right = f"try_cast({right} AS DOUBLE)"
             return f"({left} {op} {right})"
+        if t is not None and t.kind == "NAME" and t.text.lower() in (
+            "in", "not"
+        ):
+            neg = t.text.lower() == "not"
+            if neg:
+                nxt = (
+                    self.toks[self.i + 1]
+                    if self.i + 1 < len(self.toks)
+                    else None
+                )
+                if not (
+                    nxt is not None
+                    and nxt.kind == "NAME"
+                    and nxt.text.lower() == "in"
+                ):
+                    return left
+                self._next()  # NOT
+            self._next()  # IN
+            self._expect_op("(")
+            items = [self._value_expr()]
+            while self._at_op(","):
+                self._next()
+                items.append(self._value_expr())
+            self._expect_op(")")
+            return (
+                f"({left} {'NOT ' if neg else ''}IN "
+                f"({', '.join(items)}))"
+            )
+        return left
+
+    def _value_expr(self) -> str:
+        """Operand with SPARQL arithmetic: the all-lexical triple
+        model makes numeric ops a try_cast to DOUBLE on each side
+        (non-numeric lexical forms yield NULL, which comparisons then
+        reject — SPARQL's type-error-drops-row semantics)."""
+        left = self._operand()
+        while self._at_op("+", "-", "*", "/"):
+            op = self._next().text
+            right = self._operand()
+            left = (
+                f"(try_cast({left} AS DOUBLE) {op} "
+                f"try_cast({right} AS DOUBLE))"
+            )
         return left
 
     def _operand(self) -> str:
@@ -1102,9 +1170,90 @@ class _Parser:
                 "strends": "endswith",
             }[name]
             return f"{fn}({a}, {b})"
+        if name in ("ucase", "lcase", "strlen"):
+            a = self._value_expr()
+            self._expect_op(")")
+            fn = {
+                "ucase": "upper", "lcase": "lower", "strlen": "length",
+            }[name]
+            return f"{fn}({a})"
+        if name in ("abs", "ceil", "floor", "round"):
+            a = self._value_expr()
+            self._expect_op(")")
+            return f"{name}(try_cast({a} AS DOUBLE))"
+        if name in ("concat", "coalesce"):
+            args = [self._value_expr()]
+            while self._at_op(","):
+                self._next()
+                args.append(self._value_expr())
+            self._expect_op(")")
+            return f"{name}({', '.join(args)})"
+        if name == "substr":
+            # SPARQL and Spark substring are both 1-based
+            a = self._value_expr()
+            self._expect_op(",")
+            start = self._value_expr()
+            length = None
+            if self._at_op(","):
+                self._next()
+                length = self._value_expr()
+            self._expect_op(")")
+            if length is None:
+                return f"substring({a}, {start})"
+            return f"substring({a}, {start}, {length})"
+        if name == "replace":
+            a = self._value_expr()
+            self._expect_op(",")
+            pat = self._next()
+            if pat.kind != "STRING":
+                raise ValueError("REPLACE needs a string pattern")
+            pattern = _unescape(pat.text[1:-1])
+            self._expect_op(",")
+            rep = self._next()
+            if rep.kind != "STRING":
+                raise ValueError("REPLACE needs a string replacement")
+            if self._at_op(","):
+                self._next()
+                flags = self._next()
+                if flags.kind != "STRING":
+                    raise ValueError("REPLACE flags must be a string")
+                if "i" in flags.text.lower():
+                    pattern = "(?i)" + pattern
+            self._expect_op(")")
+            return (
+                f"regexp_replace({a}, {_sql_str(pattern)}, "
+                f"{_sql_str(_unescape(rep.text[1:-1]))})"
+            )
+        if name in ("strbefore", "strafter"):
+            a = self._value_expr()
+            self._expect_op(",")
+            b = self._value_expr()
+            self._expect_op(")")
+            # per spec: "" when the needle does not occur
+            if name == "strbefore":
+                return (
+                    f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                    f"substring({a}, 1, instr({a}, {b}) - 1) "
+                    f"ELSE '' END)"
+                )
+            return (
+                f"(CASE WHEN instr({a}, {b}) > 0 THEN "
+                f"substring({a}, instr({a}, {b}) + length({b})) "
+                f"ELSE '' END)"
+            )
+        if name == "if":
+            c = self._filter_expr()
+            self._expect_op(",")
+            yes = self._filter_expr()
+            self._expect_op(",")
+            no = self._filter_expr()
+            self._expect_op(")")
+            return f"IF({c}, {yes}, {no})"
         raise NotImplementedError(
             f"FILTER function {t.text!r} is not in the supported subset "
-            "(STR, BOUND, REGEX, CONTAINS, STRSTARTS, STRENDS)"
+            "(STR, BOUND, REGEX, CONTAINS, STRSTARTS, STRENDS, UCASE, "
+            "LCASE, STRLEN, SUBSTR, REPLACE, CONCAT, COALESCE, "
+            "STRBEFORE, STRAFTER, IF, ABS, CEIL, FLOOR, ROUND)"
         )
 
 
@@ -1605,11 +1754,12 @@ def execute(
     if q.form != "describe":
         q = _rewrite_path_ops(q)
         triples, q = _expand_paths(triples, q)
-    # group-level FILTERs may reference service- or subquery-bound
-    # variables, so with those groups present they run AFTER the joins
-    # (Catalyst still pushes the main-side predicates below the join)
+    # group-level FILTERs may reference service-, subquery- or
+    # BIND-bound variables, so with those clauses present they run
+    # AFTER the joins and binds (Catalyst still pushes the main-side
+    # predicates below the joins)
     deferred_filters: list = []
-    if (q.services or q.subqueries) and q.filters:
+    if (q.services or q.subqueries or q.binds) and q.filters:
         deferred_filters, q.filters = q.filters, []
     has_negation = bool(
         q.exists_clauses or q.minus_clauses or q.values_clauses or q.binds
@@ -1623,9 +1773,9 @@ def execute(
                 df = _apply_subqueries(
                     df, q, base_triples, allow_cartesian, services
                 )
+            df = _apply_solution_clauses(triples, df, q, allow_cartesian)
             for expr in deferred_filters:
                 df = df.where(F.expr(expr))
-            df = _apply_solution_clauses(triples, df, q, allow_cartesian)
             return len(df.limit(1).take(1)) > 0
         return any(
             bgp.ask(
@@ -1679,7 +1829,7 @@ def _eval_subquery(
     sub = _rewrite_path_ops(sub)
     expanded, sub = _expand_paths(base_triples, sub)
     deferred: list = []
-    if (sub.services or sub.subqueries) and sub.filters:
+    if (sub.services or sub.subqueries or sub.binds) and sub.filters:
         deferred, sub.filters = sub.filters, []
     return _finish_select(
         expanded, base_triples, sub, allow_cartesian, services, deferred
@@ -1744,10 +1894,10 @@ def _finish_select(
         )
     if q.services:
         df = _apply_services(df, q, services, allow_cartesian)
-    for expr in deferred_filters:
-        df = df.where(F.expr(expr))
     if has_negation:
         df = _apply_solution_clauses(triples, df, q, allow_cartesian)
+    for expr in deferred_filters:
+        df = df.where(F.expr(expr))
     # sequence-path join variables are not solution bindings (SPARQL
     # path intermediates bind nothing) — hide them from SELECT *
     seq_cols = [c for c in df.columns if c.startswith("__seq")]

@@ -1145,3 +1145,84 @@ def test_construct_with_solution_clauses(triples):
         ("v1", "http://x/sceneCount", "2"),
         ("v2", "http://x/sceneCount", "1"),
     ]
+
+
+def test_filter_function_surface(spark):
+    rows = [
+        ("d1", "http://e/title", "Alpha Beta"),
+        ("d2", "http://e/title", "gamma"),
+        ("d3", "http://e/title", "delta epsilon zeta"),
+        ("d1", "http://e/score", "42"),
+        ("d2", "http://e/score", "7"),
+        ("d3", "http://e/score", "-3.5"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    P = "PREFIX e: <http://e/>\n"
+
+    def run(q):
+        return sorted(map(tuple, sparql.execute(t, P + q).collect()))
+
+    # STRLEN / UCASE / LCASE
+    assert run(
+        "SELECT ?s WHERE { ?s e:title ?t . FILTER (strlen(?t) > 10) }"
+    ) == [("d3",)]
+    assert run(
+        'SELECT ?s WHERE { ?s e:title ?t . FILTER (ucase(?t) = "GAMMA") }'
+    ) == [("d2",)]
+    # SUBSTR is 1-based; CONCAT; STRBEFORE/STRAFTER with miss -> ""
+    assert run(
+        'SELECT ?s WHERE { ?s e:title ?t . '
+        'FILTER (substr(?t, 1, 5) = "Alpha") }'
+    ) == [("d1",)]
+    assert run(
+        'SELECT ?s WHERE { ?s e:title ?t . '
+        'FILTER (concat(?t, "!") = "gamma!") }'
+    ) == [("d2",)]
+    assert run(
+        'SELECT ?s WHERE { ?s e:title ?t . '
+        'FILTER (strbefore(?t, " ") = "Alpha") }'
+    ) == [("d1",)]
+    assert run(
+        'SELECT ?s WHERE { ?s e:title ?t . '
+        'FILTER (strafter(?t, "nope") = "" && contains(?t, "a")) }'
+    ) == [("d1",), ("d2",), ("d3",)]
+    # REPLACE with case-insensitive flag
+    assert run(
+        'SELECT ?s WHERE { ?s e:title ?t . '
+        'FILTER (replace(?t, "ALPHA ", "", "i") = "Beta") }'
+    ) == [("d1",)]
+    # arithmetic over lexical numbers + ABS/ROUND/FLOOR/CEIL
+    assert run(
+        "SELECT ?s WHERE { ?s e:score ?n . FILTER (?n * 2 >= 14) }"
+    ) == [("d1",), ("d2",)]
+    assert run(
+        "SELECT ?s WHERE { ?s e:score ?n . FILTER (abs(?n) < 4) }"
+    ) == [("d3",)]
+    assert run(
+        "SELECT ?s WHERE { ?s e:score ?n . FILTER (floor(?n) = -4) }"
+    ) == [("d3",)]
+    # IN / NOT IN
+    assert run(
+        'SELECT ?s WHERE { ?s e:title ?t . '
+        'FILTER (?t IN ("gamma", "nope")) }'
+    ) == [("d2",)]
+    assert run(
+        'SELECT ?s WHERE { ?s e:title ?t . '
+        'FILTER (?t NOT IN ("gamma")) }'
+    ) == [("d1",), ("d3",)]
+    # IF + COALESCE through BIND (results cast to string)
+    assert run(
+        'SELECT ?s ?flag WHERE { ?s e:score ?n . '
+        'BIND (if(?n > 10, "big", "small") AS ?flag) }'
+    ) == [("d1", "big"), ("d2", "small"), ("d3", "small")]
+    assert run(
+        "SELECT ?s ?v WHERE { ?s e:title ?t . "
+        "OPTIONAL { ?s e:missing ?m } "
+        'BIND (coalesce(?m, "none") AS ?v) FILTER (?v = "none") }'
+    ) == [("d1", "none"), ("d2", "none"), ("d3", "none")]
+    # unknown function still raises loudly
+    with pytest.raises(NotImplementedError, match="FILTER function"):
+        sparql.parse(
+            P + "SELECT ?s WHERE { ?s e:title ?t . "
+            "FILTER (md5(?t) = ?t) }"
+        )
