@@ -1307,6 +1307,49 @@ ORDER BY c
 """
 
 
+def _q_sparql_describe_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE ?v WHERE {...} (operators/sparql.py + bgp.describe_set):
+    the node set binds through the solution algebra, then two left-semi
+    joins pull each node's out/in star — no driver collect.  Describes
+    every nation in one region over the path-base triple graph."""
+    from face_hunter_spark.operators.sparql import execute
+
+    return execute(
+        _sparql_path_base(spark, sf_dir),
+        """
+        PREFIX ex: <http://example.org/>
+        DESCRIBE ?n WHERE { ?n ex:inRegion "AMERICA" }
+        """,
+    ).orderBy("direction", "subj", "pred", "obj")
+
+
+ORACLE_SPARQL_DESCRIBE_VAR = """
+WITH t AS (
+  SELECT c.c_name AS subj, 'http://example.org/inNation' AS pred,
+         n.n_name AS obj
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT s.s_name, 'http://example.org/suppNation', n.n_name
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT n.n_name, 'http://example.org/inRegion', r.r_name
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+nodes AS (
+  SELECT DISTINCT subj AS dn FROM t
+  WHERE pred = 'http://example.org/inRegion' AND obj = 'AMERICA'
+)
+SELECT subj, pred, obj, direction FROM (
+  SELECT t.subj, t.pred, t.obj, 'out' AS direction
+  FROM t SEMI JOIN nodes ON t.subj = nodes.dn
+  UNION ALL
+  SELECT t.subj, t.pred, t.obj, 'in' AS direction
+  FROM t SEMI JOIN nodes ON t.obj = nodes.dn
+  WHERE t.subj <> t.obj
+) ORDER BY direction, subj, pred, obj
+"""
+
+
 ORACLE_SPARQL_SUBQUERY = """
 WITH cnt AS (
   SELECT c.c_name AS c, COUNT(*) AS n
@@ -1585,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_grouped": _q_sparql_path_grouped,
         "sparql_path_negset": _q_sparql_path_negset,
         "sparql_filter_functions": _q_sparql_filter_functions,
+        "sparql_describe_var": _q_sparql_describe_var,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -1754,6 +1798,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_grouped": ORACLE_SPARQL_PATH_GROUPED,
         "sparql_path_negset": ORACLE_SPARQL_PATH_NEGSET,
         "sparql_filter_functions": ORACLE_SPARQL_FILTER_FUNCTIONS,
+        "sparql_describe_var": ORACLE_SPARQL_DESCRIBE_VAR,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

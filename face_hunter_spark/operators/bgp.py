@@ -353,6 +353,35 @@ def describe(
     return out.unionByName(inn)
 
 
+def describe_set(
+    triples: DataFrame, nodes: DataFrame, col: str
+) -> DataFrame:
+    """:func:`describe` over a DISTRIBUTED node set (SPARQL
+    ``DESCRIBE ?v WHERE {...}`` — operators/sparql.py): two left-semi
+    hash joins pull the out-star (node as subject) and in-star (node
+    as object, self-loops excluded like the single-node form) without
+    collecting the nodes to the driver.
+
+    Scale shape: the node set is usually small after DISTINCT, so AQE
+    broadcasts the semi-join side; at worst it is two shuffled
+    semi-joins keyed on subj/obj — never a driver collect."""
+    t = triples.select("subj", "pred", "obj")
+    n = (
+        nodes.select(F.col(col).alias("__dn"))
+        .where(F.col("__dn").isNotNull())
+        .distinct()
+    )
+    out = t.join(
+        n, F.col("subj") == F.col("__dn"), "left_semi"
+    ).withColumn("direction", F.lit("out"))
+    inn = (
+        t.where(F.col("subj") != F.col("obj"))
+        .join(n, F.col("obj") == F.col("__dn"), "left_semi")
+        .withColumn("direction", F.lit("in"))
+    )
+    return out.unionByName(inn)
+
+
 def _join_compiled(compiled, allow_cartesian: bool):
     """Join a list of compiled (df, vars) patterns into one plan;
     returns (plan, bound_vars)."""

@@ -328,7 +328,21 @@ class _Parser:
         elif self._at_kw("describe"):
             self._next()
             q = ParsedQuery(form="describe")
-            q.describe_node = self._term(allow_var=False)
+            t = self._peek()
+            if t is not None and t.kind == "VAR":
+                # DESCRIBE ?v WHERE { ... }: describe every resource
+                # ?v binds to in the group's solutions
+                q.describe_node = "?" + self._next().text[1:]
+                if self._at_kw("where"):
+                    self._next()
+                if not self._at_op("{"):
+                    raise ValueError(
+                        "DESCRIBE ?var needs a WHERE { ... } group to "
+                        "bind the variable"
+                    )
+                self._parse_group(q)
+            else:
+                q.describe_node = self._term(allow_var=False)
         elif self._at_kw("construct"):
             q = self._parse_construct()
         else:
@@ -1751,7 +1765,12 @@ def execute(
     # graph (top-level synthetic closure triples are invisible to them
     # anyway — collision-proof predicate names)
     base_triples = triples
-    if q.form != "describe":
+    describe_var = (
+        q.form == "describe"
+        and type(q.describe_node) is str
+        and q.describe_node.startswith("?")
+    )
+    if q.form != "describe" or describe_var:
         q = _rewrite_path_ops(q)
         triples, q = _expand_paths(triples, q)
     # group-level FILTERs may reference service-, subquery- or
@@ -1789,7 +1808,19 @@ def execute(
             for p, o, of, f in _variants(q)
         )
     if q.form == "describe":
-        return bgp.describe(triples, q.describe_node)
+        if not describe_var:
+            return bgp.describe(triples, q.describe_node)
+        # variable form: bind the node set through the full solution
+        # algebra, then two semi-joins pull each node's out/in star —
+        # no collect, the node set stays distributed
+        var = q.describe_node[1:]
+        q.select = [var]
+        q.distinct = True
+        nodes = _finish_select(
+            triples, base_triples, q, allow_cartesian, services,
+            deferred_filters,
+        )
+        return bgp.describe_set(base_triples, nodes, var)
     if q.form == "construct":
         # assemble the solution bindings through the same algebra the
         # SELECT path uses (UNION variants, SERVICE/subquery joins,

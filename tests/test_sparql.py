@@ -1226,3 +1226,33 @@ def test_filter_function_surface(spark):
             P + "SELECT ?s WHERE { ?s e:title ?t . "
             "FILTER (md5(?t) = ?t) }"
         )
+
+
+def test_describe_variable_form(triples):
+    # DESCRIBE ?v WHERE {...}: every video with >= 2 scenes -> v1's
+    # full out/in star, distributed semi-joins (no driver collect)
+    df = sparql.execute(
+        triples,
+        """DESCRIBE ?v WHERE {
+             { SELECT ?v (COUNT(?s) AS ?n)
+               WHERE { ?v hunter:hasScene ?s } GROUP BY ?v }
+             FILTER (?n >= 2)
+           }""",
+    )
+    got = sorted(map(tuple, df.collect()))
+    assert got == sorted([
+        ("v1", P_SCENE, "s1", "out"),
+        ("v1", P_SCENE, "s2", "out"),
+        ("v1", P_TITLE, "alpha title", "out"),
+    ])
+    # plain pattern binding + in-star rows for an object-side node
+    df2 = sparql.execute(
+        triples,
+        'DESCRIBE ?s WHERE { ?s temporal:hasStartTime "0:00:05" }',
+    )
+    got2 = sorted(map(tuple, df2.collect()))
+    assert ("v1", P_SCENE, "s2", "in") in got2
+    assert ("s2", P_START, "0:00:05", "out") in got2
+    # var form without WHERE raises
+    with pytest.raises(ValueError, match="WHERE"):
+        sparql.parse("DESCRIBE ?v")
