@@ -282,6 +282,33 @@ def _ground_df(spark: SparkSession, triples: list) -> DataFrame:
     ).dropDuplicates(["subj", "pred", "obj"])
 
 
+def _expand_where_paths(base: DataFrame, u: ParsedUpdate) -> DataFrame:
+    """Property paths in a modify-form WHERE clause: reuse the read
+    path's rewrite (sequences -> fresh join vars, negated sets ->
+    hidden-var + NOT IN filter, closures -> synthetic triples) ONCE —
+    the rewrite mutates ``u.where`` in place, so both template
+    instantiations see the rewritten patterns — and return the
+    (possibly closure-augmented) graph they match against.  Alternative
+    paths would need UNION evaluation bgp.construct doesn't do; raise."""
+    w = u.where
+    if w is None or not any(
+        isinstance(p, tuple) for _, p, _ in w.patterns
+    ) and not any(
+        isinstance(p, tuple) for g in w.optional for _, p, _ in g
+    ):
+        return base
+    from .sparql import _expand_paths, _rewrite_path_ops
+
+    _rewrite_path_ops(w)
+    if w.unions:
+        raise NotImplementedError(
+            "'|' alternative paths in an update WHERE clause are not "
+            "in the supported subset — run one update per alternative"
+        )
+    expanded, _ = _expand_paths(base, w)
+    return expanded
+
+
 def _delete_set(base: DataFrame, u: ParsedUpdate,
                 allow_cartesian: bool) -> DataFrame | None:
     """The (subj, pred, obj) set this update deletes, computed against
@@ -365,8 +392,9 @@ def updated_graph(
         return base.limit(0)
     if u.form == "clear_named":
         return base
-    dels = _delete_set(base, u, allow_cartesian)
-    ins = _insert_set(base, u, allow_cartesian)
+    match_base = _expand_where_paths(base, u)
+    dels = _delete_set(match_base, u, allow_cartesian)
+    ins = _insert_set(match_base, u, allow_cartesian)
     out = base
     if dels is not None:
         out = out.join(
@@ -478,7 +506,14 @@ def execute_update(
     # Instantiate BOTH sets against the ORIGINAL state first (SPARQL
     # 1.1 §3.1.3), and cut their lineage when a delete follows: the
     # copy-on-write overwrite EXPIRES the files these lazy plans read.
-    dels = _delete_set(base, u, allow_cartesian) if base is not None else None
+    match_base = (
+        _expand_where_paths(base, u) if base is not None else None
+    )
+    dels = (
+        _delete_set(match_base, u, allow_cartesian)
+        if base is not None
+        else None
+    )
     if dels is not None:
         dels = (
             dels.select("subj", "pred", "obj")
@@ -486,7 +521,7 @@ def execute_update(
             .localCheckpoint()
         )
     ins = _insert_set(
-        base if base is not None
+        match_base if match_base is not None
         else _ground_df(spark, u.data).limit(0),
         u,
         allow_cartesian,

@@ -569,3 +569,47 @@ def test_facade_graph_uri_gates_clear(spark, tmp_path):
         h.update("CLEAR GRAPH <http://other.example/kg>")
     rep = h.update("CLEAR GRAPH <http://g.example/kg>")
     assert rep["deleted"] == 1
+
+
+def test_update_where_property_paths(spark):
+    from face_hunter_spark.operators.sparql_update import updated_graph
+
+    rows = [
+        ("a", "http://e/p", "b"),
+        ("b", "http://e/p", "c"),
+        ("a", "http://e/lbl", "x"),
+        ("c", "http://e/lbl", "y"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # closure step in a modify-form WHERE: tag every node reachable
+    # from 'a' via p+ (read path's synthetic-closure machinery reused)
+    out = updated_graph(
+        t,
+        'PREFIX e: <http://e/> INSERT { ?d e:mark "r" } '
+        "WHERE { <a> e:p+ ?d }",
+    )
+    marked = sorted(
+        r.subj for r in out.where(
+            out.pred == "http://e/mark").collect()
+    )
+    assert marked == ["b", "c"]
+    # sequence path: copy the label reached via p/lbl onto the start
+    # node (b -p-> c -lbl-> y) and drop the start node's own label
+    out2 = updated_graph(
+        t,
+        "PREFIX e: <http://e/> DELETE { ?m e:p ?x } "
+        "INSERT { ?m e:via ?l } WHERE { ?m e:p/e:lbl ?l . ?m e:p ?x }",
+    )
+    got2 = sorted(map(tuple, out2.collect()))
+    assert ("b", "http://e/via", "y") in got2
+    assert ("b", "http://e/p", "c") not in got2
+    assert ("a", "http://e/p", "b") in got2  # a's p/lbl finds no label
+    # alternative paths in an update WHERE stay a loud seam
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="alternative"):
+        updated_graph(
+            t,
+            'PREFIX e: <http://e/> INSERT { ?d e:mark "r" } '
+            "WHERE { <a> e:p|e:lbl ?d }",
+        )
