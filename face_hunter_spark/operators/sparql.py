@@ -655,11 +655,13 @@ class _Parser:
                     if self._at_op("."):
                         self._next()
                     continue
-                branches = [self._parse_union_branch()]
+                branches = list(self._parse_union_branch())
+                n_groups = 1
                 while self._at_kw("union"):
                     self._next()
-                    branches.append(self._parse_union_branch())
-                if len(branches) < 2:
+                    branches.extend(self._parse_union_branch())
+                    n_groups += 1
+                if n_groups < 2 and len(branches) < 2:
                     raise NotImplementedError(
                         "a lone nested group has FILTER-scoping "
                         "semantics this subset doesn't model — inline "
@@ -675,16 +677,33 @@ class _Parser:
         self._expect_op("}")
 
     def _parse_union_branch(self):
-        """One '{...}' branch of a UNION block -> (patterns, optional,
-        optional_filters, filters).  Nested UNION inside a branch is
-        not supported."""
+        """One '{...}' branch of a UNION block -> a LIST of
+        (patterns, optional, optional_filters, filters) tuples —
+        usually one; a branch that is ITSELF a pure UNION block
+        splices its branches into the parent (UNION is associative:
+        { {A} UNION {B} } UNION {C} = A ∪ B ∪ C).  A branch that
+        JOINS patterns with a nested UNION would need non-distributive
+        algebra and raises."""
         sub = ParsedQuery(form="union-branch")
         self._parse_group(sub)
         if sub.unions:
-            raise NotImplementedError(
-                "nested UNION inside a UNION branch is not in the "
-                "supported subset"
-            )
+            if (
+                sub.patterns
+                or sub.optional
+                or len(sub.unions) != 1
+            ):
+                raise NotImplementedError(
+                    "a UNION branch that joins patterns with a nested "
+                    "UNION is not in the supported subset — flatten "
+                    "the alternatives into sibling branches"
+                )
+            if sub.filters:
+                raise NotImplementedError(
+                    "a FILTER alongside a nested UNION inside a "
+                    "branch is not in the supported subset — push it "
+                    "into each inner branch"
+                )
+            return sub.unions[0]
         if (
             sub.exists_clauses
             or sub.minus_clauses
@@ -698,8 +717,8 @@ class _Parser:
                 "UNION branch is not in the supported subset — hoist "
                 "it to the outer group"
             )
-        return (sub.patterns, sub.optional, sub.optional_filters,
-                sub.filters)
+        return [(sub.patterns, sub.optional, sub.optional_filters,
+                 sub.filters)]
 
     def _parse_values(self):
         """VALUES ?x { ... } or VALUES (?x ?y) { (a b) ... } ->

@@ -129,10 +129,18 @@ def test_parse_loud_seams():
         )
     with pytest.raises(NotImplementedError, match="lone nested group"):
         sparql.parse("SELECT ?v WHERE { { ?v dc:title ?t } }")
-    with pytest.raises(NotImplementedError, match="nested UNION"):
+    # nested pure UNION flattens by associativity (r5): 3 branches
+    q = sparql.parse(
+        "SELECT ?v WHERE { { { ?v dc:title ?t } UNION "
+        "{ ?v dc:identifier ?t } } UNION { ?v dc:title ?t } }"
+    )
+    assert len(q.unions) == 1 and len(q.unions[0]) == 3
+    # but a branch JOINING patterns with a nested UNION still raises
+    with pytest.raises(NotImplementedError, match="joins patterns"):
         sparql.parse(
-            "SELECT ?v WHERE { { { ?v dc:title ?t } UNION "
-            "{ ?v dc:identifier ?t } } UNION { ?v dc:title ?t } }"
+            "SELECT ?v WHERE { { ?v dc:title ?t . "
+            "{ ?v dc:identifier ?i } UNION { ?v dc:creator ?i } } "
+            "UNION { ?v dc:title ?t } }"
         )
     # FILTER inside OPTIONAL parses into the group-aligned slot
     q = sparql.parse(
@@ -1256,3 +1264,22 @@ def test_describe_variable_form(triples):
     # var form without WHERE raises
     with pytest.raises(ValueError, match="WHERE"):
         sparql.parse("DESCRIBE ?v")
+
+
+def test_union_associative_flattening(triples):
+    # { {A} UNION {B} } UNION {C} evaluates as A ∪ B ∪ C
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?x ?y WHERE {
+             { { ?x hunter:hasScene ?y } UNION { ?x dc:title ?y } }
+             UNION { ?x foaf:depicts ?y }
+           }""",
+    ).collect()))
+    want = sorted(
+        [("v1", "s1"), ("v1", "s2"), ("v2", "s3"),
+         ("v1", "alpha title"), ("v2", "Beta Title"),
+         ("s1", "http://dbpedia.org/resource/A"),
+         ("s1", "http://www.wikidata.org/entity/Q2"),
+         ("s3", "http://dbpedia.org/resource/A")]
+    )
+    assert got == want
