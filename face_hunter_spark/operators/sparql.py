@@ -47,7 +47,9 @@ Supported subset — exactly the shapes the reference emits/accepts
   set;
 * negation: ``FILTER [NOT] EXISTS { ... }`` (left-semi/left-anti hash
   join on the shared variables) and ``MINUS { ... }`` (left-anti; a
-  group sharing no variable removes nothing, per spec);
+  group sharing no variable removes nothing, per spec); both accept
+  group-local ``FILTER`` expressions (applied to the group's bindings
+  BEFORE the semi/anti join) and negated property sets;
 * ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (a b) ... }`` inline
   binding tables (broadcast inner join; UNDEF binds NULL and does not
   wildcard-match) and ``BIND (expr AS ?v)`` computed variables over
@@ -559,9 +561,8 @@ class _Parser:
                         self._next()
                         positive = False
                     self._expect_kw("exists")
-                    q.exists_clauses.append(
-                        (positive, self._parse_negation_group("EXISTS"))
-                    )
+                    ep, ef = self._parse_negation_group("EXISTS")
+                    q.exists_clauses.append((positive, ep, ef))
                 else:
                     self._expect_op("(")
                     q.filters.append(self._filter_expr())
@@ -763,26 +764,29 @@ class _Parser:
         return self._term(allow_var=False)
 
     def _parse_negation_group(self, kw: str):
-        """The pattern group of FILTER [NOT] EXISTS / MINUS -> a plain
-        pattern list (OPTIONAL/FILTER/UNION inside would need algebra
-        this subset doesn't model)."""
+        """The pattern group of FILTER [NOT] EXISTS / MINUS ->
+        (patterns, filters): plain triple patterns plus group-local
+        FILTERs, applied to the group's bindings BEFORE the semi/anti
+        join (the filters may reference outer variables the group
+        shares — they resolve against the group's own bindings, which
+        carry those columns).  OPTIONAL/UNION/nesting inside would
+        need algebra this subset doesn't model."""
         sub = ParsedQuery(form="negation")
         self._parse_group(sub)
         if (
             sub.optional
-            or sub.filters
             or sub.unions
             or sub.exists_clauses
             or sub.minus_clauses
             or sub.subqueries
         ):
             raise NotImplementedError(
-                f"only plain triple patterns are supported inside "
+                f"only triple patterns and FILTER are supported inside "
                 f"{kw} {{...}}"
             )
         if not sub.patterns:
             raise ValueError(f"{kw} group is empty")
-        return sub.patterns
+        return sub.patterns, sub.filters
 
     def _triples_block(self, q: ParsedQuery) -> None:
         subj = self._term()
@@ -1467,11 +1471,12 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
         for i, g in enumerate(q.optional)
     ]
     q.exists_clauses = [
-        (pos, rewrite(p, False, "FILTER EXISTS", None))
-        for pos, p in q.exists_clauses
+        (pos, rewrite(p, False, "FILTER EXISTS", f), f)
+        for pos, p, f in q.exists_clauses
     ]
     q.minus_clauses = [
-        rewrite(p, False, "MINUS", None) for p in q.minus_clauses
+        (rewrite(p, False, "MINUS", f), f)
+        for p, f in q.minus_clauses
     ]
     return q
 
@@ -1535,9 +1540,9 @@ def _expand_paths(
         for branches in q.unions
     ]
     q.exists_clauses = [
-        (pos, rewrite(p)) for pos, p in q.exists_clauses
+        (pos, rewrite(p), f) for pos, p, f in q.exists_clauses
     ]
-    q.minus_clauses = [rewrite(p) for p in q.minus_clauses]
+    q.minus_clauses = [(rewrite(p), f) for p, f in q.minus_clauses]
     if not specs:
         return triples, q
 
@@ -1652,9 +1657,10 @@ def _apply_solution_clauses(
     inner join of the inline binding table (cross product when
     uncorrelated); BIND -> withColumn in document order, cast to
     string to match the all-lexical triple model."""
-    for positive, pats in q.exists_clauses:
+    for positive, pats, gfilters in q.exists_clauses:
         sub = bgp.graph_pattern(
             triples, pats, select=None, distinct=False,
+            filters=gfilters or None,
             allow_cartesian=allow_cartesian,
         )
         shared = [c for c in sub.columns if c in df.columns]
@@ -1669,9 +1675,10 @@ def _apply_solution_clauses(
             on=shared,
             how="left_semi" if positive else "left_anti",
         )
-    for pats in q.minus_clauses:
+    for pats, gfilters in q.minus_clauses:
         sub = bgp.graph_pattern(
             triples, pats, select=None, distinct=False,
+            filters=gfilters or None,
             allow_cartesian=allow_cartesian,
         )
         shared = [c for c in sub.columns if c in df.columns]

@@ -666,10 +666,13 @@ def test_not_exists_ask_and_seams(triples):
             """SELECT ?s WHERE { ?s a video:Scene .
                  FILTER EXISTS { ?x dc:title ?t } }""",
         )
-    with pytest.raises(NotImplementedError, match="plain triple"):
+    # FILTER inside MINUS is supported since r5 (group-local filter);
+    # OPTIONAL inside a negation group stays a loud seam
+    with pytest.raises(NotImplementedError, match="triple patterns"):
         sparql.parse(
             """SELECT ?s WHERE { ?s a video:Scene .
-                 MINUS { ?s foaf:depicts ?e . FILTER(?e != "x") } }"""
+                 MINUS { ?s foaf:depicts ?e .
+                         OPTIONAL { ?e dc:title ?t } } }"""
         )
 
 
@@ -1111,14 +1114,16 @@ def test_property_path_groups_and_negsets(spark):
         "SELECT ?s ?o WHERE { ?s e:lbl ?l . "
         "OPTIONAL { ?s !e:lbl ?o } } ORDER BY ?s ?o"
     ) == [("a", "b"), ("a", "d"), ("x", None)]
-    # seams: composite closure, inverse-in-negset, modifier on negset,
-    # negset inside MINUS (no filter slot)
+    # negset inside MINUS rides the group's own filter slot (r5):
+    # remove every subject with a non-lbl out-edge
+    assert run(
+        "SELECT ?s WHERE { ?s e:lbl ?l . MINUS { ?s !e:lbl ?o } }"
+    ) == [("x",)]
+    # seams: composite closure, inverse-in-negset, modifier on negset
     for bad, msg in [
         ("SELECT ?s WHERE { ?s (e:p/e:q)+ ?o }", "grouped path"),
         ("SELECT ?s WHERE { ?s !(^e:p) ?o }", "inverse member"),
         ("SELECT ?s WHERE { ?s !e:p+ ?o }", "modifier on a negated"),
-        ("SELECT ?s WHERE { ?s e:lbl ?l . "
-         "MINUS { ?s !e:lbl ?o } }", "negated property sets inside"),
     ]:
         with pytest.raises(NotImplementedError):
             sparql.execute(tri, P + bad)
@@ -1283,3 +1288,41 @@ def test_union_associative_flattening(triples):
          ("s3", "http://dbpedia.org/resource/A")]
     )
     assert got == want
+
+
+def test_filter_inside_exists_and_minus(triples):
+    # FILTER NOT EXISTS with a group-local filter: scenes with NO
+    # dbpedia depiction (s1/s3 depict dbpedia A -> only s2 survives)
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?s WHERE {
+             ?s a video:Scene .
+             FILTER NOT EXISTS {
+               ?s foaf:depicts ?e
+               FILTER ( strstarts(str(?e), "http://dbpedia.org/") )
+             }
+           }""",
+    ).collect()))
+    assert got == [("s2",)]
+    # positive EXISTS with the complementary filter
+    got2 = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?s WHERE {
+             ?s a video:Scene .
+             FILTER EXISTS {
+               ?s foaf:depicts ?e
+               FILTER ( strstarts(str(?e), "http://www.wikidata") )
+             }
+           }""",
+    ).collect()))
+    assert got2 == [("s1",)]
+    # MINUS with a group-local filter: drop scenes starting at 0:00:00
+    got3 = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?s WHERE {
+             ?s a video:Scene .
+             MINUS { ?s temporal:hasStartTime ?t
+                     FILTER ( ?t = "0:00:00" ) }
+           }""",
+    ).collect()))
+    assert got3 == [("s2",), ("s3",)]
