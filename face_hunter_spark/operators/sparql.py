@@ -614,12 +614,6 @@ class _Parser:
                 self._expect_op("}")
                 if not sub.patterns:
                     raise ValueError("empty SERVICE group")
-                if any(isinstance(p[1], tuple) for p in sub.patterns):
-                    raise NotImplementedError(
-                        "property paths inside a SERVICE{} group are "
-                        "not in the supported subset — materialize the "
-                        "closure into the snapshot instead"
-                    )
                 q.services.append((endpoint, sub.patterns))
                 if self._at_op("."):
                     self._next()
@@ -1721,10 +1715,28 @@ def _apply_services(
     same as every other cross-product seam."""
     for endpoint, pats in q.services:
         snap = services[endpoint].select("subj", "pred", "obj")
+        # property paths in the group evaluate against the SNAPSHOT's
+        # graph (SPARQL federation evaluates the pattern remotely):
+        # the same rewrite/closure machinery runs over a synthetic
+        # single-group query; negated sets land in its filter slot
+        sq = ParsedQuery(form="service")
+        sq.patterns = list(pats)
+        sq = _rewrite_path_ops(sq)
+        if sq.unions:
+            raise NotImplementedError(
+                "'|' alternative paths inside a SERVICE{} group are "
+                "not in the supported subset — split the SERVICE "
+                "group per alternative"
+            )
+        snap, sq = _expand_paths(snap, sq)
         sub = bgp.graph_pattern(
-            snap, pats, select=None, distinct=False,
+            snap, sq.patterns, select=None, distinct=False,
+            filters=sq.filters or None,
             allow_cartesian=allow_cartesian,
         )
+        seq_cols = [c for c in sub.columns if c.startswith("__seq")]
+        if seq_cols:
+            sub = sub.drop(*seq_cols)
         shared = [c for c in sub.columns if c in df.columns]
         if shared:
             df = df.join(sub, on=shared, how="inner")

@@ -122,11 +122,8 @@ def test_parse_loud_seams():
             "SELECT ?v WHERE { SERVICE <http://x> "
             "{ OPTIONAL { ?v dc:title ?t } } }"
         )
-    with pytest.raises(NotImplementedError, match="paths inside"):
-        sparql.parse(
-            "SELECT ?v WHERE { SERVICE <http://x> "
-            "{ ?v dc:title+ ?t } }"
-        )
+    # property paths inside SERVICE parse since r5 (they evaluate
+    # against the snapshot's graph); see test_service_snapshot_paths
     with pytest.raises(NotImplementedError, match="lone nested group"):
         sparql.parse("SELECT ?v WHERE { { ?v dc:title ?t } }")
     # nested pure UNION flattens by associativity (r5): 3 branches
@@ -1326,3 +1323,50 @@ def test_filter_inside_exists_and_minus(triples):
            }""",
     ).collect()))
     assert got3 == [("s2",), ("s3",)]
+
+
+def test_service_snapshot_paths(spark, triples):
+    # paths inside SERVICE evaluate against the SNAPSHOT graph: the
+    # snapshot holds a subClassOf chain the main graph doesn't have
+    snap = spark.createDataFrame(
+        [
+            ("http://dbpedia.org/resource/A", "http://e/kind", "k1"),
+            ("k1", "http://e/broader", "k2"),
+            ("k2", "http://e/broader", "k3"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT DISTINCT ?e ?k WHERE {
+             ?s foaf:depicts ?e .
+             SERVICE <http://attrs>
+             { ?e <http://e/kind>/<http://e/broader>+ ?k }
+           }""",
+        services={"http://attrs": snap},
+    ).collect()))
+    assert got == [
+        ("http://dbpedia.org/resource/A", "k2"),
+        ("http://dbpedia.org/resource/A", "k3"),
+    ]
+    # negated set inside SERVICE rides the synthetic filter slot
+    got2 = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT DISTINCT ?e ?o WHERE {
+             ?s foaf:depicts ?e .
+             SERVICE <http://attrs> { ?e !<http://e/nope> ?o }
+           }""",
+        services={"http://attrs": snap},
+    ).collect()))
+    assert got2 == [("http://dbpedia.org/resource/A", "k1")]
+    # alternatives inside SERVICE stay a loud seam
+    with pytest.raises(NotImplementedError, match="SERVICE"):
+        sparql.execute(
+            triples,
+            """SELECT ?e WHERE {
+                 ?s foaf:depicts ?e .
+                 SERVICE <http://attrs>
+                 { ?e <http://e/kind>|<http://e/nope> ?o }
+               }""",
+            services={"http://attrs": snap},
+        )
