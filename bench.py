@@ -333,6 +333,21 @@ def headline_queries(spark, sf_dir):
     }
 
 
+def _git_rev() -> str | None:
+    """Commit the suite ran against — artifact provenance, so a
+    BENCH_r*.json is attributable to exact code without prose."""
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 def _load1() -> float | None:
     """1-minute load average — recorded alongside every timing so a
     co-tenant load spike is VISIBLE in the artifact instead of having
@@ -381,6 +396,7 @@ def run_suite(repeats: int = 2) -> dict:
         "docs_per_sec": round(nd / kg_sec, 2) if kg_sec else None,
         "cpus": int(CPUS),
         "load1_per_query": load1,
+        "git_rev": _git_rev(),
     }
 
 

@@ -36,7 +36,16 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql.types import ArrayType, FloatType, IntegerType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 UNKNOWN = "unknown"
 
@@ -163,6 +172,77 @@ def _pair_cosine_distance(emb_col, gemb_col):
     return F.pandas_udf(kernel, "float")(emb_col, gemb_col)
 
 
+_BUCKET_CAND = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("frame_no", IntegerType(), False),
+        StructField("ts_ms", DoubleType(), False),
+        StructField("face_idx", IntegerType(), True),
+        StructField("gallery_id", LongType(), False),
+        StructField("g_label", StringType(), False),
+        StructField("distance", FloatType(), False),
+    ]
+)
+
+
+def _bucket_gemm_candidates(
+    mention: DataFrame, gal: DataFrame, k: int
+) -> DataFrame:
+    """Per-bucket candidate generation as one GEMM per bucket group
+    (cogroup on the band bucket): distances for every mention x
+    gallery pair sharing the bucket computed in a single numpy matmul
+    (float64, float32 result — same rounding as the pairwise kernel),
+    cut to each mention's in-bucket top-k by (distance, gallery_id)
+    before anything ships.
+
+    Scale sizing: a bucket's gallery slice must fit the kernel's
+    matrix (rows x 512 floats).  Bucket count per band is
+    2^rows_per_band, so raise ``rows_per_band`` as the gallery grows
+    to keep slices at ~10^4-10^5 rows (24 bits = 16M buckets covers a
+    10^9-row gallery at ~60 rows each); recall follows bands, cost
+    follows slice size."""
+    topk = max(int(k), 1)
+
+    def kernel(m_pdf: pd.DataFrame, g_pdf: pd.DataFrame) -> pd.DataFrame:
+        if m_pdf.empty or g_pdf.empty:
+            return pd.DataFrame(
+                columns=[f.name for f in _BUCKET_CAND.fields]
+            )
+        M = np.stack(m_pdf["embedding"].to_numpy()).astype(np.float64)
+        G = np.stack(g_pdf["g_embedding"].to_numpy()).astype(np.float64)
+        sims = M @ G.T
+        dist = (
+            1.0
+            - sims
+            / (
+                np.linalg.norm(M, axis=1)[:, None]
+                * np.linalg.norm(G, axis=1)[None, :]
+            )
+        ).astype(np.float32)
+        gid = g_pdf["gallery_id"].to_numpy()
+        n_keep = min(topk, dist.shape[1])
+        # per-mention top-k by (distance, gallery_id) — the same order
+        # the global rank window uses
+        order = np.lexsort((gid[None, :].repeat(len(M), 0), dist), axis=1)
+        keep = order[:, :n_keep]
+        rows = {
+            "doc_id": m_pdf["doc_id"].to_numpy().repeat(n_keep),
+            "frame_no": m_pdf["frame_no"].to_numpy().repeat(n_keep),
+            "ts_ms": m_pdf["ts_ms"].to_numpy().repeat(n_keep),
+            "face_idx": m_pdf["face_idx"].to_numpy().repeat(n_keep),
+            "gallery_id": gid[keep].ravel(),
+            "g_label": g_pdf["g_label"].to_numpy()[keep].ravel(),
+            "distance": np.take_along_axis(dist, keep, 1).ravel(),
+        }
+        return pd.DataFrame(rows)
+
+    return (
+        mention.groupBy("bucket")
+        .cogroup(gal.groupBy("bucket"))
+        .applyInPandas(kernel, _BUCKET_CAND)
+    )
+
+
 def link_lsh(
     faces: DataFrame,
     gallery: DataFrame,
@@ -216,26 +296,42 @@ def link_lsh(
         F.explode(sig("embedding")).alias("bucket"),
     )
 
-    gal_side = F.broadcast(gal) if broadcast_gallery else gal
-    # per-pair cosine distance in ONE Arrow-vectorized stage: the
-    # interpreted zip_with/aggregate form evaluated 512-element folds
-    # per candidate pair Catalyst-side and dominated the shuffle
-    # route's wall time (~6x the whole broadcast pipeline at sf0.1);
-    # einsum over the stacked batch does the same math in float64 and
-    # rounds to float32 exactly like the previous .cast("float")
-    # ONE shuffle clusters candidates by face: hash partitioning on
-    # (doc_id, frame_no, face_idx) satisfies every downstream
-    # requirement — the pair dedup (its group key is a superset), both
-    # rank windows (same keys), and the vote aggregate — so Catalyst
-    # plans the dedup-rank-vote chain with no further exchange
-    cand = (
-        mention.join(gal_side, "bucket")
-        .repartition("doc_id", "frame_no", "face_idx")
-        .dropDuplicates(["doc_id", "frame_no", "face_idx", "gallery_id"])
-        .withColumn(
-            "distance",
-            _pair_cosine_distance("embedding", "g_embedding"),
+    if broadcast_gallery:
+        # small-gallery form: broadcast hash join on the bucket, then
+        # one Arrow-vectorized per-pair distance (float64 einsum per
+        # batch, float32 result) — kept as the reference shape the
+        # shuffle form is equality-tested against
+        cand = (
+            mention.join(F.broadcast(gal), "bucket")
+            .withColumn(
+                "distance",
+                _pair_cosine_distance("embedding", "g_embedding"),
+            )
+            .select(
+                "doc_id", "frame_no", "ts_ms", "face_idx",
+                "gallery_id", "g_label", "distance",
+            )
         )
+    else:
+        # BEYOND-broadcast form: cogroup both sides by bucket and run
+        # ONE numpy GEMM per bucket instead of materializing the
+        # mention x gallery-bucket pair rows (each carrying two
+        # 512-float arrays) — embeddings cross the wire once per band
+        # and only (face key, gallery_id, distance) scalars leave the
+        # stage.  The kernel also cuts to the per-bucket top-k by
+        # (distance, gallery_id): a pair in the GLOBAL top-k of its
+        # face ranks at least as high inside every bucket containing
+        # it, so the union of per-bucket top-ks is a superset of the
+        # global top-k — the later window prune still sees everything
+        # it needs while per-bucket losers never ship.
+        cand = _bucket_gemm_candidates(mention, gal, k)
+    # ONE shuffle clusters the scalar candidate rows by face: hash
+    # partitioning on (doc_id, frame_no, face_idx) satisfies every
+    # downstream requirement — the cross-bucket pair dedup (its group
+    # key is a superset), both rank windows, and the vote aggregate
+    cand = (
+        cand.repartition("doc_id", "frame_no", "face_idx")
+        .dropDuplicates(["doc_id", "frame_no", "face_idx", "gallery_id"])
     )
 
     w = Window.partitionBy("doc_id", "frame_no", "face_idx").orderBy(

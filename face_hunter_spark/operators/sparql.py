@@ -685,6 +685,12 @@ class _Parser:
             if (
                 sub.patterns
                 or sub.optional
+                or sub.exists_clauses
+                or sub.minus_clauses
+                or sub.values_clauses
+                or sub.binds
+                or sub.services
+                or sub.subqueries
                 or len(sub.unions) != 1
             ):
                 raise NotImplementedError(
@@ -772,6 +778,9 @@ class _Parser:
             or sub.unions
             or sub.exists_clauses
             or sub.minus_clauses
+            or sub.values_clauses
+            or sub.binds
+            or sub.services
             or sub.subqueries
         ):
             raise NotImplementedError(
@@ -1112,6 +1121,15 @@ class _Parser:
                 self._next()
                 items.append(self._value_expr())
             self._expect_op(")")
+            # the comparison try_cast rule applies to IN lists too: a
+            # variable tested against numeric literals casts the
+            # lexical side (NULL never matches IN, dropping the row)
+            if (
+                items
+                and all(self._NUM_LIT.match(i) for i in items)
+                and not self._NUM_LIT.match(left)
+            ):
+                left = f"try_cast({left} AS DOUBLE)"
             return (
                 f"({left} {'NOT ' if neg else ''}IN "
                 f"({', '.join(items)}))"
@@ -1119,12 +1137,24 @@ class _Parser:
         return left
 
     def _value_expr(self) -> str:
-        """Operand with SPARQL arithmetic: the all-lexical triple
-        model makes numeric ops a try_cast to DOUBLE on each side
-        (non-numeric lexical forms yield NULL, which comparisons then
-        reject — SPARQL's type-error-drops-row semantics)."""
+        """Operand with SPARQL arithmetic ('*'/'/' bind tighter than
+        '+'/'-', per the grammar): the all-lexical triple model makes
+        numeric ops a try_cast to DOUBLE on each side (non-numeric
+        lexical forms yield NULL, which comparisons then reject —
+        SPARQL's type-error-drops-row semantics)."""
+        left = self._mul_expr()
+        while self._at_op("+", "-"):
+            op = self._next().text
+            right = self._mul_expr()
+            left = (
+                f"(try_cast({left} AS DOUBLE) {op} "
+                f"try_cast({right} AS DOUBLE))"
+            )
+        return left
+
+    def _mul_expr(self) -> str:
         left = self._operand()
-        while self._at_op("+", "-", "*", "/"):
+        while self._at_op("*", "/"):
             op = self._next().text
             right = self._operand()
             left = (
@@ -1823,16 +1853,13 @@ def execute(
     )
     if q.form == "ask":
         if has_negation or q.services or q.subqueries:
-            df = _bindings(triples, q, allow_cartesian)
-            if q.services:
-                df = _apply_services(df, q, services, allow_cartesian)
-            if q.subqueries:
-                df = _apply_subqueries(
-                    df, q, base_triples, allow_cartesian, services
-                )
-            df = _apply_solution_clauses(triples, df, q, allow_cartesian)
-            for expr in deferred_filters:
-                df = df.where(F.expr(expr))
+            # same binding assembly as SELECT (an ask-form q has no
+            # aggregates/projection/modifiers, so the shared pipeline
+            # reduces to the joins + clauses), then LIMIT-1 existence
+            df = _finish_select(
+                triples, base_triples, q, allow_cartesian, services,
+                deferred_filters,
+            )
             return len(df.limit(1).take(1)) > 0
         return any(
             bgp.ask(

@@ -125,6 +125,7 @@ class _UpdateParser(_Parser):
                     sub.optional or sub.filters or sub.unions
                     or sub.exists_clauses or sub.minus_clauses
                     or sub.values_clauses or sub.binds
+                    or sub.services or sub.subqueries
                 ):
                     raise NotImplementedError(
                         "DELETE WHERE takes plain triple patterns only "
@@ -206,11 +207,12 @@ class _UpdateParser(_Parser):
         if (
             sub.unions or sub.exists_clauses or sub.minus_clauses
             or sub.values_clauses or sub.binds
+            or sub.services or sub.subqueries
         ):
             raise NotImplementedError(
-                "UNION/EXISTS/MINUS/VALUES/BIND in an update WHERE "
-                "clause is not in the supported subset — SELECT the "
-                "bindings first and issue DATA forms"
+                "UNION/EXISTS/MINUS/VALUES/BIND/SERVICE/subquery in an "
+                "update WHERE clause is not in the supported subset — "
+                "SELECT the bindings first and issue DATA forms"
             )
         if not sub.patterns:
             raise ValueError("update WHERE group has no triple patterns")

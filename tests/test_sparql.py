@@ -1370,3 +1370,50 @@ def test_service_snapshot_paths(spark, triples):
                }""",
             services={"http://attrs": snap},
         )
+
+
+def test_review_fixes_precedence_ask_and_gates(triples, spark):
+    # arithmetic precedence: * binds tighter than +
+    rows = [("d", "http://e/x", "14")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = sparql.execute(
+        t, "SELECT ?s WHERE { ?s <http://e/x> ?x . "
+           "FILTER (?x = 2 + 3 * 4) }",
+    ).collect()
+    assert [r.s for r in got] == ["d"]
+    # IN over numeric literals try_casts the lexical side
+    rows2 = [("a", "http://e/y", "2020"), ("b", "http://e/y", "unknown")]
+    t2 = spark.createDataFrame(rows2, "subj string, pred string, obj string")
+    got2 = sparql.execute(
+        t2, "SELECT ?s WHERE { ?s <http://e/y> ?y . "
+            "FILTER (?y IN (2020, 2021)) }",
+    ).collect()
+    assert [r.s for r in got2] == ["a"]
+    # ASK with a subquery-only WHERE clause
+    assert sparql.execute(
+        triples,
+        """ASK { { SELECT ?v (COUNT(?s) AS ?n)
+                   WHERE { ?v hunter:hasScene ?s } GROUP BY ?v } }""",
+    ) is True
+    # clause-dropping gates: VALUES inside EXISTS, BIND alongside a
+    # nested UNION in a branch, subquery in an update WHERE
+    with pytest.raises(NotImplementedError, match="triple patterns"):
+        sparql.parse(
+            """SELECT ?s WHERE { ?s dc:title ?t .
+                 FILTER NOT EXISTS { ?s dc:identifier ?i .
+                                     VALUES ?i { "x" } } }"""
+        )
+    with pytest.raises(NotImplementedError):
+        sparql.parse(
+            """SELECT ?v WHERE { { { ?v dc:title ?t }
+                 UNION { ?v dc:identifier ?t }
+                 BIND ("z" AS ?z) } UNION { ?v dc:creator ?t } }"""
+        )
+    from face_hunter_spark.operators.sparql_update import parse_update
+
+    with pytest.raises(NotImplementedError, match="subquery"):
+        parse_update(
+            """DELETE { ?s <http://e/p> ?o }
+               WHERE { ?s <http://e/p> ?o .
+                 { SELECT ?s WHERE { ?s <http://e/q> "keep" } } }"""
+        )
