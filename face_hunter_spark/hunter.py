@@ -365,17 +365,21 @@ class SparkHunter:
         """Run a SPARQL query STRING against the committed triple table
         (operators/sparql.py — the text-level form of the reference's
         /api/query surface, api/api.py:81-97): PREFIX + SELECT
-        [DISTINCT] / ASK / DESCRIBE / CONSTRUCT with ``;``/``,`` triple
-        blocks, the ``a`` keyword, OPTIONAL groups, UNION blocks,
-        FILTER expressions (regex/str/bound/comparisons) and
-        ORDER BY / LIMIT / OFFSET —
-        compiled onto the same BGP plan as :meth:`match`.  Returns a
-        DataFrame (bool for ASK); None (False for ASK) before any
-        link() commit.  SERVICE{} groups evaluate against snapshots
-        registered with :meth:`register_service_snapshot`; an
-        unregistered endpoint raises NotImplementedError (live
-        federation is out of scope — or use :meth:`query` with an
-        attribute dim table)."""
+        [DISTINCT] / ASK / DESCRIBE (constant node or
+        ``DESCRIBE ?v WHERE {...}``) / CONSTRUCT with ``;``/``,``
+        triple blocks, the ``a`` keyword, OPTIONAL groups (with inner
+        FILTER), UNION blocks, ``{ SELECT ... }`` subqueries, the full
+        SPARQL 1.1 property-path grammar (groups, closures, negated
+        sets), FILTER [NOT] EXISTS / MINUS / VALUES / BIND,
+        aggregates with GROUP BY / HAVING, the FILTER builtin set
+        (string/numeric/conditional, IN lists, arithmetic) and
+        ORDER BY / LIMIT / OFFSET — compiled onto the same BGP plan as
+        :meth:`match`.  Returns a DataFrame (bool for ASK); None
+        (False for ASK) before any link() commit.  SERVICE{} groups
+        evaluate against snapshots registered with
+        :meth:`register_service_snapshot`; an unregistered endpoint
+        raises NotImplementedError (live federation is out of scope —
+        or use :meth:`query` with an attribute dim table)."""
         from .operators.sparql import execute, parse
 
         if not self.catalog.exists("triples"):
