@@ -370,6 +370,10 @@ def describe_set(
         nodes.select(F.col(col).alias("__dn"))
         .where(F.col("__dn").isNotNull())
         .distinct()
+        # the node set feeds BOTH semi joins — cut the lineage so the
+        # binding plan (possibly a whole solution-algebra subtree)
+        # executes once, not once per star direction
+        .localCheckpoint(eager=False)
     )
     out = t.join(
         n, F.col("subj") == F.col("__dn"), "left_semi"
