@@ -618,6 +618,27 @@ class _Parser:
                 if self._at_op("."):
                     self._next()
                 continue
+            if not template_mode and self._at_kw("graph"):
+                # GRAPH <iri> { ... }: the store is ONE graph, so the
+                # wrapper collapses additively — same rule as the
+                # UPDATE forms' GRAPH wrappers (sparql_update.py) —
+                # and the group's contents parse straight into the
+                # enclosing group.  A variable graph name would need
+                # named-graph storage this engine doesn't have.
+                self._next()
+                t = self._next()
+                if t.kind == "PNAME":
+                    self._expand_pname(t)
+                elif t.kind != "IRI":
+                    raise NotImplementedError(
+                        "GRAPH with a variable graph name is not in "
+                        "the supported subset — the store is a single "
+                        "graph"
+                    )
+                self._parse_group(q)
+                if self._at_op("."):
+                    self._next()
+                continue
             if self._at_op("{"):
                 if template_mode:
                     raise ValueError(

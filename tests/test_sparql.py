@@ -1417,3 +1417,23 @@ def test_review_fixes_precedence_ask_and_gates(triples, spark):
                WHERE { ?s <http://e/p> ?o .
                  { SELECT ?s WHERE { ?s <http://e/q> "keep" } } }"""
         )
+
+
+def test_graph_wrapper_collapses(triples):
+    # GRAPH <iri> { ... } wrappers collapse into the enclosing group
+    # (single-graph store — the same additive rule as the UPDATE
+    # forms); a variable graph name raises
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT ?v ?t WHERE {
+             GRAPH <http://face-hunter.org/graph> {
+               ?v dc:title ?t .
+               FILTER ( strstarts(str(?t), "alpha") )
+             }
+           }""",
+    ).collect()))
+    assert got == [("v1", "alpha title")]
+    with pytest.raises(NotImplementedError, match="variable graph"):
+        sparql.parse(
+            "SELECT ?v WHERE { GRAPH ?g { ?v dc:title ?t } }"
+        )
