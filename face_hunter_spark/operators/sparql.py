@@ -25,6 +25,9 @@ Supported subset — exactly the shapes the reference emits/accepts
   ``a`` = rdf:type keyword — the reference's house style
   (``?scene a video:Scene ; foaf:depicts ?e ; ...``);
 * ``OPTIONAL { ... }`` groups (knowledge_graphs.py:103,123);
+* ``GRAPH <iri> { ... }`` wrappers — collapsed additively into the
+  enclosing group (the store is ONE graph; same rule as the UPDATE
+  forms' GRAPH wrappers); a variable graph name raises;
 * ``{ A } UNION { B }`` blocks — evaluated distributively
   (outer ⋈ (A ∪ B) = (outer ⋈ A) ∪ (outer ⋈ B) under bag semantics),
   with variables absent from a branch coming back NULL/unbound;
