@@ -435,10 +435,11 @@ class _Parser:
                 raise ValueError(f"{func.upper()}(*) is not valid SPARQL")
             self._next()
         else:
-            v = self._next()
-            if v.kind != "VAR":
-                raise ValueError(f"{func.upper()} needs a ?var or *")
-            arg = v.text[1:]
+            # full expression arguments: SUM(?a * ?b),
+            # COUNT(DISTINCT strbefore(?x, "#")) etc. — a bare ?var
+            # parses to its plain name, an expression to its compiled
+            # SQL (evaluated via F.expr at aggregation)
+            arg = self._value_expr()
         extra = None
         if func == "group_concat":
             extra = " "  # the SPARQL spec's default separator
@@ -1326,6 +1327,26 @@ class _Parser:
                 f"substring({a}, instr({a}, {b}) + length({b})) "
                 f"ELSE '' END)"
             )
+        if name in ("md5", "sha1", "sha256", "sha512"):
+            a = self._value_expr()
+            self._expect_op(")")
+            if name in ("md5", "sha1"):
+                return f"{name}({a})"
+            return f"sha2({a}, {name[3:]})"
+        if name in (
+            "year", "month", "day", "hours", "minutes", "seconds",
+        ):
+            # xsd:dateTime accessors over the lexical form: try_cast
+            # to TIMESTAMP (NULL for unparseable forms — the row then
+            # drops in comparisons, SPARQL's type-error rule)
+            a = self._value_expr()
+            self._expect_op(")")
+            fn = {
+                "year": "year", "month": "month", "day": "day",
+                "hours": "hour", "minutes": "minute",
+                "seconds": "second",
+            }[name]
+            return f"{fn}(try_cast({a} AS TIMESTAMP))"
         if name == "if":
             c = self._filter_expr()
             self._expect_op(",")
@@ -1338,7 +1359,8 @@ class _Parser:
             f"FILTER function {t.text!r} is not in the supported subset "
             "(STR, BOUND, REGEX, CONTAINS, STRSTARTS, STRENDS, UCASE, "
             "LCASE, STRLEN, SUBSTR, REPLACE, CONCAT, COALESCE, "
-            "STRBEFORE, STRAFTER, IF, ABS, CEIL, FLOOR, ROUND)"
+            "STRBEFORE, STRAFTER, IF, ABS, CEIL, FLOOR, ROUND, MD5, SHA1, "
+            "SHA256, SHA512, YEAR, MONTH, DAY, HOURS, MINUTES, SECONDS)"
         )
 
 
@@ -2026,30 +2048,39 @@ def _finish_select(
     if q.aggregates:
         aggs = []
         for func, arg, dist, alias, extra in q.aggregates:
+            # arg is a plain variable name OR a compiled SQL
+            # expression (aggregate-over-expression, e.g. SUM(?a*?b));
+            # a bare identifier gets backticks so names shadowing SQL
+            # keywords stay columns
+            ident = arg is not None and re.fullmatch(
+                r"[A-Za-z_][A-Za-z0-9_]*", arg
+            )
+            sql_arg = f"`{arg}`" if ident else arg
+            acol = F.expr(sql_arg) if arg is not None else None
             if func == "count":
                 if arg is None:
                     if dist:
                         raise ValueError("COUNT(DISTINCT *) is not valid")
                     col = F.count(F.lit(1))
                 elif dist:
-                    col = F.count_distinct(F.col(arg))
+                    col = F.count_distinct(acol)
                 else:
-                    col = F.count(F.col(arg))
+                    col = F.count(acol)
             elif func == "min":
-                col = F.min(arg)
+                col = F.min(acol)
             elif func == "max":
-                col = F.max(arg)
+                col = F.max(acol)
             elif func in ("sum", "avg"):
                 # all-lexical triple model: numeric aggregation casts
                 # the lexical form; try_cast drops non-numeric values,
                 # matching SPARQL's ignore-errors-in-aggregation rule
-                inner = f"try_cast(`{arg}` AS DOUBLE)"
+                inner = f"try_cast({sql_arg} AS DOUBLE)"
                 col = F.expr(
                     f"{func}({'DISTINCT ' if dist else ''}{inner})"
                 )
             elif func == "group_concat":
                 vals = (
-                    F.collect_set(arg) if dist else F.collect_list(arg)
+                    F.collect_set(acol) if dist else F.collect_list(acol)
                 )
                 # SPARQL leaves the order unspecified; sorting makes
                 # the result deterministic at any partitioning (the
@@ -2057,7 +2088,7 @@ def _finish_select(
                 col = F.array_join(F.array_sort(vals), extra)
             else:  # SAMPLE — spec says ANY value; min keeps the result
                 # deterministic at any partitioning
-                col = F.min(arg)
+                col = F.min(acol)
             aggs.append(col.alias(alias))
         df = (
             df.groupBy(*q.group_by).agg(*aggs)

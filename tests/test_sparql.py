@@ -1234,7 +1234,7 @@ def test_filter_function_surface(spark):
     with pytest.raises(NotImplementedError, match="FILTER function"):
         sparql.parse(
             P + "SELECT ?s WHERE { ?s e:title ?t . "
-            "FILTER (md5(?t) = ?t) }"
+            "FILTER (tz(?t) = ?t) }"
         )
 
 
@@ -1437,3 +1437,53 @@ def test_graph_wrapper_collapses(triples):
         sparql.parse(
             "SELECT ?v WHERE { GRAPH ?g { ?v dc:title ?t } }"
         )
+
+
+def test_hash_date_builtins_and_expression_aggregates(spark):
+    rows = [
+        ("e1", "http://e/when", "2021-03-05T10:20:30"),
+        ("e2", "http://e/when", "2022-07-01T01:02:03"),
+        ("e3", "http://e/when", "not-a-date"),
+        ("e1", "http://e/qty", "3"),
+        ("e1", "http://e/price", "10"),
+        ("e2", "http://e/qty", "2"),
+        ("e2", "http://e/price", "7"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    P = "PREFIX e: <http://e/>\n"
+
+    def run(q):
+        return sorted(map(tuple, sparql.execute(t, P + q).collect()))
+
+    # date accessors over lexical xsd:dateTime; unparseable drops
+    assert run(
+        "SELECT ?s WHERE { ?s e:when ?w . FILTER (year(?w) = 2021) }"
+    ) == [("e1",)]
+    assert run(
+        "SELECT ?s WHERE { ?s e:when ?w . "
+        "FILTER (month(?w) = 7 && hours(?w) = 1) }"
+    ) == [("e2",)]
+    # hash builtins produce the standard hex digests
+    import hashlib
+
+    want = hashlib.md5(b"2021-03-05T10:20:30").hexdigest()
+    got = run(
+        "SELECT ?s ?h WHERE { ?s e:when ?w . "
+        'FILTER (?s = "e1") BIND (md5(?w) AS ?h) }'
+    )
+    assert got == [("e1", want)]
+    want256 = hashlib.sha256(b"e1").hexdigest()
+    got2 = run(
+        'SELECT ?h WHERE { ?s e:qty ?q . FILTER (?s = "e1") '
+        "BIND (sha256(?s) AS ?h) }"
+    )
+    assert got2 == [(want256,)]
+    # aggregate over an expression: revenue = SUM(qty * price)
+    assert run(
+        "SELECT (SUM(?q * ?p) AS ?rev) WHERE { "
+        "?s e:qty ?q . ?s e:price ?p }"
+    ) == [(44.0,)]
+    # COUNT(DISTINCT expr)
+    assert run(
+        "SELECT (COUNT(DISTINCT year(?w)) AS ?n) WHERE { ?s e:when ?w }"
+    ) == [(2,)]
