@@ -1097,6 +1097,78 @@ ORDER BY r
 """
 
 
+def _q_sparql_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregates over full expressions (operators/sparql.py):
+    SUM(?p * month(?d)) — an aggregate whose argument composes
+    arithmetic with a date-accessor builtin — plus
+    COUNT(DISTINCT month(?d)) and MAX(sha256(?o)) over the hash
+    builtins, grouped on a BIND(year(?d)) variable (the engine's
+    all-lexical model makes the bound year a string).  Prices ride as
+    integer cent strings so every product is an exact integer below
+    2^53 — the double SUM is then order-independent and matches
+    DuckDB bit-for-bit at any partitioning.  Orders is the base (its
+    key is unique, so the 2-pattern BGP self-join is 1:1)."""
+    from face_hunter_spark.operators.sparql import execute
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    oid = F.concat(
+        F.lit("O"), F.col("o_orderkey").cast("string")
+    ).alias("subj")
+    base = (
+        orders.select(
+            oid,
+            F.lit("http://example.org/priceCents").alias("pred"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long").cast("string").alias("obj"),
+        )
+        .unionByName(
+            orders.select(
+                oid,
+                F.lit("http://example.org/placed").alias("pred"),
+                F.col("o_orderdate").cast("string").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?y (COUNT(?o) AS ?n_orders)
+               (SUM(?p * month(?d)) AS ?weighted_cents)
+               (COUNT(DISTINCT month(?d)) AS ?n_months)
+               (MAX(sha256(?o)) AS ?max_digest)
+        WHERE {
+          ?o ex:priceCents ?p .
+          ?o ex:placed ?d .
+          BIND (year(?d) AS ?y)
+        }
+        GROUP BY ?y
+        ORDER BY ?y
+        """,
+    )
+
+
+ORACLE_SPARQL_EXPR_AGG = """
+WITH g AS (
+  SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS o,
+         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             AS p,
+         CAST(o_orderdate AS VARCHAR) AS d
+  FROM orders
+)
+SELECT
+  CAST(year(CAST(d AS TIMESTAMP)) AS VARCHAR) AS y,
+  COUNT(o) AS n_orders,
+  SUM(CAST(p AS DOUBLE) * month(CAST(d AS TIMESTAMP)))
+      AS weighted_cents,
+  COUNT(DISTINCT month(CAST(d AS TIMESTAMP))) AS n_months,
+  MAX(sha256(o)) AS max_digest
+FROM g
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def _q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 subqueries (operators/sparql.py): a
     ``{ SELECT ... GROUP BY ... }`` group evaluated bottom-up and
@@ -1629,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_negset": _q_sparql_path_negset,
         "sparql_filter_functions": _q_sparql_filter_functions,
         "sparql_describe_var": _q_sparql_describe_var,
+        "sparql_expr_agg": _q_sparql_expr_agg,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -1799,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_negset": ORACLE_SPARQL_PATH_NEGSET,
         "sparql_filter_functions": ORACLE_SPARQL_FILTER_FUNCTIONS,
         "sparql_describe_var": ORACLE_SPARQL_DESCRIBE_VAR,
+        "sparql_expr_agg": ORACLE_SPARQL_EXPR_AGG,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
