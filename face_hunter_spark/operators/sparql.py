@@ -44,10 +44,12 @@ Supported subset — exactly the shapes the reference emits/accepts
   parenthesized groups ``(p1|p2)/p3`` (normalized to
   alternatives-of-sequences, distributing ``|`` over ``/``), and
   negated property sets ``!p`` / ``!(p1|p2)`` (a hidden predicate
-  variable plus a NOT IN filter) — all pure pattern rewrites; the
-  loud seams are closure of a GROUPED path (``(a/b)+``, a
-  composite-relation closure) and inverse members in/of a negated
-  set;
+  variable plus a NOT IN filter) — all pure pattern rewrites — and
+  composite-relation closures ``(a/b)+`` / ``(a|^b)*`` (the group's
+  edge relation is materialized once as a union of slice
+  compositions, then path-doubling-closed like a single predicate);
+  the remaining loud seams are a closure step or negated set INSIDE
+  a closed group and inverse members in/of a negated set;
 * negation: ``FILTER [NOT] EXISTS { ... }`` (left-semi/left-anti hash
   join on the shared variables) and ``MINUS { ... }`` (left-anti; a
   group sharing no variable removes nothing, per spec); both accept
@@ -908,11 +910,30 @@ class _Parser:
                 ):
                     _, uri, ginv, _ = inner[0][0]
                     return [[("step", uri, ginv != inv, mod)]]
+                if all(
+                    k[0] == "step" and k[3] is None
+                    for s in inner for k in s
+                ):
+                    # composite-relation closure, e.g. (a/b)+ or
+                    # (a|^b)* : the group's relation is a union of
+                    # step compositions; the materializer builds that
+                    # edge set once and closes it.  '^(...)' folds in
+                    # here — (R+)^-1 == (R^-1)+, so invert every
+                    # branch instead of carrying a marker.
+                    spec = tuple(
+                        tuple((k[1], k[2]) for k in s) for s in inner
+                    )
+                    if inv:
+                        spec = tuple(
+                            tuple((u, not i) for u, i in reversed(br))
+                            for br in spec
+                        )
+                    return [[("cstep", spec, mod)]]
                 raise NotImplementedError(
-                    "'+'/'*'/'?' on a grouped path is the closure of a "
-                    "composite relation — not in the supported subset; "
-                    "materialize the group as its own predicate and "
-                    "close that"
+                    "'+'/'*'/'?' on a grouped path whose group itself "
+                    "contains a closure step or negated set is not in "
+                    "the supported subset; materialize the group as "
+                    "its own predicate and close that"
                 )
             if inv:
                 inner = [_invert_path_seq(s) for s in inner]
@@ -969,6 +990,8 @@ class _Parser:
                 k = seq[0]
                 if k[0] == "negset":
                     return ("__seq__", [("__negset__", k[1])])
+                if k[0] == "cstep":
+                    return ("__cpath__", k[1], k[2])
                 _, uri, inv, mod = k
                 if inv and mod:
                     # ^p+ between the pattern's own ends: emit as a
@@ -1396,6 +1419,14 @@ def _invert_path_seq(seq: list) -> list:
                 "supported subset — swap the pattern's subject and "
                 "object instead"
             )
+        if k[0] == "cstep":
+            # invert the composite closure by inverting its relation
+            _, spec, mod = k
+            out.append(("cstep", tuple(
+                tuple((u, not i) for u, i in reversed(br))
+                for br in spec
+            ), mod))
+            continue
         _, uri, inv, mod = k
         out.append(("step", uri, not inv, mod))
     return out
@@ -1405,6 +1436,8 @@ def _path_part(k: tuple):
     """DNF step -> the sequence-part marker the rewriter emits."""
     if k[0] == "negset":
         return ("__negset__", k[1])
+    if k[0] == "cstep":
+        return ("__cpath__", k[1], k[2])
     _, uri, inv, mod = k
     if mod and inv:
         return ("__invpath__", uri, mod)
@@ -1447,7 +1480,7 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
             out.append((cur, elt, nxt))
         elif elt[0] == "__inv__":
             out.append((nxt, elt[1], cur))
-        elif elt[0] == "__path__":
+        elif elt[0] in ("__path__", "__cpath__"):
             out.append((cur, elt, nxt))
         elif elt[0] == "__invpath__":
             out.append((nxt, ("__path__", elt[1], elt[2]), cur))
@@ -1482,7 +1515,9 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
     def rewrite(patterns, allow_alt: bool, where: str, fsink):
         out = []
         for s, p, o in patterns:
-            if not isinstance(p, tuple) or p[0] == "__path__":
+            if not isinstance(p, tuple) or p[0] in (
+                "__path__", "__cpath__"
+            ):
                 out.append((s, p, o))
                 continue
             kind = p[0]
@@ -1564,22 +1599,41 @@ def _expand_paths(
     raises; ``pred?`` is the plain edge slice plus that zero row (no
     closure job).
 
-    Scale shape: one closure per distinct path predicate (path-doubling
-    self-joins over that predicate's slice only — operators/graph.py),
-    computed once even when the pattern appears in several UNION
-    branches; the union with the base table is scan-stage."""
+    Composite-relation closures (``(a/b)+``, ``(a|^b)*``) ride the
+    same scheme: the group's edge relation — a union over alternatives
+    of equi-join compositions of the member predicates' slices — is
+    built once per distinct group, then closed exactly like a
+    single-predicate slice.
+
+    Scale shape: one closure per distinct path predicate or group
+    (path-doubling self-joins over that relation only —
+    operators/graph.py), computed once even when the pattern appears
+    in several UNION branches; the union with the base table is
+    scan-stage."""
     specs: dict[str, tuple] = {}
 
     def rewrite(patterns):
         out = []
         for s, p, o in patterns:
-            if not (isinstance(p, tuple) and p[0] == "__path__"):
+            if not (
+                isinstance(p, tuple)
+                and p[0] in ("__path__", "__cpath__")
+            ):
                 out.append((s, p, o))
                 continue
-            _, uri, mod = p
+            if p[0] == "__path__":
+                _, uri, mod = p
+                kind, payload, name = "pred", uri, uri
+            else:
+                _, spec, mod = p
+                kind, payload = "cpath", spec
+                name = "\x1f(" + "|".join(
+                    "/".join(("^" if i else "") + u for u, i in br)
+                    for br in spec
+                ) + ")"
             if mod == "+":
-                key = uri + "\x1f+"
-                specs[key] = (uri, "+", None)
+                key = name + "\x1f+"
+                specs[key] = (kind, payload, "+", None)
             else:
                 const = None
                 for end in (s, o):
@@ -1590,13 +1644,13 @@ def _expand_paths(
                         break
                 if const is None:
                     raise NotImplementedError(
-                        f"pred{mod} needs a constant subject or object "
-                        "(the zero-length path over every node is "
-                        "unbounded); anchor one end"
-                        + (" or use pred+" if mod == "*" else "")
+                        f"a {mod}-path needs a constant subject or "
+                        "object (the zero-length path over every node "
+                        "is unbounded); anchor one end"
+                        + (" or use '+'" if mod == "*" else "")
                     )
-                key = uri + "\x1f" + mod + const
-                specs[key] = (uri, mod, const)
+                key = name + "\x1f" + mod + const
+                specs[key] = (kind, payload, mod, const)
             out.append((s, key, o))
         return out
 
@@ -1619,10 +1673,46 @@ def _expand_paths(
     from .graph import transitive_closure
 
     base = triples.select("subj", "pred", "obj")
+
+    def pred_edges(uri: str, inv: bool = False) -> DataFrame:
+        sl = base.where(F.col("pred") == F.lit(uri))
+        s, d = ("obj", "subj") if inv else ("subj", "obj")
+        return sl.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+
+    def composite_edges(spec) -> DataFrame:
+        # unique column names per step instead of DataFrame aliases:
+        # every slice derives from the same base scan, and Catalyst's
+        # union constraint-rewrite chokes on alias()-ed self-join
+        # attributes feeding a union
+        rel = None
+        for branch in spec:
+            cur = None
+            for step_no, (uri, inv) in enumerate(branch):
+                e = pred_edges(uri, inv).select(
+                    F.col("src").alias(f"__s{step_no}"),
+                    F.col("dst").alias(f"__d{step_no}"),
+                )
+                if cur is None:
+                    cur = e
+                else:
+                    cur = cur.join(
+                        e,
+                        F.col(f"__d{step_no - 1}")
+                        == F.col(f"__s{step_no}"),
+                    ).select("__s0", f"__d{step_no}")
+            last = len(branch) - 1
+            cur = cur.select(
+                F.col("__s0").alias("src"),
+                F.col(f"__d{last}").alias("dst"),
+            )
+            rel = cur if rel is None else rel.unionByName(cur)
+        return rel
+
     out = base
-    for key, (uri, mod, const) in sorted(specs.items()):
-        edges = base.where(F.col("pred") == F.lit(uri)).select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst")
+    for key, (kind, payload, mod, const) in sorted(specs.items()):
+        edges = (
+            pred_edges(payload) if kind == "pred"
+            else composite_edges(payload)
         )
         # '?' (zero-or-one) is the plain edge slice plus the anchored
         # zero-length row — no closure job at all; '+'/'*' need the

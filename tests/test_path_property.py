@@ -1,7 +1,9 @@
 """Property test for the SPARQL property-path grammar: random path
 expressions (inverse / sequence / alternative / grouping / '+'
-closures on atoms) evaluated by the engine's DNF rewrite must match a
-naive set-semantics evaluator over a fixed cyclic graph.
+closures on atoms AND on closure-free compound groups — the
+composite-relation closure) evaluated by the engine's DNF rewrite
+must match a naive set-semantics evaluator over a fixed cyclic
+graph.
 
 Comparison is on SETS of (s, o) pairs: SPARQL sequences/alternatives
 are bag-semantic (``(p|p)`` legitimately yields each solution twice),
@@ -53,7 +55,14 @@ def _compound(children):
     )
 
 
-paths = st.recursive(st.one_of(atoms, plus), _compound, max_leaves=5)
+# composite closure '(...)+': the engine supports it when the group
+# is closure-free (plain / inverse steps, sequences, alternatives)
+closure_free = st.recursive(atoms, _compound, max_leaves=3)
+cplus = st.tuples(st.just("cplus"), closure_free)
+
+paths = st.recursive(
+    st.one_of(atoms, plus, cplus), _compound, max_leaves=5
+)
 
 
 def render(ast) -> str:
@@ -62,6 +71,8 @@ def render(ast) -> str:
         return f"<http://e/{ast[1]}>"
     if kind == "plus":
         return f"<http://e/{ast[1]}>+"
+    if kind == "cplus":
+        return f"({render(ast[1])})+"
     if kind == "inv":
         return f"^({render(ast[1])})"
     if kind == "seq":
@@ -69,18 +80,23 @@ def render(ast) -> str:
     return f"({render(ast[1])})|({render(ast[2])})"
 
 
+def _fixpoint(step: set) -> set:
+    out = set(step)
+    while True:
+        new = {(s, o2) for s, o in out for o1, o2 in step if o == o1}
+        if new <= out:
+            return out
+        out |= new
+
+
 def naive(ast) -> set:
     kind = ast[0]
     if kind == "atom":
         return {(s, o) for s, p, o in EDGES if p == ast[1]}
     if kind == "plus":
-        step = {(s, o) for s, p, o in EDGES if p == ast[1]}
-        out = set(step)
-        while True:
-            new = {(s, o2) for s, o in out for o1, o2 in step if o == o1}
-            if new <= out:
-                return out
-            out |= new
+        return _fixpoint({(s, o) for s, p, o in EDGES if p == ast[1]})
+    if kind == "cplus":
+        return _fixpoint(naive(ast[1]))
     if kind == "inv":
         return {(o, s) for s, o in naive(ast[1])}
     if kind == "seq":

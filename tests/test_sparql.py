@@ -1116,9 +1116,14 @@ def test_property_path_groups_and_negsets(spark):
     assert run(
         "SELECT ?s WHERE { ?s e:lbl ?l . MINUS { ?s !e:lbl ?o } }"
     ) == [("x",)]
-    # seams: composite closure, inverse-in-negset, modifier on negset
+    # composite closure is supported now (r5): (p/q)+ over a->b->c
+    assert run("SELECT ?s ?o WHERE { ?s (e:p/e:q)+ ?o }") == [
+        ("a", "c"),
+    ]
+    # seams: nested closure in a closed group, inverse-in-negset,
+    # modifier on negset
     for bad, msg in [
-        ("SELECT ?s WHERE { ?s (e:p/e:q)+ ?o }", "grouped path"),
+        ("SELECT ?s WHERE { ?s (e:p/e:q+)+ ?o }", "closure step"),
         ("SELECT ?s WHERE { ?s !(^e:p) ?o }", "inverse member"),
         ("SELECT ?s WHERE { ?s !e:p+ ?o }", "modifier on a negated"),
     ]:
@@ -1487,3 +1492,52 @@ def test_hash_date_builtins_and_expression_aggregates(spark):
     assert run(
         "SELECT (COUNT(DISTINCT year(?w)) AS ?n) WHERE { ?s e:when ?w }"
     ) == [(2,)]
+
+
+def test_composite_path_closure(spark):
+    # n1 -p-> n2 -q-> n3 -p-> n4 -q-> n5 -p-> n6, plus a side edge
+    rows = [
+        ("n1", "http://e/p", "n2"),
+        ("n2", "http://e/q", "n3"),
+        ("n3", "http://e/p", "n4"),
+        ("n4", "http://e/q", "n5"),
+        ("n1", "http://e/knows", "n9"),
+        ("n5", "http://e/p", "n6"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    P = "PREFIX e: <http://e/>\n"
+
+    def run(q):
+        return sorted(map(tuple, sparql.execute(t, P + q).collect()))
+
+    # (p/q)+ closes the composite relation {n1->n3, n3->n5}
+    assert run("SELECT ?a ?b WHERE { ?a (e:p/e:q)+ ?b }") == [
+        ("n1", "n3"), ("n1", "n5"), ("n3", "n5"),
+    ]
+    # anchored * adds the zero-length row
+    assert run('SELECT ?b WHERE { "n1" (e:p/e:q)* ?b }') == [
+        ("n1",), ("n3",), ("n5",),
+    ]
+    # anchored ? is zero-or-one composite hop, no closure
+    assert run('SELECT ?b WHERE { "n1" (e:p/e:q)? ?b }') == [
+        ("n1",), ("n3",),
+    ]
+    # alternative group closure (p|q)+ = plain reachability on the chain
+    assert run('SELECT ?b WHERE { "n1" (e:p|e:q)+ ?b }') == [
+        ("n2",), ("n3",), ("n4",), ("n5",), ("n6",),
+    ]
+    # ^(p/q)+ equals (^q/^p)+ — group inverse folds into the spec
+    want = [("n1",), ("n3",)]
+    assert run('SELECT ?a WHERE { "n5" ^(e:p/e:q)+ ?a }') == want
+    assert run('SELECT ?a WHERE { "n5" (^e:q/^e:p)+ ?a }') == want
+    # composite closure mid-sequence
+    assert run("SELECT ?a ?b WHERE { ?a e:p/(e:q/e:p)+ ?b }") == [
+        ("n1", "n4"), ("n1", "n6"), ("n3", "n6"),
+    ]
+    # a closure step INSIDE a closed group stays a loud seam
+    with pytest.raises(NotImplementedError, match="closure step"):
+        sparql.parse(P + "SELECT ?a WHERE { ?a (e:p/e:q+)+ ?b }")
+    # unanchored '*' still raises (zero-length path over every node;
+    # the anchor check runs at path-expansion time, not parse time)
+    with pytest.raises(NotImplementedError, match="constant"):
+        sparql.execute(t, P + "SELECT ?a WHERE { ?a (e:p/e:q)* ?b }")
