@@ -1169,6 +1169,64 @@ ORDER BY 1
 """
 
 
+def _q_sparql_path_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-relation property-path closure (operators/sparql.py
+    _expand_paths): ``(p/q)+`` — the group's edge relation is an
+    equi-join composition of the two predicate slices, materialized
+    once and path-doubling-closed like a single predicate.  The graph
+    is a 25-rung ladder built from nation keys (A_k -p-> B_k -q->
+    A_{k+1}), so the composite relation is the successor chain and
+    its closure is every ordered pair — deep enough to need real
+    iteration (ceil(log2(24)) = 5 doubling rounds).  The oracle walks
+    the same composition with a recursive CTE."""
+    from face_hunter_spark.operators.sparql import execute
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    base = (
+        nation.select(
+            F.concat(F.lit("A"), k.cast("string")).alias("subj"),
+            F.lit("http://example.org/p").alias("pred"),
+            F.concat(F.lit("B"), k.cast("string")).alias("obj"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("B"), k.cast("string")).alias("subj"),
+                F.lit("http://example.org/q").alias("pred"),
+                F.concat(F.lit("A"), (k + 1).cast("string")).alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?a ?b WHERE { ?a (ex:p/ex:q)+ ?b }
+        ORDER BY ?a ?b
+        """,
+    )
+
+
+ORACLE_SPARQL_PATH_COMPOSITE = """
+WITH RECURSIVE comp AS (
+  SELECT p.src AS src, q.dst AS dst
+  FROM (SELECT 'A' || CAST(n_nationkey AS VARCHAR) AS src,
+               'B' || CAST(n_nationkey AS VARCHAR) AS dst
+        FROM nation) p
+  JOIN (SELECT 'B' || CAST(n_nationkey AS VARCHAR) AS src,
+               'A' || CAST(n_nationkey + 1 AS VARCHAR) AS dst
+        FROM nation) q
+  ON p.dst = q.src
+),
+walk(a, b) AS (
+  SELECT src, dst FROM comp
+  UNION
+  SELECT w.a, c.dst FROM walk w JOIN comp c ON w.b = c.src
+)
+SELECT a, b FROM walk ORDER BY a, b
+"""
+
+
 def _q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 subqueries (operators/sparql.py): a
     ``{ SELECT ... GROUP BY ... }`` group evaluated bottom-up and
@@ -1702,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter_functions": _q_sparql_filter_functions,
         "sparql_describe_var": _q_sparql_describe_var,
         "sparql_expr_agg": _q_sparql_expr_agg,
+        "sparql_path_composite": _q_sparql_path_composite,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -1873,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_filter_functions": ORACLE_SPARQL_FILTER_FUNCTIONS,
         "sparql_describe_var": ORACLE_SPARQL_DESCRIBE_VAR,
         "sparql_expr_agg": ORACLE_SPARQL_EXPR_AGG,
+        "sparql_path_composite": ORACLE_SPARQL_PATH_COMPOSITE,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
