@@ -54,7 +54,10 @@ Supported subset — exactly the shapes the reference emits/accepts
   join on the shared variables) and ``MINUS { ... }`` (left-anti; a
   group sharing no variable removes nothing, per spec); both accept
   group-local ``FILTER`` expressions (applied to the group's bindings
-  BEFORE the semi/anti join) and negated property sets;
+  BEFORE the semi/anti join), negated property sets, ``OPTIONAL``
+  groups, ``UNION`` blocks and alternative paths (the group evaluates
+  through the same bindings assembler as a required group; BIND /
+  VALUES / SERVICE / subqueries / nested negation inside stay loud);
 * ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (a b) ... }`` inline
   binding tables (broadcast inner join; UNDEF binds NULL and does not
   wildcard-match) and ``BIND (expr AS ?v)`` computed variables over
@@ -567,8 +570,9 @@ class _Parser:
                         self._next()
                         positive = False
                     self._expect_kw("exists")
-                    ep, ef = self._parse_negation_group("EXISTS")
-                    q.exists_clauses.append((positive, ep, ef))
+                    q.exists_clauses.append(
+                        (positive, self._parse_negation_group("EXISTS"))
+                    )
                 else:
                     self._expect_op("(")
                     q.filters.append(self._filter_expr())
@@ -791,19 +795,19 @@ class _Parser:
         return self._term(allow_var=False)
 
     def _parse_negation_group(self, kw: str):
-        """The pattern group of FILTER [NOT] EXISTS / MINUS ->
-        (patterns, filters): plain triple patterns plus group-local
-        FILTERs, applied to the group's bindings BEFORE the semi/anti
-        join (the filters may reference outer variables the group
-        shares — they resolve against the group's own bindings, which
-        carry those columns).  OPTIONAL/UNION/nesting inside would
-        need algebra this subset doesn't model."""
+        """The pattern group of FILTER [NOT] EXISTS / MINUS -> a
+        ParsedQuery holding the group's patterns, group-local FILTERs
+        (applied to the group's bindings BEFORE the semi/anti join —
+        they may reference outer variables the group shares, which
+        resolve against the group's own binding columns), plus
+        OPTIONAL groups and UNION blocks (the group evaluates through
+        the same _bindings assembler as a required group).  BIND /
+        VALUES / SERVICE / subqueries / nested negation inside stay
+        loud seams."""
         sub = ParsedQuery(form="negation")
         self._parse_group(sub)
         if (
-            sub.optional
-            or sub.unions
-            or sub.exists_clauses
+            sub.exists_clauses
             or sub.minus_clauses
             or sub.values_clauses
             or sub.binds
@@ -811,12 +815,12 @@ class _Parser:
             or sub.subqueries
         ):
             raise NotImplementedError(
-                f"only triple patterns and FILTER are supported inside "
-                f"{kw} {{...}}"
+                f"only triple patterns, FILTER, OPTIONAL and UNION "
+                f"are supported inside {kw} {{...}}"
             )
-        if not sub.patterns:
+        if not (sub.patterns or sub.unions):
             raise ValueError(f"{kw} group is empty")
-        return sub.patterns, sub.filters
+        return sub
 
     def _triples_block(self, q: ParsedQuery) -> None:
         subj = self._term()
@@ -1465,13 +1469,14 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
     * ``p1|p2``  — a synthetic UNION block (one branch per
       alternative; an alternative that is itself a sequence chains
       inside its branch), evaluated by the existing distributive
-      machinery; supported in the required top-level patterns only
-      (inside OPTIONAL/EXISTS/MINUS/UNION the branch algebra would
-      differ);
+      machinery; supported in the required top-level patterns and in
+      the required patterns of EXISTS/MINUS groups (the block lands
+      in the GROUP's own union list) — inside OPTIONAL or an existing
+      UNION branch the branch algebra would differ, so those raise;
     * ``!(...)`` — a fresh hidden predicate variable plus a
       ``NOT IN`` filter appended to the enclosing group's filter list
-      (required group, OPTIONAL group, or UNION branch; EXISTS/MINUS
-      carry no filter slot and raise).
+      (required group, OPTIONAL group, UNION branch, or a negation
+      group's own filter slot).
     """
     counter = [0]
 
@@ -1512,7 +1517,8 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
             emit_step(cur, elt, nxt, out, fsink, where)
             cur = nxt
 
-    def rewrite(patterns, allow_alt: bool, where: str, fsink):
+    def rewrite(patterns, allow_alt: bool, where: str, fsink,
+                usink=None):
         out = []
         for s, p, o in patterns:
             if not isinstance(p, tuple) or p[0] in (
@@ -1541,7 +1547,9 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
                     parts = alt if kind == "__altseq__" else [alt]
                     emit_seq(s, parts, o, bp, bf, where)
                     branches.append((bp, [], [], bf))
-                q.unions.append(branches)
+                (usink if usink is not None else q.unions).append(
+                    branches
+                )
             else:  # pragma: no cover — parser emits no other markers
                 out.append((s, p, o))
         return out
@@ -1575,13 +1583,55 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
         rewrite(g, False, "OPTIONAL", q.optional_filters[i])
         for i, g in enumerate(q.optional)
     ]
+    def rewrite_negation(sub: ParsedQuery, kw: str) -> ParsedQuery:
+        # a negation group rewrites like a nested query: path
+        # alternatives in its required patterns spawn UNION blocks
+        # into the SUB's own union list (evaluated by _bindings over
+        # the group), never the outer query's; the shared counter
+        # keeps hidden __seqN vars globally unique so outer and group
+        # bindings never alias a hidden column
+        nu = []
+        for branches in sub.unions:
+            nb = []
+            for pp, oo, off, ff in branches:
+                ff = list(ff)
+                pp2 = rewrite(
+                    pp, False, f"a UNION branch of {kw}", ff, nu
+                )
+                off = (
+                    [list(g) for g in off]
+                    if len(off) == len(oo)
+                    else [[] for _ in oo]
+                )
+                oo2 = [
+                    rewrite(
+                        g, False, f"OPTIONAL of {kw}", off[j], nu
+                    )
+                    for j, g in enumerate(oo)
+                ]
+                nb.append((pp2, oo2, off, ff))
+            nu.append(nb)
+        sub.unions = nu
+        sub.patterns = rewrite(
+            sub.patterns, True, kw, sub.filters, sub.unions
+        )
+        while len(sub.optional_filters) < len(sub.optional):
+            sub.optional_filters.append([])
+        sub.optional = [
+            rewrite(
+                g, False, f"OPTIONAL of {kw}",
+                sub.optional_filters[i], sub.unions,
+            )
+            for i, g in enumerate(sub.optional)
+        ]
+        return sub
+
     q.exists_clauses = [
-        (pos, rewrite(p, False, "FILTER EXISTS", f), f)
-        for pos, p, f in q.exists_clauses
+        (pos, rewrite_negation(sub, "FILTER EXISTS"))
+        for pos, sub in q.exists_clauses
     ]
     q.minus_clauses = [
-        (rewrite(p, False, "MINUS", f), f)
-        for p, f in q.minus_clauses
+        rewrite_negation(sub, "MINUS") for sub in q.minus_clauses
     ]
     return q
 
@@ -1663,10 +1713,24 @@ def _expand_paths(
         ]
         for branches in q.unions
     ]
+    def rewrite_negation(sub: ParsedQuery) -> ParsedQuery:
+        sub.patterns = rewrite(sub.patterns)
+        sub.optional = [rewrite(g) for g in sub.optional]
+        sub.unions = [
+            [
+                (rewrite(p), [rewrite(g) for g in o], of, f)
+                for (p, o, of, f) in branches
+            ]
+            for branches in sub.unions
+        ]
+        return sub
+
     q.exists_clauses = [
-        (pos, rewrite(p), f) for pos, p, f in q.exists_clauses
+        (pos, rewrite_negation(sub)) for pos, sub in q.exists_clauses
     ]
-    q.minus_clauses = [(rewrite(p), f) for p, f in q.minus_clauses]
+    q.minus_clauses = [
+        rewrite_negation(sub) for sub in q.minus_clauses
+    ]
     if not specs:
         return triples, q
 
@@ -1817,12 +1881,8 @@ def _apply_solution_clauses(
     inner join of the inline binding table (cross product when
     uncorrelated); BIND -> withColumn in document order, cast to
     string to match the all-lexical triple model."""
-    for positive, pats, gfilters in q.exists_clauses:
-        sub = bgp.graph_pattern(
-            triples, pats, select=None, distinct=False,
-            filters=gfilters or None,
-            allow_cartesian=allow_cartesian,
-        )
+    for positive, neg_q in q.exists_clauses:
+        sub = _bindings(triples, neg_q, allow_cartesian)
         shared = [c for c in sub.columns if c in df.columns]
         if not shared:
             raise NotImplementedError(
@@ -1835,12 +1895,8 @@ def _apply_solution_clauses(
             on=shared,
             how="left_semi" if positive else "left_anti",
         )
-    for pats, gfilters in q.minus_clauses:
-        sub = bgp.graph_pattern(
-            triples, pats, select=None, distinct=False,
-            filters=gfilters or None,
-            allow_cartesian=allow_cartesian,
-        )
+    for neg_q in q.minus_clauses:
+        sub = _bindings(triples, neg_q, allow_cartesian)
         shared = [c for c in sub.columns if c in df.columns]
         if shared:
             df = df.join(

@@ -663,13 +663,19 @@ def test_not_exists_ask_and_seams(triples):
             """SELECT ?s WHERE { ?s a video:Scene .
                  FILTER EXISTS { ?x dc:title ?t } }""",
         )
-    # FILTER inside MINUS is supported since r5 (group-local filter);
-    # OPTIONAL inside a negation group stays a loud seam
+    # FILTER / OPTIONAL / UNION inside negation groups are supported
+    # since r5 (the group evaluates through the _bindings assembler);
+    # BIND / VALUES / nesting inside stay loud seams
+    sparql.parse(
+        """SELECT ?s WHERE { ?s a video:Scene .
+             MINUS { ?s foaf:depicts ?e .
+                     OPTIONAL { ?e dc:title ?t } } }"""
+    )
     with pytest.raises(NotImplementedError, match="triple patterns"):
         sparql.parse(
             """SELECT ?s WHERE { ?s a video:Scene .
                  MINUS { ?s foaf:depicts ?e .
-                         OPTIONAL { ?e dc:title ?t } } }"""
+                         BIND (str(?e) AS ?x) } }"""
         )
 
 
@@ -1541,3 +1547,57 @@ def test_composite_path_closure(spark):
     # the anchor check runs at path-expansion time, not parse time)
     with pytest.raises(NotImplementedError, match="constant"):
         sparql.execute(t, P + "SELECT ?a WHERE { ?a (e:p/e:q)* ?b }")
+
+
+def test_optional_union_inside_negation_groups(spark):
+    rows = [
+        ("d1", "http://e/type", "doc"),
+        ("d2", "http://e/type", "doc"),
+        ("d3", "http://e/type", "doc"),
+        ("d1", "http://e/tag", "red"),
+        ("d2", "http://e/flag", "x"),
+        ("d2", "http://e/lang", "en"),
+        ("d1", "http://e/lang", "fr"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    P = "PREFIX e: <http://e/>\n"
+
+    def run(q):
+        return sorted(map(tuple, sparql.execute(t, P + q).collect()))
+
+    # UNION inside EXISTS / NOT EXISTS: tag OR flag
+    assert run(
+        "SELECT ?d WHERE { ?d e:type ?t . "
+        "FILTER EXISTS { { ?d e:tag ?x } UNION { ?d e:flag ?x } } }"
+    ) == [("d1",), ("d2",)]
+    assert run(
+        "SELECT ?d WHERE { ?d e:type ?t . "
+        "FILTER NOT EXISTS { { ?d e:tag ?x } UNION { ?d e:flag ?x } } }"
+    ) == [("d3",)]
+    # OPTIONAL + group FILTER over the optional var inside EXISTS
+    assert run(
+        "SELECT ?d WHERE { ?d e:type ?t . FILTER EXISTS { "
+        "?d e:lang ?l . OPTIONAL { ?d e:tag ?g } "
+        'FILTER (bound(?g) || ?l = "en") } }'
+    ) == [("d1",), ("d2",)]
+    # UNION / OPTIONAL inside MINUS
+    assert run(
+        "SELECT ?d WHERE { ?d e:type ?t . "
+        "MINUS { { ?d e:tag ?x } UNION { ?d e:flag ?x } } }"
+    ) == [("d3",)]
+    assert run(
+        "SELECT ?d WHERE { ?d e:type ?t . "
+        "MINUS { ?d e:lang ?l OPTIONAL { ?d e:tag ?g } } }"
+    ) == [("d3",)]
+    # alternative property paths inside a negation group now ride the
+    # group's own union list
+    assert run(
+        "SELECT ?d WHERE { ?d e:type ?t . "
+        "FILTER EXISTS { ?d (e:tag|e:flag) ?x } }"
+    ) == [("d1",), ("d2",)]
+    # nested negation stays loud
+    with pytest.raises(NotImplementedError, match="triple patterns"):
+        sparql.parse(
+            P + "SELECT ?d WHERE { ?d e:type ?t . FILTER EXISTS { "
+            "?d e:tag ?x MINUS { ?d e:flag ?y } } }"
+        )
