@@ -610,21 +610,24 @@ class _Parser:
                 if t is None or t.kind != "IRI":
                     raise ValueError("SERVICE needs an <endpoint-iri>")
                 endpoint = t.text[1:-1]
-                self._expect_op("{")
                 sub = ParsedQuery(form="service")
-                while not self._at_op("}"):
-                    if self._at_kw("optional", "filter", "union",
-                                   "service", "minus", "values", "bind"):
-                        raise NotImplementedError(
-                            "only plain triple patterns are supported "
-                            "inside a SERVICE{} group (snapshot "
-                            "evaluation subset)"
-                        )
-                    self._triples_block(sub)
-                self._expect_op("}")
-                if not sub.patterns:
+                self._parse_group(sub)
+                if (
+                    sub.exists_clauses
+                    or sub.minus_clauses
+                    or sub.values_clauses
+                    or sub.binds
+                    or sub.services
+                    or sub.subqueries
+                ):
+                    raise NotImplementedError(
+                        "only triple patterns, FILTER, OPTIONAL and "
+                        "UNION are supported inside a SERVICE{} group "
+                        "(snapshot evaluation subset)"
+                    )
+                if not (sub.patterns or sub.unions):
                     raise ValueError("empty SERVICE group")
-                q.services.append((endpoint, sub.patterns))
+                q.services.append((endpoint, sub))
                 if self._at_op("."):
                     self._next()
                 continue
@@ -1933,29 +1936,24 @@ def _apply_services(
     registered snapshot's (subj, pred, obj) triples — onto the outer
     bindings on the shared variables (SPARQL 1.1 Federated Query
     evaluates the service pattern remotely and joins; here 'remote' is
-    the offline snapshot).  Uncorrelated groups need allow_cartesian,
-    same as every other cross-product seam."""
-    for endpoint, pats in q.services:
+    the offline snapshot).  The group may carry FILTERs, OPTIONAL
+    groups, UNION blocks, property paths and alternatives — all
+    evaluated against the SNAPSHOT's graph through the shared
+    rewrite/closure machinery and _bindings assembler (federation
+    evaluates the whole pattern remotely).  Uncorrelated groups need
+    allow_cartesian, same as every other cross-product seam."""
+    for endpoint, group in q.services:
         snap = services[endpoint].select("subj", "pred", "obj")
-        # property paths in the group evaluate against the SNAPSHOT's
-        # graph (SPARQL federation evaluates the pattern remotely):
-        # the same rewrite/closure machinery runs over a synthetic
-        # single-group query; negated sets land in its filter slot
+        # rewrite a COPY so a reused parse tree never double-rewrites
         sq = ParsedQuery(form="service")
-        sq.patterns = list(pats)
+        sq.patterns = list(group.patterns)
+        sq.filters = list(group.filters)
+        sq.optional = [list(g) for g in group.optional]
+        sq.optional_filters = [list(f) for f in group.optional_filters]
+        sq.unions = [list(b) for b in group.unions]
         sq = _rewrite_path_ops(sq)
-        if sq.unions:
-            raise NotImplementedError(
-                "'|' alternative paths inside a SERVICE{} group are "
-                "not in the supported subset — split the SERVICE "
-                "group per alternative"
-            )
         snap, sq = _expand_paths(snap, sq)
-        sub = bgp.graph_pattern(
-            snap, sq.patterns, select=None, distinct=False,
-            filters=sq.filters or None,
-            allow_cartesian=allow_cartesian,
-        )
+        sub = _bindings(snap, sq, allow_cartesian)
         seq_cols = [c for c in sub.columns if c.startswith("__seq")]
         if seq_cols:
             sub = sub.drop(*seq_cols)

@@ -113,14 +113,23 @@ def test_parse_loud_seams():
         "SELECT ?v WHERE { SERVICE <http://dbpedia.org/sparql> "
         "{ ?v dc:title ?t } }"
     )
-    assert q.services == [
-        ("http://dbpedia.org/sparql",
-         [("?v", "http://purl.org/dc/elements/1.1/title", "?t")]),
+    assert len(q.services) == 1
+    endpoint, group = q.services[0]
+    assert endpoint == "http://dbpedia.org/sparql"
+    assert group.patterns == [
+        ("?v", "http://purl.org/dc/elements/1.1/title", "?t")
     ]
+    # OPTIONAL / FILTER / UNION inside SERVICE parse since r5 (the
+    # group evaluates through the _bindings assembler); negation /
+    # BIND / VALUES / nesting inside stay loud
+    sparql.parse(
+        "SELECT ?v WHERE { SERVICE <http://x> "
+        "{ ?v a ?k OPTIONAL { ?v dc:title ?t } } }"
+    )
     with pytest.raises(NotImplementedError, match="inside a SERVICE"):
         sparql.parse(
             "SELECT ?v WHERE { SERVICE <http://x> "
-            "{ OPTIONAL { ?v dc:title ?t } } }"
+            "{ ?v dc:title ?t BIND (str(?v) AS ?x) } }"
         )
     # property paths inside SERVICE parse since r5 (they evaluate
     # against the snapshot's graph); see test_service_snapshot_paths
@@ -1370,17 +1379,33 @@ def test_service_snapshot_paths(spark, triples):
         services={"http://attrs": snap},
     ).collect()))
     assert got2 == [("http://dbpedia.org/resource/A", "k1")]
-    # alternatives inside SERVICE stay a loud seam
-    with pytest.raises(NotImplementedError, match="SERVICE"):
-        sparql.execute(
-            triples,
-            """SELECT ?e WHERE {
-                 ?s foaf:depicts ?e .
-                 SERVICE <http://attrs>
-                 { ?e <http://e/kind>|<http://e/nope> ?o }
-               }""",
-            services={"http://attrs": snap},
-        )
+    # alternatives inside SERVICE evaluate against the snapshot (r5):
+    # only the kind edge exists, so the alternative matches it
+    got3 = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT DISTINCT ?e ?o WHERE {
+             ?s foaf:depicts ?e .
+             SERVICE <http://attrs>
+             { ?e <http://e/kind>|<http://e/nope> ?o }
+           }""",
+        services={"http://attrs": snap},
+    ).collect()))
+    assert got3 == [("http://dbpedia.org/resource/A", "k1")]
+    # OPTIONAL + group FILTER inside SERVICE: broader is optional,
+    # the filter keeps rows whose broader is unbound or k2
+    got4 = sorted(map(tuple, sparql.execute(
+        triples,
+        """SELECT DISTINCT ?e ?b WHERE {
+             ?s foaf:depicts ?e .
+             SERVICE <http://attrs> {
+               ?e <http://e/kind> ?k
+               OPTIONAL { ?k <http://e/broader> ?b }
+               FILTER ( !bound(?b) || ?b = "k2" )
+             }
+           }""",
+        services={"http://attrs": snap},
+    ).collect()))
+    assert got4 == [("http://dbpedia.org/resource/A", "k2")]
 
 
 def test_review_fixes_precedence_ask_and_gates(triples, spark):
