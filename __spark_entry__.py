@@ -1227,6 +1227,74 @@ SELECT a, b FROM walk ORDER BY a, b
 """
 
 
+def _q_sparql_negation_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNION inside a negation group (operators/sparql.py — the
+    negation group evaluates through the shared _bindings assembler):
+    customers (with their segment) that have NO order in status F or
+    P, i.e. FILTER NOT EXISTS over a 2-branch UNION correlated on ?c.
+    The oracle is the equivalent NOT EXISTS (... OR ...) anti-join.
+    Non-trivial at sf0.01 (4 survivors out of 3000 customers)."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = (
+        customer.select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+            .alias("subj"),
+            F.lit("http://example.org/segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+                .alias("subj"),
+                F.lit("http://example.org/placed").alias("pred"),
+                F.concat(
+                    F.lit("O"), F.col("o_orderkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+                .alias("subj"),
+                F.lit("http://example.org/status").alias("pred"),
+                F.col("o_orderstatus").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?seg WHERE {
+          ?c ex:segment ?seg .
+          FILTER NOT EXISTS {
+            ?c ex:placed ?o .
+            { ?o ex:status "F" } UNION { ?o ex:status "P" }
+          }
+        }
+        ORDER BY ?c
+        """,
+    )
+
+
+ORACLE_SPARQL_NEGATION_UNION = """
+SELECT 'C' || CAST(c_custkey AS VARCHAR) AS c,
+       c_mktsegment AS seg
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND (o_orderstatus = 'F' OR o_orderstatus = 'P')
+  )
+ORDER BY c
+"""
+
+
 def _q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 subqueries (operators/sparql.py): a
     ``{ SELECT ... GROUP BY ... }`` group evaluated bottom-up and
@@ -1761,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_describe_var": _q_sparql_describe_var,
         "sparql_expr_agg": _q_sparql_expr_agg,
         "sparql_path_composite": _q_sparql_path_composite,
+        "sparql_negation_union": _q_sparql_negation_union,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -1933,6 +2002,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_describe_var": ORACLE_SPARQL_DESCRIBE_VAR,
         "sparql_expr_agg": ORACLE_SPARQL_EXPR_AGG,
         "sparql_path_composite": ORACLE_SPARQL_PATH_COMPOSITE,
+        "sparql_negation_union": ORACLE_SPARQL_NEGATION_UNION,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

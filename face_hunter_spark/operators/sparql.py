@@ -242,7 +242,8 @@ class ParsedQuery:
     # BIND (expr AS ?v): (sql_expr, var) applied in document order
     # after all joins
     binds: list = field(default_factory=list)
-    # SERVICE <endpoint> {...}: (endpoint_iri, patterns) — evaluated
+    # SERVICE <endpoint> {...}: (endpoint_iri, group ParsedQuery —
+    # patterns, FILTERs, OPTIONAL groups, UNION blocks) — evaluated
     # against a REGISTERED OFFLINE SNAPSHOT of that endpoint's triples
     # (execute(services={iri: df}) / hunter.register_service_snapshot)
     # and inner-joined on the shared variables; unregistered endpoints
