@@ -1295,6 +1295,70 @@ ORDER BY c
 """
 
 
+def _q_sparql_graph_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GRAPH ?g { ... }`` (operators/sparql.py): the wrapper
+    collapses into the enclosing group (single-graph store) and ?g
+    binds to the store's configured graph URI in every solution — the
+    single-graph-dataset reading of the spec's graph iteration.  The
+    bound variable is projected AND filtered on, so the oracle pins
+    both the constant and the deferred-filter path.  Graph is TPC-H
+    nation→region as triples; answers 'nations in ASIA plus the graph
+    they came from'."""
+    from face_hunter_spark.operators.sparql import execute
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    base = (
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+            .alias("subj"),
+            F.lit("http://example.org/inRegion").alias("pred"),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string"))
+            .alias("obj"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+                .alias("subj"),
+                F.lit("http://example.org/name").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("R"), F.col("r_regionkey").cast("string"))
+                .alias("subj"),
+                F.lit("http://example.org/name").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?name ?g WHERE {
+          GRAPH ?g {
+            ?n ex:inRegion ?r .
+            ?r ex:name "ASIA" .
+            ?n ex:name ?name .
+          }
+          FILTER ( contains(str(?g), "face-hunter") )
+        }
+        ORDER BY ?name
+        """,
+        graph_uri="http://face-hunter.org/graph",
+    )
+
+
+ORACLE_SPARQL_GRAPH_VAR = """
+SELECT n_name AS name, 'http://face-hunter.org/graph' AS g
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+ORDER BY name
+"""
+
+
 def _q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 subqueries (operators/sparql.py): a
     ``{ SELECT ... GROUP BY ... }`` group evaluated bottom-up and
@@ -1830,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_expr_agg": _q_sparql_expr_agg,
         "sparql_path_composite": _q_sparql_path_composite,
         "sparql_negation_union": _q_sparql_negation_union,
+        "sparql_graph_var": _q_sparql_graph_var,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2003,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_expr_agg": ORACLE_SPARQL_EXPR_AGG,
         "sparql_path_composite": ORACLE_SPARQL_PATH_COMPOSITE,
         "sparql_negation_union": ORACLE_SPARQL_NEGATION_UNION,
+        "sparql_graph_var": ORACLE_SPARQL_GRAPH_VAR,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

@@ -374,8 +374,10 @@ class SparkHunter:
         aggregates with GROUP BY / HAVING, the FILTER builtin set
         (string/numeric/conditional, IN lists, arithmetic) and
         ORDER BY / LIMIT / OFFSET — compiled onto the same BGP plan as
-        :meth:`match`.  Returns a DataFrame (bool for ASK); None
-        (False for ASK) before any link() commit.  SERVICE{} groups
+        :meth:`match`.  ``GRAPH <iri>`` wrappers collapse (the store
+        is one graph) and ``GRAPH ?g`` binds ?g to the configured
+        ``graph_uri`` (raises when unconfigured).  Returns a DataFrame
+        (bool for ASK); None (False for ASK) before any link() commit.  SERVICE{} groups
         evaluate against snapshots registered with
         :meth:`register_service_snapshot`; an unregistered endpoint
         raises NotImplementedError (live federation is out of scope —
@@ -391,6 +393,7 @@ class SparkHunter:
             allow_cartesian=allow_cartesian,
             entailment=entailment,
             services=self._services or None,
+            graph_uri=self.graph_uri,
         )
 
     def update(self, text: str, run_id: str | None = None) -> dict:

@@ -27,7 +27,11 @@ Supported subset — exactly the shapes the reference emits/accepts
 * ``OPTIONAL { ... }`` groups (knowledge_graphs.py:103,123);
 * ``GRAPH <iri> { ... }`` wrappers — collapsed additively into the
   enclosing group (the store is ONE graph; same rule as the UPDATE
-  forms' GRAPH wrappers); a variable graph name raises;
+  forms' GRAPH wrappers); ``GRAPH ?g { ... }`` likewise collapses and
+  binds ``?g`` to the store's single graph URI in every solution
+  (``execute(graph_uri=...)`` / ``SparkHunter(graph_uri=...)``) —
+  the single-graph-dataset reading of the spec's graph-variable
+  iteration; unconfigured stores raise;
 * ``{ A } UNION { B }`` blocks — evaluated distributively
   (outer ⋈ (A ∪ B) = (outer ⋈ A) ∪ (outer ⋈ B) under bag semantics),
   with variables absent from a branch coming back NULL/unbound;
@@ -252,6 +256,10 @@ class ParsedQuery:
     # { SELECT ... WHERE {...} } subqueries: each a full ParsedQuery
     # evaluated bottom-up and joined on its projected variables
     subqueries: list = field(default_factory=list)
+    # GRAPH ?g {...} wrapper variables: each binds to the store's
+    # single graph URI at execute (graph_uri=) — the group's contents
+    # collapse into the enclosing group exactly like GRAPH <iri>
+    graph_vars: list = field(default_factory=list)
     select: list | None = None  # None = SELECT *
     # (func, arg_var|None, distinct, alias) for each (AGG(?v) AS ?a)
     # in the SELECT list; non-empty => grouped query
@@ -554,6 +562,7 @@ class _Parser:
                     or sub.binds
                     or sub.services
                     or sub.subqueries
+                    or sub.graph_vars
                 ):
                     raise NotImplementedError(
                         "only triple patterns and FILTER are supported "
@@ -620,6 +629,7 @@ class _Parser:
                     or sub.binds
                     or sub.services
                     or sub.subqueries
+                    or sub.graph_vars
                 ):
                     raise NotImplementedError(
                         "only triple patterns, FILTER, OPTIONAL and "
@@ -637,17 +647,21 @@ class _Parser:
                 # wrapper collapses additively — same rule as the
                 # UPDATE forms' GRAPH wrappers (sparql_update.py) —
                 # and the group's contents parse straight into the
-                # enclosing group.  A variable graph name would need
-                # named-graph storage this engine doesn't have.
+                # enclosing group.  GRAPH ?g { ... } collapses the
+                # same way and records ?g for execute() to bind to
+                # the store's configured single graph URI (the only
+                # graph the dataset's graph-variable iteration can
+                # visit).
                 self._next()
                 t = self._next()
                 if t.kind == "PNAME":
                     self._expand_pname(t)
+                elif t.kind == "VAR":
+                    q.graph_vars.append(t.text[1:])
                 elif t.kind != "IRI":
-                    raise NotImplementedError(
-                        "GRAPH with a variable graph name is not in "
-                        "the supported subset — the store is a single "
-                        "graph"
+                    raise ValueError(
+                        "GRAPH needs an <iri>, a prefixed name or a "
+                        "?variable"
                     )
                 self._parse_group(q)
                 if self._at_op("."):
@@ -726,6 +740,7 @@ class _Parser:
                 or sub.binds
                 or sub.services
                 or sub.subqueries
+                or sub.graph_vars
                 or len(sub.unions) != 1
             ):
                 raise NotImplementedError(
@@ -747,6 +762,7 @@ class _Parser:
             or sub.binds
             or sub.services
             or sub.subqueries
+            or sub.graph_vars
         ):
             raise NotImplementedError(
                 "EXISTS/MINUS/VALUES/BIND/SERVICE/subquery inside a "
@@ -817,6 +833,7 @@ class _Parser:
             or sub.binds
             or sub.services
             or sub.subqueries
+            or sub.graph_vars
         ):
             raise NotImplementedError(
                 f"only triple patterns, FILTER, OPTIONAL and UNION "
@@ -1972,16 +1989,76 @@ def _apply_services(
     return df
 
 
+def _group_bound_vars(q: "ParsedQuery") -> set:
+    """Variable names the group's own clauses bind: triple-pattern
+    positions (required, OPTIONAL and UNION-branch), VALUES columns
+    and BIND targets.  Used to refuse a GRAPH ?g whose variable is
+    also matched by the patterns — that would be a join against graph
+    names, which a single-graph store cannot express."""
+    out: set = set()
+
+    def add_patterns(pats):
+        for s, p, o in pats:
+            for t in (s, p, o):
+                if type(t) is str and t.startswith("?"):
+                    out.add(t[1:])
+
+    add_patterns(q.patterns)
+    for pats in q.optional:
+        add_patterns(pats)
+    for branches in q.unions:
+        for pats, opt, _ofilt, _filt in branches:
+            add_patterns(pats)
+            for p2 in opt:
+                add_patterns(p2)
+    for vars_, _rows in q.values_clauses:
+        out.update(vars_)
+    out.update(v for _sql, v in q.binds)
+    return out
+
+
+def _inject_graph_binds(q: "ParsedQuery", graph_uri: str | None) -> None:
+    """Turn each ``GRAPH ?g {...}`` wrapper variable (top-level and
+    per-subquery) into a BIND of the store's single graph URI — the
+    one graph the dataset's graph iteration can visit."""
+    targets = [t for t in [q] + list(q.subqueries) if t.graph_vars]
+    if not targets:
+        return
+    if graph_uri is None:
+        raise ValueError(
+            "GRAPH ?var needs the store's single graph URI to bind — "
+            "pass graph_uri= (execute(graph_uri=...) / "
+            "SparkHunter(graph_uri=...))"
+        )
+    for tgt in targets:
+        bound = _group_bound_vars(tgt)
+        for gvar in dict.fromkeys(tgt.graph_vars):
+            if gvar in bound:
+                raise NotImplementedError(
+                    f"GRAPH variable ?{gvar} is also matched by the "
+                    "group's patterns — the store is a single graph; "
+                    "compare against the constant URI instead"
+                )
+            tgt.binds.append((_sql_str(graph_uri), gvar))
+
+
 def execute(
     triples: DataFrame,
     text: str,
     allow_cartesian: bool = False,
     entailment: str | None = None,
     services: dict | None = None,
+    graph_uri: str | None = None,
 ):
     """Parse + run a SPARQL query against a (subj, pred, obj) triple
     DataFrame.  SELECT/DESCRIBE/CONSTRUCT return a DataFrame; ASK
     returns a bool.
+
+    ``graph_uri`` names the store's single graph: a ``GRAPH ?g {...}``
+    wrapper collapses into the enclosing group (like ``GRAPH <iri>``)
+    and binds ``?g`` to this constant in every solution — the dataset
+    has exactly one named graph, so the spec's graph iteration visits
+    exactly it.  ``GRAPH ?g`` without a configured URI raises.
 
     ``services`` maps endpoint IRIs to OFFLINE SNAPSHOT triple
     DataFrames: a ``SERVICE <iri> { patterns }`` group evaluates its
@@ -2020,6 +2097,7 @@ def execute(
             "attribute dim-table join "
             "(query.get_videos_with_filters / h.query)"
         )
+    _inject_graph_binds(q, graph_uri)
     # subqueries expand their own paths against the pre-expansion
     # graph (top-level synthetic closure triples are invisible to them
     # anyway — collision-proof predicate names)

@@ -207,12 +207,13 @@ class _UpdateParser(_Parser):
         if (
             sub.unions or sub.exists_clauses or sub.minus_clauses
             or sub.values_clauses or sub.binds
-            or sub.services or sub.subqueries
+            or sub.services or sub.subqueries or sub.graph_vars
         ):
             raise NotImplementedError(
-                "UNION/EXISTS/MINUS/VALUES/BIND/SERVICE/subquery in an "
-                "update WHERE clause is not in the supported subset — "
-                "SELECT the bindings first and issue DATA forms"
+                "UNION/EXISTS/MINUS/VALUES/BIND/SERVICE/subquery/"
+                "GRAPH-variable in an update WHERE clause is not in "
+                "the supported subset — SELECT the bindings first and "
+                "issue DATA forms"
             )
         if not sub.patterns:
             raise ValueError("update WHERE group has no triple patterns")

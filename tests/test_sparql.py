@@ -1469,9 +1469,63 @@ def test_graph_wrapper_collapses(triples):
            }""",
     ).collect()))
     assert got == [("v1", "alpha title")]
-    with pytest.raises(NotImplementedError, match="variable graph"):
+
+
+def test_graph_variable_binds_store_uri(triples):
+    # GRAPH ?g { ... } collapses like the constant form and binds ?g
+    # to the store's single graph URI in every solution — the
+    # single-graph-dataset reading of the spec's graph iteration
+    G = "http://face-hunter.org/graph"
+    got = sorted(map(tuple, sparql.execute(
+        triples,
+        "SELECT ?v ?g WHERE { GRAPH ?g { ?v dc:title ?t } }",
+        graph_uri=G,
+    ).collect()))
+    assert got == [("v1", G), ("v2", G)]
+    # a FILTER over the graph variable defers past the bind and works
+    got = sparql.execute(
+        triples,
+        """SELECT ?v WHERE {
+             GRAPH ?g { ?v dc:title ?t }
+             FILTER ( contains(str(?g), "face-hunter") )
+           }""",
+        graph_uri=G,
+    ).collect()
+    assert sorted(r["v"] for r in got) == ["v1", "v2"]
+    assert sparql.execute(
+        triples,
+        "ASK { GRAPH ?g { ?v dc:title ?t } }",
+        graph_uri=G,
+    ) is True
+    # the same wrapper var twice is one bind, not a rebind error
+    got = sparql.execute(
+        triples,
+        """SELECT ?v ?s ?g WHERE {
+             GRAPH ?g { ?v dc:title ?t }
+             GRAPH ?g { ?v hunter:hasScene ?s }
+           }""",
+        graph_uri=G,
+    ).collect()
+    assert len(got) == 3 and all(r["g"] == G for r in got)
+    # unconfigured store: loud, with the configuration pointer
+    with pytest.raises(ValueError, match="graph_uri"):
+        sparql.execute(
+            triples,
+            "SELECT ?v WHERE { GRAPH ?g { ?v dc:title ?t } }",
+        )
+    # a graph var the patterns also match would be a join over graph
+    # names — a single-graph store refuses rather than guessing
+    with pytest.raises(NotImplementedError, match="single graph"):
+        sparql.execute(
+            triples,
+            "SELECT ?v WHERE { GRAPH ?g { ?v dc:title ?g } }",
+            graph_uri=G,
+        )
+    # and inside restricted sub-groups the wrapper stays a loud seam
+    with pytest.raises(NotImplementedError, match="OPTIONAL"):
         sparql.parse(
-            "SELECT ?v WHERE { GRAPH ?g { ?v dc:title ?t } }"
+            """SELECT ?v WHERE { ?v dc:title ?t .
+                 OPTIONAL { GRAPH ?g { ?v dc:identifier ?i } } }"""
         )
 
 
