@@ -1359,6 +1359,66 @@ ORDER BY name
 """
 
 
+def _q_sparql_negset_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set with an inverse member (SPARQL 1.1 §9.1,
+    operators/sparql.py): ``!(ex:next|^ex:label)`` is the union of
+    forward edges whose predicate is not ``next`` (the label edges)
+    and REVERSED edges whose predicate is not ``label`` (the chain
+    edges, reversed).  Composed with an ``ex:next+`` closure in the
+    same group, the query also pins the bgp guard that a hidden
+    predicate variable never binds the closure's synthetic triples
+    (operators/bgp.py PATH_SYNTH_SEP) — without it the reverse branch
+    would leak one row per closure pair.  Graph: the 25-nation key
+    chain plus a label edge per nation."""
+    from face_hunter_spark.operators.sparql import execute
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    base = (
+        nation.where(k < 24).select(
+            F.concat(F.lit("N"), k.cast("string")).alias("subj"),
+            F.lit("http://example.org/next").alias("pred"),
+            F.concat(F.lit("N"), (k + 1).cast("string")).alias("obj"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), k.cast("string")).alias("subj"),
+                F.lit("http://example.org/label").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?a ?b ?x WHERE {
+          ?a ex:next+ ?b .
+          ?b !(ex:next|^ex:label) ?x .
+        }
+        ORDER BY ?a ?b ?x
+        """,
+    )
+
+
+ORACLE_SPARQL_NEGSET_INVERSE = """
+WITH RECURSIVE walk(a, b) AS (
+  SELECT n_nationkey, n_nationkey + 1 FROM nation WHERE n_nationkey < 24
+  UNION
+  SELECT w.a, w.b + 1 FROM walk w WHERE w.b < 24
+),
+xs AS (
+  SELECT w.a, w.b, n.n_name AS x
+  FROM walk w JOIN nation n ON n.n_nationkey = w.b
+  UNION ALL
+  SELECT w.a, w.b, 'N' || CAST(w.b - 1 AS VARCHAR) AS x FROM walk w
+)
+SELECT 'N' || CAST(a AS VARCHAR) AS a,
+       'N' || CAST(b AS VARCHAR) AS b, x
+FROM xs ORDER BY a, b, x
+"""
+
+
 def _q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 subqueries (operators/sparql.py): a
     ``{ SELECT ... GROUP BY ... }`` group evaluated bottom-up and
@@ -1895,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_composite": _q_sparql_path_composite,
         "sparql_negation_union": _q_sparql_negation_union,
         "sparql_graph_var": _q_sparql_graph_var,
+        "sparql_negset_inverse": _q_sparql_negset_inverse,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2069,6 +2130,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_composite": ORACLE_SPARQL_PATH_COMPOSITE,
         "sparql_negation_union": ORACLE_SPARQL_NEGATION_UNION,
         "sparql_graph_var": ORACLE_SPARQL_GRAPH_VAR,
+        "sparql_negset_inverse": ORACLE_SPARQL_NEGSET_INVERSE,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

@@ -36,6 +36,14 @@ from pyspark.sql import DataFrame
 
 _POS = ("subj", "pred", "obj")
 
+# Separator the SPARQL path expander (sparql._expand_paths) embeds in
+# its synthetic closure predicates.  Those triples exist only so a
+# rewritten pattern can match its closure under a constant key; a
+# VARIABLE in predicate position must never bind one (a user's
+# ``?s ?p ?o`` alongside a ``pred+`` pattern would otherwise leak
+# engine-internal rows).
+PATH_SYNTH_SEP = "\x1f"
+
 
 def _is_var(term) -> bool:
     # exact-type check: parsed literals arrive as a str SUBCLASS
@@ -63,6 +71,12 @@ def _compile_pattern(triples: DataFrame, pattern, idx: int) -> tuple:
                 df = df.where(F.col(bound[var]) == F.col(pos))
             else:
                 bound[var] = pos
+            if pos == "pred":
+                # synthetic closure triples are engine-internal: a
+                # predicate variable binds asserted predicates only
+                df = df.where(
+                    ~F.col("pred").contains(PATH_SYNTH_SEP)
+                )
         else:
             df = df.where(F.col(pos) == F.lit(term))
     if bound:

@@ -47,13 +47,15 @@ Supported subset — exactly the shapes the reference emits/accepts
   ``p1|p2|...`` alternatives (compiled to a UNION block),
   parenthesized groups ``(p1|p2)/p3`` (normalized to
   alternatives-of-sequences, distributing ``|`` over ``/``), and
-  negated property sets ``!p`` / ``!(p1|p2)`` (a hidden predicate
-  variable plus a NOT IN filter) — all pure pattern rewrites — and
+  negated property sets ``!p`` / ``!(p1|^p2|...)`` (a hidden
+  predicate variable plus a NOT IN filter; ^-members constrain
+  REVERSED edges per §9.1's two-branch union, and ``^!(...)`` folds
+  in by swapping the member lists) — all pure pattern rewrites — and
   composite-relation closures ``(a/b)+`` / ``(a|^b)*`` (the group's
   edge relation is materialized once as a union of slice
   compositions, then path-doubling-closed like a single predicate);
   the remaining loud seams are a closure step or negated set INSIDE
-  a closed group and inverse members in/of a negated set;
+  a closed group and a closure modifier ON a negated set;
 * negation: ``FILTER [NOT] EXISTS { ... }`` (left-semi/left-anti hash
   join on the shared variables) and ``MINUS { ... }`` (left-anti; a
   group sharing no variable removes nothing, per spec); both accept
@@ -907,21 +909,26 @@ class _Parser:
             inv = True
             t = self._next()
         if t.kind == "OP" and t.text == "!":
-            # negated property set: !iri or !(iri|iri|...), forward
-            # predicates only (an inverse member would need the
-            # two-branch fwd/rev union the spec defines — out of subset)
-            uris = self._parse_negset()
+            # negated property set: !iri / !^iri / !(iri|^iri|...) —
+            # the spec's two-branch union: forward members constrain
+            # forward edges, ^-members constrain reversed edges, each
+            # branch a DNF alternative (§9.1 NegatedPropertySet)
+            fwd, rev = self._parse_negset()
             if self._at_op("+", "*", "?"):
                 raise NotImplementedError(
                     "a closure modifier on a negated property set is "
                     "not in the supported subset"
                 )
             if inv:
-                raise NotImplementedError(
-                    "^!(...) is not in the supported subset — swap the "
-                    "pattern's subject and object instead"
-                )
-            return [[("negset", tuple(uris))]]
+                # ^!(p|^q) == !(q|^p): inverting the set swaps which
+                # member list constrains which edge direction
+                fwd, rev = rev, fwd
+            branches = []
+            if fwd or not rev:
+                branches.append([("negset", tuple(fwd))])
+            if rev:
+                branches.append([("invnegset", tuple(rev))])
+            return branches
         if t.kind == "OP" and t.text == "(":
             inner = self._path_alt()
             self._expect_op(")")
@@ -969,32 +976,31 @@ class _Parser:
             mod = self._next().text
         return [[("step", uri, inv, mod)]]
 
-    def _parse_negset(self) -> list:
+    def _parse_negset(self):
+        """``!iri`` / ``!^iri`` / ``!(iri|^iri|...)`` ->
+        (forward_uris, inverse_uris).  Per SPARQL 1.1 §9.1 the set's
+        plain members constrain FORWARD edges and its ^-members
+        constrain REVERSED edges; a mixed set is the union of the two
+        branches (the caller spawns one DNF alternative each)."""
         # caller has already consumed the '!'
         if self._at_op("("):
             self._next()
-            uris = []
+            fwd, rev = [], []
             while True:
                 nt = self._next()
                 if nt.kind == "OP" and nt.text == "^":
-                    raise NotImplementedError(
-                        "an inverse member inside !(...) is not in the "
-                        "supported subset (it needs the spec's "
-                        "two-branch forward/reverse union)"
-                    )
-                uris.append(self._path_iri(nt))
+                    rev.append(self._path_iri(self._next()))
+                else:
+                    fwd.append(self._path_iri(nt))
                 if self._at_op("|"):
                     self._next()
                     continue
                 self._expect_op(")")
-                return uris
+                return fwd, rev
         nt = self._next()
         if nt.kind == "OP" and nt.text == "^":
-            raise NotImplementedError(
-                "!^pred is not in the supported subset — swap the "
-                "pattern's subject and object and use !pred"
-            )
-        return [self._path_iri(nt)]
+            return [], [self._path_iri(self._next())]
+        return [self._path_iri(nt)], []
 
     def _path_expr(self, t: "_Tok"):
         """Predicate-position path expression: the SPARQL 1.1 path
@@ -1004,10 +1010,10 @@ class _Parser:
         rewrites execute() already evaluates — fresh join variables
         for sequences, a UNION block for alternatives, synthetic
         closure triples for '+'/'*'/'?' steps, a not-in predicate
-        filter for negated sets.  Out of subset (loud raise): closure
-        of a grouped path ('(a/b)+' — composite-relation closure),
-        inverse/closure ON a negated set, and inverse members inside
-        one."""
+        filter for negated sets (inverse members spawn the spec's
+        reversed-edge branch as a DNF alternative).  Out of subset
+        (loud raise): a closure modifier on a negated set, and a
+        closure step or negated set inside a closed group."""
         dnf = self._path_alt(t)
         if len(dnf) == 1:
             seq = dnf[0]
@@ -1015,6 +1021,8 @@ class _Parser:
                 k = seq[0]
                 if k[0] == "negset":
                     return ("__seq__", [("__negset__", k[1])])
+                if k[0] == "invnegset":
+                    return ("__seq__", [("__invnegset__", k[1])])
                 if k[0] == "cstep":
                     return ("__cpath__", k[1], k[2])
                 _, uri, inv, mod = k
@@ -1439,11 +1447,13 @@ def _invert_path_seq(seq: list) -> list:
     out = []
     for k in reversed(seq):
         if k[0] == "negset":
-            raise NotImplementedError(
-                "inverting a negated property set is not in the "
-                "supported subset — swap the pattern's subject and "
-                "object instead"
-            )
+            # ^(NPS over forward edges) = the same NPS over reversed
+            # edges, and vice versa
+            out.append(("invnegset", k[1]))
+            continue
+        if k[0] == "invnegset":
+            out.append(("negset", k[1]))
+            continue
         if k[0] == "cstep":
             # invert the composite closure by inverting its relation
             _, spec, mod = k
@@ -1461,6 +1471,8 @@ def _path_part(k: tuple):
     """DNF step -> the sequence-part marker the rewriter emits."""
     if k[0] == "negset":
         return ("__negset__", k[1])
+    if k[0] == "invnegset":
+        return ("__invnegset__", k[1])
     if k[0] == "cstep":
         return ("__cpath__", k[1], k[2])
     _, uri, inv, mod = k
@@ -1510,7 +1522,7 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
             out.append((cur, elt, nxt))
         elif elt[0] == "__invpath__":
             out.append((nxt, ("__path__", elt[1], elt[2]), cur))
-        elif elt[0] == "__negset__":
+        elif elt[0] in ("__negset__", "__invnegset__"):
             if fsink is None:
                 raise NotImplementedError(
                     f"negated property sets inside {where} are not in "
@@ -1519,12 +1531,18 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
                 )
             var = f"__seqneg{counter[0]}"
             counter[0] += 1
-            out.append((cur, "?" + var, nxt))
-            fsink.append(
-                f"`{var}` NOT IN ("
-                + ", ".join(_sql_str(u) for u in elt[1])
-                + ")"
-            )
+            # the inverse branch constrains REVERSED edges (§9.1):
+            # same hidden-predicate NOT IN, pattern ends swapped
+            if elt[0] == "__invnegset__":
+                out.append((nxt, "?" + var, cur))
+            else:
+                out.append((cur, "?" + var, nxt))
+            if elt[1]:
+                fsink.append(
+                    f"`{var}` NOT IN ("
+                    + ", ".join(_sql_str(u) for u in elt[1])
+                    + ")"
+                )
         else:  # pragma: no cover — parser emits no other markers
             out.append((cur, elt, nxt))
 
@@ -1698,12 +1716,12 @@ def _expand_paths(
             else:
                 _, spec, mod = p
                 kind, payload = "cpath", spec
-                name = "\x1f(" + "|".join(
+                name = bgp.PATH_SYNTH_SEP + "(" + "|".join(
                     "/".join(("^" if i else "") + u for u, i in br)
                     for br in spec
                 ) + ")"
             if mod == "+":
-                key = name + "\x1f+"
+                key = name + bgp.PATH_SYNTH_SEP + "+"
                 specs[key] = (kind, payload, "+", None)
             else:
                 const = None
@@ -1720,7 +1738,7 @@ def _expand_paths(
                         "is unbounded); anchor one end"
                         + (" or use '+'" if mod == "*" else "")
                     )
-                key = name + "\x1f" + mod + const
+                key = name + bgp.PATH_SYNTH_SEP + mod + const
                 specs[key] = (kind, payload, mod, const)
             out.append((s, key, o))
         return out

@@ -1,9 +1,9 @@
 """Property test for the SPARQL property-path grammar: random path
 expressions (inverse / sequence / alternative / grouping / '+'
 closures on atoms AND on closure-free compound groups — the
-composite-relation closure) evaluated by the engine's DNF rewrite
-must match a naive set-semantics evaluator over a fixed cyclic
-graph.
+composite-relation closure — plus negated property sets with forward
+AND inverse members) evaluated by the engine's DNF rewrite must match
+a naive set-semantics evaluator over a fixed cyclic graph.
 
 Comparison is on SETS of (s, o) pairs: SPARQL sequences/alternatives
 are bag-semantic (``(p|p)`` legitimately yields each solution twice),
@@ -60,8 +60,19 @@ def _compound(children):
 closure_free = st.recursive(atoms, _compound, max_leaves=3)
 cplus = st.tuples(st.just("cplus"), closure_free)
 
+# negated property set !(p|^q|...): per §9.1 the forward members
+# constrain forward edges, ^-members constrain reversed edges, and
+# each branch exists iff its member list is non-empty.  NPS inside a
+# CLOSED group is a loud seam, so it stays out of closure_free.
+npss = st.tuples(
+    st.frozensets(st.sampled_from(PREDS), max_size=2),
+    st.frozensets(st.sampled_from(PREDS), max_size=2),
+).filter(lambda t: t[0] or t[1]).map(
+    lambda t: ("nps", tuple(sorted(t[0])), tuple(sorted(t[1])))
+)
+
 paths = st.recursive(
-    st.one_of(atoms, plus, cplus), _compound, max_leaves=5
+    st.one_of(atoms, plus, cplus, npss), _compound, max_leaves=5
 )
 
 
@@ -73,6 +84,11 @@ def render(ast) -> str:
         return f"<http://e/{ast[1]}>+"
     if kind == "cplus":
         return f"({render(ast[1])})+"
+    if kind == "nps":
+        members = [f"<http://e/{p}>" for p in ast[1]] + [
+            f"^<http://e/{q}>" for q in ast[2]
+        ]
+        return "!(" + "|".join(members) + ")"
     if kind == "inv":
         return f"^({render(ast[1])})"
     if kind == "seq":
@@ -97,6 +113,14 @@ def naive(ast) -> set:
         return _fixpoint({(s, o) for s, p, o in EDGES if p == ast[1]})
     if kind == "cplus":
         return _fixpoint(naive(ast[1]))
+    if kind == "nps":
+        fwd, rev = ast[1], ast[2]
+        out = set()
+        if fwd:
+            out |= {(s, o) for s, p, o in EDGES if p not in fwd}
+        if rev:
+            out |= {(o, s) for s, p, o in EDGES if p not in rev}
+        return out
     if kind == "inv":
         return {(o, s) for s, o in naive(ast[1])}
     if kind == "seq":

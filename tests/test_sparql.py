@@ -1135,11 +1135,26 @@ def test_property_path_groups_and_negsets(spark):
     assert run("SELECT ?s ?o WHERE { ?s (e:p/e:q)+ ?o }") == [
         ("a", "c"),
     ]
-    # seams: nested closure in a closed group, inverse-in-negset,
-    # modifier on negset
+    # inverse members in a negated set (§9.1): !(^p) matches every
+    # REVERSED edge whose predicate is not p; ^!p is the same relation
+    rev_not_p = [
+        ("c", "b"), ("d", "a"), ("e", "d"), ("f", "c"),
+        ("lab", "x"), ("rootlab", "a"),
+    ]
+    assert run("SELECT ?s ?o WHERE { ?s !(^e:p) ?o }") == rev_not_p
+    assert run("SELECT ?s ?o WHERE { ?s ^!e:p ?o }") == rev_not_p
+    # mixed set = union of the forward and reversed branches; here the
+    # reversed branch contributes nothing for subjects with e:lbl
+    assert run(
+        "SELECT ?s ?o WHERE { ?s !(e:lbl|^e:q) ?o . ?s e:lbl ?l }"
+    ) == [("a", "b"), ("a", "d")]
+    # mixed set inside a sequence: both branches chain into /e:r
+    assert run(
+        "SELECT ?s ?o WHERE { ?s !(e:lbl|^e:q)/e:r ?o }"
+    ) == [("a", "e"), ("b", "f"), ("e", "e"), ("f", "f")]
+    # seams: nested closure in a closed group, modifier on negset
     for bad, msg in [
         ("SELECT ?s WHERE { ?s (e:p/e:q+)+ ?o }", "closure step"),
-        ("SELECT ?s WHERE { ?s !(^e:p) ?o }", "inverse member"),
         ("SELECT ?s WHERE { ?s !e:p+ ?o }", "modifier on a negated"),
     ]:
         with pytest.raises(NotImplementedError):
