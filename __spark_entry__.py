@@ -1419,6 +1419,60 @@ FROM xs ORDER BY a, b, x
 """
 
 
+def _q_sparql_negset_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closure over a negated property set (operators/sparql.py):
+    ``!(ex:label|^ex:next)+`` builds the set's ONE union relation —
+    forward non-label edges (the key chain) plus reversed non-next
+    edges (label edges reversed, name -> node) — and path-doubling-
+    closes it (closure of a union is not the union of closures, so
+    the set rides the composite-closure materializer as a single
+    atom).  Expected: every chain pair (N_a, N_b) a<b plus every
+    (name_k, N_j) j>=k via the name->node hop into the chain."""
+    from face_hunter_spark.operators.sparql import execute
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    base = (
+        nation.where(k < 24).select(
+            F.concat(F.lit("N"), k.cast("string")).alias("subj"),
+            F.lit("http://example.org/next").alias("pred"),
+            F.concat(F.lit("N"), (k + 1).cast("string")).alias("obj"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), k.cast("string")).alias("subj"),
+                F.lit("http://example.org/label").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?s ?o WHERE { ?s !(ex:label|^ex:next)+ ?o }
+        ORDER BY ?s ?o
+        """,
+    )
+
+
+ORACLE_SPARQL_NEGSET_CLOSURE = """
+WITH RECURSIVE walk(a, b) AS (
+  SELECT n_nationkey, n_nationkey + 1 FROM nation WHERE n_nationkey < 24
+  UNION
+  SELECT w.a, w.b + 1 FROM walk w WHERE w.b < 24
+)
+SELECT s, o FROM (
+  SELECT 'N' || CAST(a AS VARCHAR) AS s,
+         'N' || CAST(b AS VARCHAR) AS o
+  FROM walk
+  UNION ALL
+  SELECT n.n_name AS s, 'N' || CAST(j.n_nationkey AS VARCHAR) AS o
+  FROM nation n JOIN nation j ON j.n_nationkey >= n.n_nationkey
+) ORDER BY s, o
+"""
+
+
 def _q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 subqueries (operators/sparql.py): a
     ``{ SELECT ... GROUP BY ... }`` group evaluated bottom-up and
@@ -1956,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_negation_union": _q_sparql_negation_union,
         "sparql_graph_var": _q_sparql_graph_var,
         "sparql_negset_inverse": _q_sparql_negset_inverse,
+        "sparql_negset_closure": _q_sparql_negset_closure,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2131,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_negation_union": ORACLE_SPARQL_NEGATION_UNION,
         "sparql_graph_var": ORACLE_SPARQL_GRAPH_VAR,
         "sparql_negset_inverse": ORACLE_SPARQL_NEGSET_INVERSE,
+        "sparql_negset_closure": ORACLE_SPARQL_NEGSET_CLOSURE,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

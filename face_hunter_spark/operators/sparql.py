@@ -53,9 +53,11 @@ Supported subset — exactly the shapes the reference emits/accepts
   in by swapping the member lists) — all pure pattern rewrites — and
   composite-relation closures ``(a/b)+`` / ``(a|^b)*`` (the group's
   edge relation is materialized once as a union of slice
-  compositions, then path-doubling-closed like a single predicate);
-  the remaining loud seams are a closure step or negated set INSIDE
-  a closed group and a closure modifier ON a negated set;
+  compositions, then path-doubling-closed like a single predicate;
+  negated sets may appear inside closed groups and take closure
+  modifiers themselves — ``!(p|^q)+`` closes the set's one union
+  relation); the remaining loud seam is a closure step INSIDE a
+  closed group (``(a/b+)+``);
 * negation: ``FILTER [NOT] EXISTS { ... }`` (left-semi/left-anti hash
   join on the shared variables) and ``MINUS { ... }`` (left-anti; a
   group sharing no variable removes nothing, per spec); both accept
@@ -914,15 +916,17 @@ class _Parser:
             # forward edges, ^-members constrain reversed edges, each
             # branch a DNF alternative (§9.1 NegatedPropertySet)
             fwd, rev = self._parse_negset()
-            if self._at_op("+", "*", "?"):
-                raise NotImplementedError(
-                    "a closure modifier on a negated property set is "
-                    "not in the supported subset"
-                )
             if inv:
                 # ^!(p|^q) == !(q|^p): inverting the set swaps which
                 # member list constrains which edge direction
                 fwd, rev = rev, fwd
+            if self._at_op("+", "*", "?"):
+                # closed NPS: the set's relation (the union of both
+                # branches — closure of a union is NOT the union of
+                # closures) becomes one composite-closure atom
+                mod = self._next().text
+                atom = ("!", tuple(fwd), tuple(rev))
+                return [[("cstep", ((atom,),), mod)]]
             branches = []
             if fwd or not rev:
                 branches.append([("negset", tuple(fwd))])
@@ -942,30 +946,30 @@ class _Parser:
                 ):
                     _, uri, ginv, _ = inner[0][0]
                     return [[("step", uri, ginv != inv, mod)]]
-                if all(
-                    k[0] == "step" and k[3] is None
-                    for s in inner for k in s
-                ):
-                    # composite-relation closure, e.g. (a/b)+ or
-                    # (a|^b)* : the group's relation is a union of
-                    # step compositions; the materializer builds that
-                    # edge set once and closes it.  '^(...)' folds in
-                    # here — (R+)^-1 == (R^-1)+, so invert every
-                    # branch instead of carrying a marker.
-                    spec = tuple(
-                        tuple((k[1], k[2]) for k in s) for s in inner
-                    )
+                atoms_ = [
+                    [_closure_atom(k) for k in s] for s in inner
+                ]
+                if all(a is not None for s in atoms_ for a in s):
+                    # composite-relation closure, e.g. (a/b)+, (a|^b)*
+                    # or (a/!b)+ : the group's relation is a union of
+                    # step/NPS compositions; the materializer builds
+                    # that edge set once and closes it.  '^(...)'
+                    # folds in here — (R+)^-1 == (R^-1)+, so invert
+                    # every branch instead of carrying a marker.
+                    spec = tuple(tuple(s) for s in atoms_)
                     if inv:
                         spec = tuple(
-                            tuple((u, not i) for u, i in reversed(br))
+                            tuple(
+                                _invert_catom(a) for a in reversed(br)
+                            )
                             for br in spec
                         )
                     return [[("cstep", spec, mod)]]
                 raise NotImplementedError(
                     "'+'/'*'/'?' on a grouped path whose group itself "
-                    "contains a closure step or negated set is not in "
-                    "the supported subset; materialize the group as "
-                    "its own predicate and close that"
+                    "contains a closure step is not in the supported "
+                    "subset; materialize the group as its own "
+                    "predicate and close that"
                 )
             if inv:
                 inner = [_invert_path_seq(s) for s in inner]
@@ -1011,9 +1015,11 @@ class _Parser:
         for sequences, a UNION block for alternatives, synthetic
         closure triples for '+'/'*'/'?' steps, a not-in predicate
         filter for negated sets (inverse members spawn the spec's
-        reversed-edge branch as a DNF alternative).  Out of subset
-        (loud raise): a closure modifier on a negated set, and a
-        closure step or negated set inside a closed group."""
+        reversed-edge branch as a DNF alternative; a CLOSED negated
+        set — '!(...)+' or one inside a closed group — becomes a
+        composite-closure atom over the set's union relation).  Out
+        of subset (loud raise): a closure step inside a closed
+        group."""
         dnf = self._path_alt(t)
         if len(dnf) == 1:
             seq = dnf[0]
@@ -1441,6 +1447,32 @@ def parse(text: str) -> ParsedQuery:
     return _Parser(text).parse()
 
 
+def _closure_atom(k: tuple):
+    """DNF step -> a composite-closure atom, or None if the step
+    cannot live inside a closed group.  Atoms are either ``(uri,
+    inverted)`` predicate slices or ``("!", fwd_uris, rev_uris)``
+    negated-set relations (the union of the set's forward and
+    reversed branches — one relation, since closure of a union is not
+    the union of closures)."""
+    if k[0] == "step":
+        return (k[1], k[2]) if k[3] is None else None
+    if k[0] == "negset":
+        return ("!", k[1], ())
+    if k[0] == "invnegset":
+        return ("!", (), k[1])
+    return None
+
+
+def _invert_catom(a: tuple) -> tuple:
+    """Relational inverse of one composite-closure atom."""
+    if a[0] == "!":
+        # reversing an NPS swaps which member list constrains which
+        # edge direction (same rule as ^!(...) at parse)
+        return ("!", a[2], a[1])
+    u, i = a
+    return (u, not i)
+
+
 def _invert_path_seq(seq: list) -> list:
     """^(sequence): reverse the step order and flip each step's
     direction (the relational inverse of a composition)."""
@@ -1458,7 +1490,7 @@ def _invert_path_seq(seq: list) -> list:
             # invert the composite closure by inverting its relation
             _, spec, mod = k
             out.append(("cstep", tuple(
-                tuple((u, not i) for u, i in reversed(br))
+                tuple(_invert_catom(a) for a in reversed(br))
                 for br in spec
             ), mod))
             continue
@@ -1716,9 +1748,16 @@ def _expand_paths(
             else:
                 _, spec, mod = p
                 kind, payload = "cpath", spec
+
+                def atom_str(a):
+                    if a[0] == "!":
+                        return "!(" + "|".join(
+                            list(a[1]) + ["^" + u for u in a[2]]
+                        ) + ")"
+                    return ("^" if a[1] else "") + a[0]
+
                 name = bgp.PATH_SYNTH_SEP + "(" + "|".join(
-                    "/".join(("^" if i else "") + u for u, i in br)
-                    for br in spec
+                    "/".join(atom_str(a) for a in br) for br in spec
                 ) + ")"
             if mod == "+":
                 key = name + bgp.PATH_SYNTH_SEP + "+"
@@ -1782,6 +1821,31 @@ def _expand_paths(
         s, d = ("obj", "subj") if inv else ("subj", "obj")
         return sl.select(F.col(s).alias("src"), F.col(d).alias("dst"))
 
+    def nps_edges(fwd: tuple, rev: tuple) -> DataFrame:
+        # one NPS relation = union of its forward branch (edges with
+        # pred not in fwd) and reversed branch (reversed edges with
+        # pred not in rev); a branch exists iff its member list does.
+        # Scale note: an NPS slice is most of the graph, so closing
+        # one is a whole-graph transitive closure by semantics.
+        rel = None
+        if fwd or not rev:
+            sl = base.where(~F.col("pred").isin(*fwd)) if fwd else base
+            rel = sl.select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+        if rev:
+            sl = base.where(~F.col("pred").isin(*rev))
+            e = sl.select(
+                F.col("obj").alias("src"), F.col("subj").alias("dst")
+            )
+            rel = e if rel is None else rel.unionByName(e)
+        return rel
+
+    def atom_edges(a) -> DataFrame:
+        if a[0] == "!":
+            return nps_edges(a[1], a[2])
+        return pred_edges(a[0], a[1])
+
     def composite_edges(spec) -> DataFrame:
         # unique column names per step instead of DataFrame aliases:
         # every slice derives from the same base scan, and Catalyst's
@@ -1790,8 +1854,8 @@ def _expand_paths(
         rel = None
         for branch in spec:
             cur = None
-            for step_no, (uri, inv) in enumerate(branch):
-                e = pred_edges(uri, inv).select(
+            for step_no, atom in enumerate(branch):
+                e = atom_edges(atom).select(
                     F.col("src").alias(f"__s{step_no}"),
                     F.col("dst").alias(f"__d{step_no}"),
                 )

@@ -55,21 +55,23 @@ def _compound(children):
     )
 
 
-# composite closure '(...)+': the engine supports it when the group
-# is closure-free (plain / inverse steps, sequences, alternatives)
-closure_free = st.recursive(atoms, _compound, max_leaves=3)
-cplus = st.tuples(st.just("cplus"), closure_free)
-
 # negated property set !(p|^q|...): per §9.1 the forward members
 # constrain forward edges, ^-members constrain reversed edges, and
-# each branch exists iff its member list is non-empty.  NPS inside a
-# CLOSED group is a loud seam, so it stays out of closure_free.
+# each branch exists iff its member list is non-empty.
 npss = st.tuples(
     st.frozensets(st.sampled_from(PREDS), max_size=2),
     st.frozensets(st.sampled_from(PREDS), max_size=2),
 ).filter(lambda t: t[0] or t[1]).map(
     lambda t: ("nps", tuple(sorted(t[0])), tuple(sorted(t[1])))
 )
+
+# composite closure '(...)+': the engine supports it when the group
+# is closure-free (plain / inverse steps, negated sets, sequences,
+# alternatives) — so a closed group may contain an NPS, and a bare
+# '!(...)+' arrives as cplus over a single-atom group
+closure_free = st.recursive(st.one_of(atoms, npss), _compound,
+                            max_leaves=3)
+cplus = st.tuples(st.just("cplus"), closure_free)
 
 paths = st.recursive(
     st.one_of(atoms, plus, cplus, npss), _compound, max_leaves=5

@@ -1152,13 +1152,20 @@ def test_property_path_groups_and_negsets(spark):
     assert run(
         "SELECT ?s ?o WHERE { ?s !(e:lbl|^e:q)/e:r ?o }"
     ) == [("a", "e"), ("b", "f"), ("e", "e"), ("f", "f")]
-    # seams: nested closure in a closed group, modifier on negset
-    for bad, msg in [
-        ("SELECT ?s WHERE { ?s (e:p/e:q+)+ ?o }", "closure step"),
-        ("SELECT ?s WHERE { ?s !e:p+ ?o }", "modifier on a negated"),
-    ]:
-        with pytest.raises(NotImplementedError):
-            sparql.execute(tri, P + bad)
+    # closed negated set: !(lbl)+ closes the non-label edge relation
+    # ((a,b),(b,c),(a,d),(d,e),(c,f) and their chains)
+    assert run("SELECT ?s ?o WHERE { ?s !e:lbl+ ?o }") == [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"), ("a", "f"),
+        ("b", "c"), ("b", "f"), ("c", "f"), ("d", "e"),
+    ]
+    # negated set inside a closed group: q-step then non-lbl/q step,
+    # closed — relation {(b,f),(a,e)}, no chains
+    assert run(
+        "SELECT ?s ?o WHERE { ?s (e:q/!(e:lbl|e:q))+ ?o }"
+    ) == [("a", "e"), ("b", "f")]
+    # seam: nested closure in a closed group
+    with pytest.raises(NotImplementedError, match="closure step"):
+        sparql.execute(tri, P + "SELECT ?s WHERE { ?s (e:p/e:q+)+ ?o }")
 
 
 def test_construct_with_solution_clauses(triples):
