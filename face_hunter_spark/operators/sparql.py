@@ -727,38 +727,17 @@ class _Parser:
     def _parse_union_branch(self):
         """One '{...}' branch of a UNION block -> a LIST of
         (patterns, optional, optional_filters, filters) tuples —
-        usually one; a branch that is ITSELF a pure UNION block
+        usually one.  A branch that is ITSELF a pure UNION block
         splices its branches into the parent (UNION is associative:
         { {A} UNION {B} } UNION {C} = A ∪ B ∪ C).  A branch that
-        JOINS patterns with a nested UNION would need non-distributive
-        algebra and raises."""
+        JOINS patterns/OPTIONAL/FILTER with nested UNION block(s)
+        distributes at parse time — under SPARQL bag semantics
+        σ_f(A ⋈ (B ∪ C)) = σ_f(A ⋈ B) ∪ σ_f(A ⋈ C), and multiple
+        nested unions take the cross product of branch choices (the
+        same expansion ``_variants`` applies at the top level) — so
+        every flattened tuple evaluates as one plain BGP."""
         sub = ParsedQuery(form="union-branch")
         self._parse_group(sub)
-        if sub.unions:
-            if (
-                sub.patterns
-                or sub.optional
-                or sub.exists_clauses
-                or sub.minus_clauses
-                or sub.values_clauses
-                or sub.binds
-                or sub.services
-                or sub.subqueries
-                or sub.graph_vars
-                or len(sub.unions) != 1
-            ):
-                raise NotImplementedError(
-                    "a UNION branch that joins patterns with a nested "
-                    "UNION is not in the supported subset — flatten "
-                    "the alternatives into sibling branches"
-                )
-            if sub.filters:
-                raise NotImplementedError(
-                    "a FILTER alongside a nested UNION inside a "
-                    "branch is not in the supported subset — push it "
-                    "into each inner branch"
-                )
-            return sub.unions[0]
         if (
             sub.exists_clauses
             or sub.minus_clauses
@@ -773,6 +752,27 @@ class _Parser:
                 "UNION branch is not in the supported subset — hoist "
                 "it to the outer group"
             )
+        if sub.unions:
+            if not (
+                sub.patterns or sub.optional or sub.filters
+                or len(sub.unions) > 1
+            ):
+                return sub.unions[0]
+            from itertools import product
+
+            out = []
+            for combo in product(*sub.unions):
+                pats, opts, optfs, filts = (
+                    list(sub.patterns), list(sub.optional),
+                    list(sub.optional_filters), list(sub.filters),
+                )
+                for p, o, of, f in combo:
+                    pats += p
+                    opts += o
+                    optfs += of
+                    filts += f
+                out.append((pats, opts, optfs, filts))
+            return out
         return [(sub.patterns, sub.optional, sub.optional_filters,
                  sub.filters)]
 

@@ -141,13 +141,28 @@ def test_parse_loud_seams():
         "{ ?v dc:identifier ?t } } UNION { ?v dc:title ?t } }"
     )
     assert len(q.unions) == 1 and len(q.unions[0]) == 3
-    # but a branch JOINING patterns with a nested UNION still raises
-    with pytest.raises(NotImplementedError, match="joins patterns"):
-        sparql.parse(
-            "SELECT ?v WHERE { { ?v dc:title ?t . "
-            "{ ?v dc:identifier ?i } UNION { ?v dc:creator ?i } } "
-            "UNION { ?v dc:title ?t } }"
-        )
+    # a branch JOINING patterns with a nested UNION distributes at
+    # parse time (r5): {A . ({B} UNION {C})} UNION {D} -> three flat
+    # branches A⋈B, A⋈C, D
+    q = sparql.parse(
+        "SELECT ?v WHERE { { ?v dc:title ?t . "
+        "{ ?v dc:identifier ?i } UNION { ?v dc:creator ?i } } "
+        "UNION { ?v dc:title ?t } }"
+    )
+    assert len(q.unions) == 1 and len(q.unions[0]) == 3
+    assert [len(b[0]) for b in q.unions[0]] == [2, 2, 1]
+    # a FILTER alongside the nested UNION lands in every distributed
+    # branch (σ_f distributes over ∪), and two nested unions take the
+    # cross product of branch choices
+    q = sparql.parse(
+        "SELECT ?v WHERE { { ?v dc:title ?t . FILTER(?t != \"x\") "
+        "{ ?v dc:identifier ?i } UNION { ?v dc:creator ?i } "
+        "{ ?v dc:subject ?k } UNION { ?v dc:source ?k } } "
+        "UNION { ?v dc:title ?t } }"
+    )
+    assert len(q.unions) == 1 and len(q.unions[0]) == 5
+    assert [b[3] for b in q.unions[0][:4]] == [["(t <> 'x')"]] * 4
+    assert q.unions[0][4][3] == []
     # FILTER inside OPTIONAL parses into the group-aligned slot
     q = sparql.parse(
         "SELECT ?v WHERE { ?v dc:title ?t . "
@@ -404,6 +419,53 @@ def test_union_joins_outer_patterns(triples):
         (r.v, r.t) for r in sparql.execute(triples, text).collect()
     )
     assert got == [("v1", "alpha title"), ("v2", "Beta Title")]
+
+
+def test_union_branch_joining_nested_union(triples):
+    # {A . ({B} UNION {C})} UNION {D}: the joined branch distributes —
+    # scenes get their depicts rows AND their start-time rows, and the
+    # plain title branch unions in alongside
+    text = """
+    SELECT ?s ?o WHERE {
+      { ?s a video:Scene .
+        { ?s foaf:depicts ?o } UNION { ?s temporal:hasStartTime ?o } }
+      UNION { ?s dc:title ?o }
+    }
+    """
+    got = sorted(
+        (r.s, r.o) for r in sparql.execute(triples, text).collect()
+    )
+    want = sorted(
+        [("s1", "http://dbpedia.org/resource/A"),
+         ("s1", "http://www.wikidata.org/entity/Q2"),
+         ("s3", "http://dbpedia.org/resource/A"),
+         ("s1", "0:00:00"), ("s2", "0:00:05"), ("s3", "0:01:40"),
+         ("v1", "alpha title"), ("v2", "Beta Title")]
+    )
+    assert got == want
+
+
+def test_union_branch_filter_distributes(triples):
+    # the FILTER written alongside the nested UNION applies to every
+    # distributed variant, dropping s2's start row and A's depicts rows
+    text = """
+    SELECT ?s ?o WHERE {
+      { ?s a video:Scene . FILTER(?o != "0:00:05")
+        { ?s foaf:depicts ?o } UNION { ?s temporal:hasStartTime ?o } }
+      UNION { ?s dc:title ?o }
+    }
+    """
+    got = sorted(
+        (r.s, r.o) for r in sparql.execute(triples, text).collect()
+    )
+    want = sorted(
+        [("s1", "http://dbpedia.org/resource/A"),
+         ("s1", "http://www.wikidata.org/entity/Q2"),
+         ("s3", "http://dbpedia.org/resource/A"),
+         ("s1", "0:00:00"), ("s3", "0:01:40"),
+         ("v1", "alpha title"), ("v2", "Beta Title")]
+    )
+    assert got == want
 
 
 def test_union_ask_and_construct(triples):
