@@ -1295,6 +1295,94 @@ ORDER BY c
 """
 
 
+def _q_sparql_union_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A UNION branch that JOINS patterns (and a FILTER) with a nested
+    UNION block (operators/sparql.py::_parse_union_branch): the parser
+    distributes {A . F . ({B} UNION {C})} into sibling flat branches
+    A⋈B/σF and A⋈C/σF at parse time (bag-semantics identity
+    σ_f(A ⋈ (B ∪ C)) = σ_f(A ⋈ B) ∪ σ_f(A ⋈ C)).  Graph: customer
+    segment/nation + order status triples; answers 'non-BUILDING
+    customers' F-or-P orders, plus every customer's nation' — the
+    oracle is the literal three-way UNION ALL."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ckey = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    base = (
+        customer.select(
+            ckey.alias("subj"),
+            F.lit("http://example.org/segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .unionByName(
+            customer.select(
+                ckey.alias("subj"),
+                F.lit("http://example.org/nation").alias("pred"),
+                F.concat(
+                    F.lit("N"), F.col("c_nationkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+                .alias("subj"),
+                F.lit("http://example.org/placed").alias("pred"),
+                F.concat(
+                    F.lit("O"), F.col("o_orderkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+                .alias("subj"),
+                F.lit("http://example.org/status").alias("pred"),
+                F.col("o_orderstatus").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?seg ?x WHERE {
+          ?c ex:segment ?seg .
+          { ?c ex:placed ?x . FILTER(?seg != "BUILDING")
+            { ?x ex:status "F" } UNION { ?x ex:status "P" } }
+          UNION { ?c ex:nation ?x }
+        }
+        ORDER BY ?c ?x
+        """,
+    )
+
+
+ORACLE_SPARQL_UNION_DISTRIBUTED = """
+SELECT c, seg, x FROM (
+  SELECT 'C' || CAST(c.c_custkey AS VARCHAR) AS c,
+         c.c_mktsegment AS seg,
+         'O' || CAST(o.o_orderkey AS VARCHAR) AS x
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment <> 'BUILDING' AND o.o_orderstatus = 'F'
+  UNION ALL
+  SELECT 'C' || CAST(c.c_custkey AS VARCHAR),
+         c.c_mktsegment,
+         'O' || CAST(o.o_orderkey AS VARCHAR)
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment <> 'BUILDING' AND o.o_orderstatus = 'P'
+  UNION ALL
+  SELECT 'C' || CAST(c_custkey AS VARCHAR),
+         c_mktsegment,
+         'N' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+) t
+ORDER BY c, x
+"""
+
+
 def _q_sparql_graph_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``GRAPH ?g { ... }`` (operators/sparql.py): the wrapper
     collapses into the enclosing group (single-graph store) and ?g
@@ -2011,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_var": _q_sparql_graph_var,
         "sparql_negset_inverse": _q_sparql_negset_inverse,
         "sparql_negset_closure": _q_sparql_negset_closure,
+        "sparql_union_distributed": _q_sparql_union_distributed,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2187,6 +2276,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_graph_var": ORACLE_SPARQL_GRAPH_VAR,
         "sparql_negset_inverse": ORACLE_SPARQL_NEGSET_INVERSE,
         "sparql_negset_closure": ORACLE_SPARQL_NEGSET_CLOSURE,
+        "sparql_union_distributed": ORACLE_SPARQL_UNION_DISTRIBUTED,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
