@@ -1561,6 +1561,138 @@ SELECT s, o FROM (
 """
 
 
+def _q_sparql_optional_union(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNION inside OPTIONAL (operators/sparql.py): LeftJoin(P1,
+    B ∪ C, F) — the OPTIONAL group's two branches assemble as ONE
+    binding set that left-joins onto the required patterns, with the
+    group's FILTER as the join condition referencing an OUTER
+    variable: non-BUILDING customers keep a NULL-padded row even when
+    a branch would extend them (hoisting the filter would instead
+    drop the extension rows only).  The oracle is the literal
+    LEFT JOIN of the UNION ALL with the predicate in the ON clause."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ck = F.col("c_custkey").cast("long")
+    ok = F.col("o_custkey").cast("long")
+    base = (
+        customer.where(ck <= 200).select(
+            F.concat(F.lit("C"), ck.cast("string")).alias("subj"),
+            F.lit("http://example.org/segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .unionByName(
+            orders.where(
+                (ok <= 200)
+                & (F.col("o_orderpriority") == "1-URGENT")
+            ).select(
+                F.concat(F.lit("C"), ok.cast("string")).alias("subj"),
+                F.lit("http://example.org/urgent").alias("pred"),
+                F.concat(
+                    F.lit("O"), F.col("o_orderkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.where(
+                (ok <= 200) & (F.col("o_orderstatus") == "O")
+            ).select(
+                F.concat(F.lit("C"), ok.cast("string")).alias("subj"),
+                F.lit("http://example.org/open").alias("pred"),
+                F.concat(
+                    F.lit("O"), F.col("o_orderkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?o WHERE {
+          ?c ex:segment ?seg .
+          OPTIONAL {
+            { ?c ex:urgent ?o } UNION { ?c ex:open ?o }
+            FILTER(strstarts(str(?seg), "BUILD"))
+          }
+        }
+        ORDER BY ?c ?o
+        """,
+    )
+
+
+ORACLE_SPARQL_OPTIONAL_UNION = """
+WITH cust AS (
+  SELECT 'C' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
+  FROM customer WHERE c_custkey <= 200
+), mem AS (
+  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+         'O' || CAST(o_orderkey AS VARCHAR) AS o
+  FROM orders WHERE o_custkey <= 200 AND o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'C' || CAST(o_custkey AS VARCHAR),
+         'O' || CAST(o_orderkey AS VARCHAR)
+  FROM orders WHERE o_custkey <= 200 AND o_orderstatus = 'O'
+)
+SELECT cust.c AS c, mem.o AS o
+FROM cust LEFT JOIN mem
+  ON mem.c = cust.c AND cust.seg LIKE 'BUILD%'
+ORDER BY c, o
+"""
+
+
+def _q_sparql_path_nested_closure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closure step INSIDE a closed group (operators/sparql.py):
+    ``(ex:a/ex:b+)+`` makes ``b+`` a nested-closure atom — its inner
+    relation path-doubles first, composes with ``a``'s slice into the
+    group's relation R, and R closes again.  Graph: nation keys as a
+    lattice with a = +1 hops and b = +2 hops, so R(i,j) iff j-i is
+    odd and >= 3, and R+ adds every sum of such increments: j-i >= 3
+    and j-i != 4 — a closed form the oracle states directly."""
+    from face_hunter_spark.operators.sparql import execute
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    base = (
+        nation.where(k < 24).select(
+            F.concat(F.lit("N"), k.cast("string")).alias("subj"),
+            F.lit("http://example.org/a").alias("pred"),
+            F.concat(F.lit("N"), (k + 1).cast("string")).alias("obj"),
+        )
+        .unionByName(
+            nation.where(k < 23).select(
+                F.concat(F.lit("N"), k.cast("string")).alias("subj"),
+                F.lit("http://example.org/b").alias("pred"),
+                F.concat(F.lit("N"), (k + 2).cast("string"))
+                .alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?s ?o WHERE { ?s (ex:a/ex:b+)+ ?o }
+        ORDER BY ?s ?o
+        """,
+    )
+
+
+ORACLE_SPARQL_PATH_NESTED_CLOSURE = """
+SELECT 'N' || CAST(a.n_nationkey AS VARCHAR) AS s,
+       'N' || CAST(b.n_nationkey AS VARCHAR) AS o
+FROM nation a JOIN nation b
+  ON b.n_nationkey - a.n_nationkey >= 3
+ AND b.n_nationkey - a.n_nationkey <> 4
+ORDER BY s, o
+"""
+
+
 def _q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL 1.1 subqueries (operators/sparql.py): a
     ``{ SELECT ... GROUP BY ... }`` group evaluated bottom-up and
@@ -2100,6 +2232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_negset_inverse": _q_sparql_negset_inverse,
         "sparql_negset_closure": _q_sparql_negset_closure,
         "sparql_union_distributed": _q_sparql_union_distributed,
+        "sparql_path_nested_closure": _q_sparql_path_nested_closure,
+        "sparql_optional_union": _q_sparql_optional_union,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2277,6 +2411,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_negset_inverse": ORACLE_SPARQL_NEGSET_INVERSE,
         "sparql_negset_closure": ORACLE_SPARQL_NEGSET_CLOSURE,
         "sparql_union_distributed": ORACLE_SPARQL_UNION_DISTRIBUTED,
+        "sparql_path_nested_closure": ORACLE_SPARQL_PATH_NESTED_CLOSURE,
+        "sparql_optional_union": ORACLE_SPARQL_OPTIONAL_UNION,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

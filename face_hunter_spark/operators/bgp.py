@@ -143,15 +143,23 @@ def graph_pattern(
     plan, bound = _join_compiled(compiled, allow_cartesian)
 
     for g, group in enumerate(optional or []):
-        if isinstance(group, tuple):
-            group = [group]
-        if not group:
-            raise ValueError(f"optional group {g} is empty")
-        gcompiled = [
-            _compile_pattern(triples, p, f"opt{g}_{i}")
-            for i, p in enumerate(group)
-        ]
-        gplan, gvars = _join_compiled(gcompiled, allow_cartesian=False)
+        if isinstance(group, DataFrame):
+            # pre-evaluated group bindings (e.g. a UNION inside
+            # OPTIONAL, assembled by the SPARQL layer): left-join the
+            # DataFrame as a unit — LeftJoin(P1, B ∪ C)
+            gplan, gvars = group, set(group.columns)
+        else:
+            if isinstance(group, tuple):
+                group = [group]
+            if not group:
+                raise ValueError(f"optional group {g} is empty")
+            gcompiled = [
+                _compile_pattern(triples, p, f"opt{g}_{i}")
+                for i, p in enumerate(group)
+            ]
+            gplan, gvars = _join_compiled(
+                gcompiled, allow_cartesian=False
+            )
         shared = sorted(bound & gvars)
         if not shared:
             raise ValueError(

@@ -56,8 +56,11 @@ Supported subset — exactly the shapes the reference emits/accepts
   compositions, then path-doubling-closed like a single predicate;
   negated sets may appear inside closed groups and take closure
   modifiers themselves — ``!(p|^q)+`` closes the set's one union
-  relation); the remaining loud seam is a closure step INSIDE a
-  closed group (``(a/b+)+``);
+  relation; closure steps INSIDE a closed group (``(a/b+)+``,
+  ``(a?/b)+``, ``((a/b)+/c)+``) ride as nested-closure atoms whose
+  inner relation is closed first, with '*'/'?' steps expanded to
+  presence/absence branches and an all-ε branch upgrading the outer
+  '+' to '*');
 * negation: ``FILTER [NOT] EXISTS { ... }`` (left-semi/left-anti hash
   join on the shared variables) and ``MINUS { ... }`` (left-anti; a
   group sharing no variable removes nothing, per spec); both accept
@@ -559,7 +562,6 @@ class _Parser:
                 self._parse_group(sub)
                 if (
                     sub.optional
-                    or sub.unions
                     or sub.exists_clauses
                     or sub.minus_clauses
                     or sub.values_clauses
@@ -569,12 +571,25 @@ class _Parser:
                     or sub.graph_vars
                 ):
                     raise NotImplementedError(
-                        "only triple patterns and FILTER are supported "
-                        "inside OPTIONAL {...} — hoist other clauses to "
-                        "the outer group"
+                        "only triple patterns, FILTER and UNION are "
+                        "supported inside OPTIONAL {...} — hoist other "
+                        "clauses to the outer group"
                     )
-                q.optional.append(sub.patterns)
-                q.optional_filters.append(sub.filters)
+                if sub.unions:
+                    # UNION inside OPTIONAL: LeftJoin(P1, B ∪ C, F).
+                    # The whole sub-GROUP becomes the optional entry —
+                    # its bindings assemble through _bindings at
+                    # evaluation time and left-join as a unit.  The
+                    # group-level FILTERs are the LeftJoin condition F
+                    # (they may reference outer vars and a failing F
+                    # keeps the left row), so they move to the aligned
+                    # optional_filters slot, NOT inside the group.
+                    q.optional_filters.append(sub.filters)
+                    sub.filters = []
+                    q.optional.append(sub)
+                else:
+                    q.optional.append(sub.patterns)
+                    q.optional_filters.append(sub.filters)
                 continue
             if not template_mode and self._at_kw("filter"):
                 self._next()
@@ -965,12 +980,32 @@ class _Parser:
                             for br in spec
                         )
                     return [[("cstep", spec, mod)]]
-                raise NotImplementedError(
-                    "'+'/'*'/'?' on a grouped path whose group itself "
-                    "contains a closure step is not in the supported "
-                    "subset; materialize the group as its own "
-                    "predicate and close that"
-                )
+                # the group itself contains closure steps ((a/b+)+,
+                # ((a/b)+/c)*, (a?/b)+ ...): expand each '*'/'?' step
+                # into presence/absence alternatives (b* = b+ | ε,
+                # b? = b | ε) and wrap '+' steps as NESTED-closure
+                # atoms the materializer closes recursively.  A combo
+                # where every step chose ε is the zero-length path:
+                # it upgrades the outer '+' to '*' (R ∪ I closed =
+                # reflexive-transitive) and is already covered by the
+                # anchored zero row for outer '*'/'?'.
+                expanded = _expand_closed_group(inner)
+                if expanded is None:
+                    raise NotImplementedError(
+                        "'+'/'*'/'?' on a grouped path containing a "
+                        "step outside the atomizable subset is not "
+                        "supported; materialize the group as its own "
+                        "predicate and close that"
+                    )
+                spec, has_empty = expanded
+                if inv:
+                    spec = tuple(
+                        tuple(_invert_catom(a) for a in reversed(br))
+                        for br in spec
+                    )
+                if has_empty and mod == "+":
+                    mod = "*"
+                return [[("cstep", spec, mod)]]
             if inv:
                 inner = [_invert_path_seq(s) for s in inner]
             return inner
@@ -1017,9 +1052,10 @@ class _Parser:
         filter for negated sets (inverse members spawn the spec's
         reversed-edge branch as a DNF alternative; a CLOSED negated
         set — '!(...)+' or one inside a closed group — becomes a
-        composite-closure atom over the set's union relation).  Out
-        of subset (loud raise): a closure step inside a closed
-        group."""
+        composite-closure atom over the set's union relation, and a
+        closure step inside a closed group becomes a NESTED-closure
+        atom whose inner relation is closed before the outer
+        closure)."""
         dnf = self._path_alt(t)
         if len(dnf) == 1:
             seq = dnf[0]
@@ -1463,12 +1499,78 @@ def _closure_atom(k: tuple):
     return None
 
 
+def _catom_alts(k: tuple):
+    """DNF step -> a list of alternatives for the closed-group
+    expansion, each alternative a (possibly empty) list of
+    composite-closure atoms; None if the step is out of subset.
+    '+' steps become NESTED-closure atoms ``("+", spec)`` (closed
+    recursively by the materializer); '*' is ``+ | ε`` and '?' is
+    ``step | ε`` — the ε alternative drops the step from the
+    branch."""
+    if k[0] == "step":
+        _, uri, inv, mod = k
+        base = (uri, inv)
+        if mod is None:
+            return [[base]]
+        if mod == "+":
+            return [[("+", ((base,),))]]
+        if mod == "*":
+            return [[("+", ((base,),))], []]
+        if mod == "?":
+            return [[base], []]
+    if k[0] == "negset":
+        return [[("!", k[1], ())]]
+    if k[0] == "invnegset":
+        return [[("!", (), k[1])]]
+    if k[0] == "cstep":
+        _, spec, mod = k
+        if mod == "+":
+            return [[("+", spec)]]
+        if mod == "*":
+            return [[("+", spec)], []]
+        if mod == "?":
+            return [[("rel", spec)], []]
+    return None
+
+
+def _expand_closed_group(dnf: list):
+    """DNF of a closed group whose steps may themselves carry
+    '+'/'*'/'?' -> (spec branches, has_empty_branch), or None if a
+    step cannot be atomized.  Each branch is one choice combination
+    across the steps' alternatives; an all-ε combination marks the
+    zero-length path (has_empty) instead of emitting a branch."""
+    from itertools import product
+
+    branches: list = []
+    has_empty = False
+    for seq in dnf:
+        step_alts = []
+        for k in seq:
+            alts = _catom_alts(k)
+            if alts is None:
+                return None
+            step_alts.append(alts)
+        for combo in product(*step_alts):
+            atoms = tuple(a for alt in combo for a in alt)
+            if atoms:
+                branches.append(atoms)
+            else:
+                has_empty = True
+    return tuple(branches), has_empty
+
+
 def _invert_catom(a: tuple) -> tuple:
     """Relational inverse of one composite-closure atom."""
     if a[0] == "!":
         # reversing an NPS swaps which member list constrains which
         # edge direction (same rule as ^!(...) at parse)
         return ("!", a[2], a[1])
+    if a[0] in ("+", "rel"):
+        # (R+)^-1 == (R^-1)+: invert the nested relation branchwise
+        return (a[0], tuple(
+            tuple(_invert_catom(x) for x in reversed(br))
+            for br in a[1]
+        ))
     u, i = a
     return (u, not i)
 
@@ -1625,35 +1727,6 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
                 out.append((s, p, o))
         return out
 
-    # pre-existing union blocks first (appending alt blocks while
-    # iterating would revisit them)
-    new_unions = []
-    for branches in q.unions:
-        nb = []
-        for pp, oo, off, ff in branches:
-            ff = list(ff)
-            pp2 = rewrite(pp, False, "a UNION branch", ff)
-            off = (
-                [list(g) for g in off]
-                if len(off) == len(oo)
-                else [[] for _ in oo]
-            )
-            oo2 = [
-                rewrite(g, False, "OPTIONAL", off[j])
-                for j, g in enumerate(oo)
-            ]
-            nb.append((pp2, oo2, off, ff))
-        new_unions.append(nb)
-    q.unions = new_unions
-    q.patterns = rewrite(
-        q.patterns, True, "the required group", q.filters
-    )
-    while len(q.optional_filters) < len(q.optional):
-        q.optional_filters.append([])
-    q.optional = [
-        rewrite(g, False, "OPTIONAL", q.optional_filters[i])
-        for i, g in enumerate(q.optional)
-    ]
     def rewrite_negation(sub: ParsedQuery, kw: str) -> ParsedQuery:
         # a negation group rewrites like a nested query: path
         # alternatives in its required patterns spawn UNION blocks
@@ -1675,9 +1748,7 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
                     else [[] for _ in oo]
                 )
                 oo2 = [
-                    rewrite(
-                        g, False, f"OPTIONAL of {kw}", off[j], nu
-                    )
+                    opt_entry(g, f"OPTIONAL of {kw}", off[j], nu)
                     for j, g in enumerate(oo)
                 ]
                 nb.append((pp2, oo2, off, ff))
@@ -1689,14 +1760,51 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
         while len(sub.optional_filters) < len(sub.optional):
             sub.optional_filters.append([])
         sub.optional = [
-            rewrite(
-                g, False, f"OPTIONAL of {kw}",
+            opt_entry(
+                g, f"OPTIONAL of {kw}",
                 sub.optional_filters[i], sub.unions,
             )
             for i, g in enumerate(sub.optional)
         ]
         return sub
 
+    def opt_entry(g, where: str, fsink, usink=None):
+        # an OPTIONAL entry that is a full sub-group (UNION inside
+        # OPTIONAL) rewrites recursively like a negation group; its
+        # LeftJoin-filter slot stays untouched
+        if isinstance(g, ParsedQuery):
+            return rewrite_negation(g, where)
+        return rewrite(g, False, where, fsink, usink)
+
+    # pre-existing union blocks first (appending alt blocks while
+    # iterating would revisit them)
+    new_unions = []
+    for branches in q.unions:
+        nb = []
+        for pp, oo, off, ff in branches:
+            ff = list(ff)
+            pp2 = rewrite(pp, False, "a UNION branch", ff)
+            off = (
+                [list(g) for g in off]
+                if len(off) == len(oo)
+                else [[] for _ in oo]
+            )
+            oo2 = [
+                opt_entry(g, "OPTIONAL", off[j])
+                for j, g in enumerate(oo)
+            ]
+            nb.append((pp2, oo2, off, ff))
+        new_unions.append(nb)
+    q.unions = new_unions
+    q.patterns = rewrite(
+        q.patterns, True, "the required group", q.filters
+    )
+    while len(q.optional_filters) < len(q.optional):
+        q.optional_filters.append([])
+    q.optional = [
+        opt_entry(g, "OPTIONAL", q.optional_filters[i])
+        for i, g in enumerate(q.optional)
+    ]
     q.exists_clauses = [
         (pos, rewrite_negation(sub, "FILTER EXISTS"))
         for pos, sub in q.exists_clauses
@@ -1754,6 +1862,11 @@ def _expand_paths(
                         return "!(" + "|".join(
                             list(a[1]) + ["^" + u for u in a[2]]
                         ) + ")"
+                    if a[0] in ("+", "rel"):
+                        return "(" + "|".join(
+                            "/".join(atom_str(x) for x in br)
+                            for br in a[1]
+                        ) + ")" + ("+" if a[0] == "+" else "1")
                     return ("^" if a[1] else "") + a[0]
 
                 name = bgp.PATH_SYNTH_SEP + "(" + "|".join(
@@ -1782,26 +1895,37 @@ def _expand_paths(
             out.append((s, key, o))
         return out
 
-    q.patterns = rewrite(q.patterns)
-    q.optional = [rewrite(g) for g in q.optional]
-    q.unions = [
-        [
-            (rewrite(p), [rewrite(g) for g in o], of, f)
-            for (p, o, of, f) in branches
-        ]
-        for branches in q.unions
-    ]
-    def rewrite_negation(sub: ParsedQuery) -> ParsedQuery:
+    def rewrite_group(sub: ParsedQuery) -> ParsedQuery:
+        # a full sub-group (negation group, or a UNION-carrying
+        # OPTIONAL group): rewrite its own patterns, optionals and
+        # union branches recursively
         sub.patterns = rewrite(sub.patterns)
-        sub.optional = [rewrite(g) for g in sub.optional]
+        sub.optional = [rewrite_opt(g) for g in sub.optional]
         sub.unions = [
             [
-                (rewrite(p), [rewrite(g) for g in o], of, f)
+                (rewrite(p), [rewrite_opt(g) for g in o], of, f)
                 for (p, o, of, f) in branches
             ]
             for branches in sub.unions
         ]
         return sub
+
+    def rewrite_opt(g):
+        return (
+            rewrite_group(g) if isinstance(g, ParsedQuery)
+            else rewrite(g)
+        )
+
+    q.patterns = rewrite(q.patterns)
+    q.optional = [rewrite_opt(g) for g in q.optional]
+    q.unions = [
+        [
+            (rewrite(p), [rewrite_opt(g) for g in o], of, f)
+            for (p, o, of, f) in branches
+        ]
+        for branches in q.unions
+    ]
+    rewrite_negation = rewrite_group
 
     q.exists_clauses = [
         (pos, rewrite_negation(sub)) for pos, sub in q.exists_clauses
@@ -1844,6 +1968,14 @@ def _expand_paths(
     def atom_edges(a) -> DataFrame:
         if a[0] == "!":
             return nps_edges(a[1], a[2])
+        if a[0] == "+":
+            # nested-closure atom ((a/b+)+): close the inner relation
+            # first, then compose like any other edge slice — its own
+            # path-doubling job, recursive for deeper nesting
+            return transitive_closure(composite_edges(a[1]))
+        if a[0] == "rel":
+            # exactly-one of a nested group ((a|b)? inside a closure)
+            return composite_edges(a[1])
         return pred_edges(a[0], a[1])
 
     def composite_edges(spec) -> DataFrame:
@@ -1938,13 +2070,26 @@ def _bindings(
     """All variable bindings for q's WHERE clause (bag semantics, no
     projection yet).  Variants missing a variable bind NULL — SPARQL's
     unbound — in the unioned result."""
+    # an OPTIONAL group that is a full sub-group (UNION inside
+    # OPTIONAL) evaluates its own bindings here and left-joins as a
+    # DataFrame; each distinct group materializes ONCE even when the
+    # variant expansion repeats it
+    group_cache: dict[int, DataFrame] = {}
+
+    def _opt_entry(g):
+        if not isinstance(g, ParsedQuery):
+            return g
+        if id(g) not in group_cache:
+            group_cache[id(g)] = _bindings(triples, g, allow_cartesian)
+        return group_cache[id(g)]
+
     dfs = [
         bgp.graph_pattern(
             triples,
             p,
             select=None,
             distinct=False,
-            optional=o or None,
+            optional=[_opt_entry(g) for g in o] or None,
             optional_filters=of or None,
             filters=f or None,
             allow_cartesian=allow_cartesian,

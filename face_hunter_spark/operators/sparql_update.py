@@ -293,11 +293,28 @@ def _expand_where_paths(base: DataFrame, u: ParsedUpdate) -> DataFrame:
     instantiations see the rewritten patterns — and return the
     (possibly closure-augmented) graph they match against.  Alternative
     paths would need UNION evaluation bgp.construct doesn't do; raise."""
+    def _grp_has_path(g) -> bool:
+        # an OPTIONAL entry may be a full sub-group (UNION inside
+        # OPTIONAL): look for path markers in its own patterns,
+        # branches and nested optionals
+        if isinstance(g, ParsedQuery):
+            return (
+                any(isinstance(p, tuple) for _, p, _ in g.patterns)
+                or any(
+                    any(isinstance(p, tuple) for _, p, _ in pp)
+                    or any(_grp_has_path(x) for x in oo)
+                    for brs in g.unions
+                    for pp, oo, _, _ in brs
+                )
+                or any(_grp_has_path(x) for x in g.optional)
+            )
+        return any(isinstance(p, tuple) for _, p, _ in g)
+
     w = u.where
     if w is None or not any(
         isinstance(p, tuple) for _, p, _ in w.patterns
     ) and not any(
-        isinstance(p, tuple) for g in w.optional for _, p, _ in g
+        _grp_has_path(g) for g in w.optional
     ):
         return base
     from .sparql import _expand_paths, _rewrite_path_ops
@@ -312,6 +329,22 @@ def _expand_where_paths(base: DataFrame, u: ParsedUpdate) -> DataFrame:
     return expanded
 
 
+def _where_optional(base: DataFrame, w: ParsedQuery,
+                    allow_cartesian: bool) -> list | None:
+    """OPTIONAL entries for bgp.construct: a full sub-group (UNION
+    inside OPTIONAL) pre-evaluates to its binding DataFrame and
+    left-joins as a unit; plain pattern groups pass through."""
+    if not w.optional:
+        return None
+    from .sparql import _bindings
+
+    return [
+        _bindings(base, g, allow_cartesian)
+        if isinstance(g, ParsedQuery) else g
+        for g in w.optional
+    ]
+
+
 def _delete_set(base: DataFrame, u: ParsedUpdate,
                 allow_cartesian: bool) -> DataFrame | None:
     """The (subj, pred, obj) set this update deletes, computed against
@@ -324,7 +357,7 @@ def _delete_set(base: DataFrame, u: ParsedUpdate,
             base,
             w.patterns,
             template=u.delete_template,
-            optional=w.optional or None,
+            optional=_where_optional(base, w, allow_cartesian),
             optional_filters=w.optional_filters or None,
             filters=w.filters or None,
             allow_cartesian=allow_cartesian,
@@ -344,7 +377,7 @@ def _insert_set(base: DataFrame, u: ParsedUpdate,
             base,
             w.patterns,
             template=u.insert_template,
-            optional=w.optional or None,
+            optional=_where_optional(base, w, allow_cartesian),
             optional_filters=w.optional_filters or None,
             filters=w.filters or None,
             allow_cartesian=allow_cartesian,

@@ -65,13 +65,17 @@ npss = st.tuples(
     lambda t: ("nps", tuple(sorted(t[0])), tuple(sorted(t[1])))
 )
 
-# composite closure '(...)+': the engine supports it when the group
-# is closure-free (plain / inverse steps, negated sets, sequences,
-# alternatives) — so a closed group may contain an NPS, and a bare
-# '!(...)+' arrives as cplus over a single-atom group
-closure_free = st.recursive(st.one_of(atoms, npss), _compound,
-                            max_leaves=3)
-cplus = st.tuples(st.just("cplus"), closure_free)
+# composite closure '(...)+': the group may contain plain / inverse
+# steps, negated sets, sequences, alternatives, closure steps
+# ((a/b+)+ — nested-closure atoms, r5 continuation) and, one level
+# deeper, a closed group of its own (((a/b)+/c)+); a bare '!(...)+'
+# arrives as cplus over a single-atom group
+_inner0 = st.recursive(st.one_of(atoms, plus, npss), _compound,
+                       max_leaves=3)
+_cplus0 = st.tuples(st.just("cplus"), _inner0)
+_inner1 = st.recursive(st.one_of(atoms, plus, _cplus0, npss),
+                       _compound, max_leaves=3)
+cplus = st.tuples(st.just("cplus"), _inner1)
 
 paths = st.recursive(
     st.one_of(atoms, plus, cplus, npss), _compound, max_leaves=5

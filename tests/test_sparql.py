@@ -421,6 +421,52 @@ def test_union_joins_outer_patterns(triples):
     assert got == [("v1", "alpha title"), ("v2", "Beta Title")]
 
 
+def test_union_inside_optional(triples):
+    # LeftJoin(P1, B ∪ C, F): the OPTIONAL group is a UNION evaluated
+    # as a unit — extensions may come from either branch, the group's
+    # FILTER is the LeftJoin condition, and a scene whose every
+    # extension fails it survives NULL-padded (s2: no depicts, start
+    # time fails the filter)
+    text = """
+    SELECT ?s ?e WHERE {
+      ?s a video:Scene .
+      OPTIONAL {
+        { ?s foaf:depicts ?e } UNION { ?s temporal:hasStartTime ?e }
+        FILTER(strstarts(str(?e), "http://"))
+      }
+    }
+    """
+    key = lambda t: (t[0], t[1] or "")
+    got = sorted(
+        ((r.s, r.e) for r in sparql.execute(triples, text).collect()),
+        key=key,
+    )
+    want = sorted(
+        [("s1", "http://dbpedia.org/resource/A"),
+         ("s1", "http://www.wikidata.org/entity/Q2"),
+         ("s3", "http://dbpedia.org/resource/A"),
+         ("s2", None)],
+        key=key,
+    )
+    assert got == want
+    # without the filter both branches extend every scene
+    got2 = sorted(
+        (r.s, r.e) for r in sparql.execute(
+            triples,
+            "SELECT ?s ?e WHERE { ?s a video:Scene . OPTIONAL { "
+            "{ ?s foaf:depicts ?e } UNION "
+            "{ ?s temporal:hasStartTime ?e } } }",
+        ).collect()
+    )
+    want2 = sorted(
+        [("s1", "http://dbpedia.org/resource/A"),
+         ("s1", "http://www.wikidata.org/entity/Q2"),
+         ("s3", "http://dbpedia.org/resource/A"),
+         ("s1", "0:00:00"), ("s2", "0:00:05"), ("s3", "0:01:40")]
+    )
+    assert got2 == want2
+
+
 def test_union_branch_joining_nested_union(triples):
     # {A . ({B} UNION {C})} UNION {D}: the joined branch distributes —
     # scenes get their depicts rows AND their start-time rows, and the
@@ -1225,9 +1271,16 @@ def test_property_path_groups_and_negsets(spark):
     assert run(
         "SELECT ?s ?o WHERE { ?s (e:q/!(e:lbl|e:q))+ ?o }"
     ) == [("a", "e"), ("b", "f")]
-    # seam: nested closure in a closed group
-    with pytest.raises(NotImplementedError, match="closure step"):
-        sparql.execute(tri, P + "SELECT ?s WHERE { ?s (e:p/e:q+)+ ?o }")
+    # closure step INSIDE a closed group (r5 continuation): q+ rides
+    # as a nested-closure atom — (q+/r)+ has relation {a->e, b->f}
+    assert run("SELECT ?s ?o WHERE { ?s (e:q+/e:r)+ ?o }") == [
+        ("a", "e"), ("b", "f"),
+    ]
+    # '*' inside a closed group expands to presence/absence branches:
+    # p*/q = (p+/q) | q = {a->c} | {b->c, a->d}
+    assert run("SELECT ?s ?o WHERE { ?s (e:p*/e:q)+ ?o }") == [
+        ("a", "c"), ("a", "d"), ("b", "c"),
+    ]
 
 
 def test_construct_with_solution_clauses(triples):
@@ -1703,9 +1756,16 @@ def test_composite_path_closure(spark):
     assert run("SELECT ?a ?b WHERE { ?a e:p/(e:q/e:p)+ ?b }") == [
         ("n1", "n4"), ("n1", "n6"), ("n3", "n6"),
     ]
-    # a closure step INSIDE a closed group stays a loud seam
-    with pytest.raises(NotImplementedError, match="closure step"):
-        sparql.parse(P + "SELECT ?a WHERE { ?a (e:p/e:q+)+ ?b }")
+    # a closure step INSIDE a closed group (r5 continuation): q+ is a
+    # nested-closure atom; relation {n1->n3, n3->n5} then path-doubles
+    assert run("SELECT ?a ?b WHERE { ?a (e:p/e:q+)+ ?b }") == [
+        ("n1", "n3"), ("n1", "n5"), ("n3", "n5"),
+    ]
+    # an all-ε combination ((p?/q?)+) upgrades '+' to '*' semantics:
+    # anchored, so the zero-length row appears alongside reachability
+    assert run('SELECT ?b WHERE { "n1" (e:p?/e:q?)+ ?b }') == [
+        ("n1",), ("n2",), ("n3",), ("n4",), ("n5",), ("n6",),
+    ]
     # unanchored '*' still raises (zero-length path over every node;
     # the anchor check runs at path-expansion time, not parse time)
     with pytest.raises(NotImplementedError, match="constant"):

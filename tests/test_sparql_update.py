@@ -553,6 +553,38 @@ def test_modify_where_optional_inner_filter(spark):
     }
 
 
+def test_modify_where_union_inside_optional(spark):
+    # UNION inside OPTIONAL in an update WHERE (r5 continuation): the
+    # group's bindings assemble as a unit — extensions from either
+    # branch instantiate the template, a subject matching neither
+    # still takes the flag triple
+    g = _graph(spark, [
+        ("s1", "p", "o1"),
+        ("s2", "p", "o2"),
+        ("s3", "p", "o3"),
+        ("s1", "a", "x1"),
+        ("s2", "b", "x2"),
+    ])
+    out = updated_graph(
+        g,
+        'INSERT { ?s <flag> "y" . ?s <via> ?x } '
+        "WHERE { ?s <p> ?o . "
+        "OPTIONAL { { ?s <a> ?x } UNION { ?s <b> ?x } } }",
+    )
+    assert _spo(out) == {
+        ("s1", "p", "o1"),
+        ("s2", "p", "o2"),
+        ("s3", "p", "o3"),
+        ("s1", "a", "x1"),
+        ("s2", "b", "x2"),
+        ("s1", "flag", "y"),
+        ("s2", "flag", "y"),
+        ("s3", "flag", "y"),  # no extension in either branch
+        ("s1", "via", "x1"),
+        ("s2", "via", "x2"),
+    }
+
+
 def test_facade_graph_uri_gates_clear(spark, tmp_path):
     from face_hunter_spark.hunter import SparkHunter
 
