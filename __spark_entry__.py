@@ -558,6 +558,68 @@ def _q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subj", "pred", "obj")
 
 
+def _q_sparql_update_union_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Alternative path ('|') in a modify-form UPDATE WHERE
+    (operators/sparql_update.py::_construct_where): the '|' spawns a
+    UNION block the WHERE evaluates through the read path's variant
+    machinery, then instantiates the insert template once per binding
+    from EITHER branch.  Graph: customers and suppliers under two
+    different nation predicates; the update copies both onto one
+    unified ex:locatedIn predicate.  Oracle replays base ∪ inserted."""
+    from face_hunter_spark.operators.sparql_update import updated_graph
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("http://example.org/custNation").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+        .unionByName(
+            supplier.join(
+                nation, F.col("s_nationkey") == F.col("n_nationkey")
+            ).select(
+                F.col("s_name").alias("subj"),
+                F.lit("http://example.org/suppNation").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+    )
+    out = updated_graph(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        INSERT { ?x ex:locatedIn ?n }
+        WHERE { ?x ex:custNation|ex:suppNation ?n }
+        """,
+    )
+    return out.orderBy("subj", "pred", "obj")
+
+
+ORACLE_SPARQL_UPDATE_UNION_WHERE = """
+WITH base AS (
+  SELECT c_name AS subj, 'http://example.org/custNation' AS pred,
+         n_name AS obj
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT s_name, 'http://example.org/suppNation', n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM base
+  UNION ALL
+  SELECT DISTINCT subj, 'http://example.org/locatedIn' AS pred, obj
+  FROM base
+) t
+ORDER BY subj, pred, obj
+"""
+
+
 def _q_sparql_update_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL UPDATE state transition (operators/sparql_update.py —
     the write half of the reference's text surface,
@@ -2234,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_union_distributed": _q_sparql_union_distributed,
         "sparql_path_nested_closure": _q_sparql_path_nested_closure,
         "sparql_optional_union": _q_sparql_optional_union,
+        "sparql_update_union_where": _q_sparql_update_union_where,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2413,6 +2476,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_union_distributed": ORACLE_SPARQL_UNION_DISTRIBUTED,
         "sparql_path_nested_closure": ORACLE_SPARQL_PATH_NESTED_CLOSURE,
         "sparql_optional_union": ORACLE_SPARQL_OPTIONAL_UNION,
+        "sparql_update_union_where": ORACLE_SPARQL_UPDATE_UNION_WHERE,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

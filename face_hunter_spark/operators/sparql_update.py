@@ -26,7 +26,10 @@ them to the triple table:
   half optional) — both templates instantiate against the ORIGINAL
   state's bindings (SPARQL 1.1 §3.1.3: deletes and inserts are
   computed first, then applied delete-before-insert), where the group
-  supports the read subset's OPTIONAL + FILTER.
+  supports the read subset's OPTIONAL + FILTER + UNION (written, or
+  spawned by '|' alternative paths; UNION-carrying groups assemble
+  their bindings through the read path's variant machinery and
+  materialize with the same single-explode template plan).
 
 ``GRAPH <g>`` wrappers are accepted and validated but collapse into
 the single default graph — the engine's store is ONE triple table,
@@ -205,17 +208,17 @@ class _UpdateParser(_Parser):
         sub = ParsedQuery(form="update-where")
         self._parse_group(sub)
         if (
-            sub.unions or sub.exists_clauses or sub.minus_clauses
+            sub.exists_clauses or sub.minus_clauses
             or sub.values_clauses or sub.binds
             or sub.services or sub.subqueries or sub.graph_vars
         ):
             raise NotImplementedError(
-                "UNION/EXISTS/MINUS/VALUES/BIND/SERVICE/subquery/"
+                "EXISTS/MINUS/VALUES/BIND/SERVICE/subquery/"
                 "GRAPH-variable in an update WHERE clause is not in "
                 "the supported subset — SELECT the bindings first and "
                 "issue DATA forms"
             )
-        if not sub.patterns:
+        if not sub.patterns and not sub.unions:
             raise ValueError("update WHERE group has no triple patterns")
         return sub
 
@@ -291,8 +294,10 @@ def _expand_where_paths(base: DataFrame, u: ParsedUpdate) -> DataFrame:
     hidden-var + NOT IN filter, closures -> synthetic triples) ONCE —
     the rewrite mutates ``u.where`` in place, so both template
     instantiations see the rewritten patterns — and return the
-    (possibly closure-augmented) graph they match against.  Alternative
-    paths would need UNION evaluation bgp.construct doesn't do; raise."""
+    (possibly closure-augmented) graph they match against.
+    Alternative paths ('|') spawn UNION blocks into the WHERE group,
+    which _construct_where evaluates through the read path's variant
+    machinery."""
     def _grp_has_path(g) -> bool:
         # an OPTIONAL entry may be a full sub-group (UNION inside
         # OPTIONAL): look for path markers in its own patterns,
@@ -311,20 +316,20 @@ def _expand_where_paths(base: DataFrame, u: ParsedUpdate) -> DataFrame:
         return any(isinstance(p, tuple) for _, p, _ in g)
 
     w = u.where
-    if w is None or not any(
-        isinstance(p, tuple) for _, p, _ in w.patterns
-    ) and not any(
-        _grp_has_path(g) for g in w.optional
+    if w is None or not (
+        any(isinstance(p, tuple) for _, p, _ in w.patterns)
+        or any(_grp_has_path(g) for g in w.optional)
+        or any(
+            any(isinstance(p, tuple) for _, p, _ in pp)
+            or any(_grp_has_path(x) for x in oo)
+            for brs in w.unions
+            for pp, oo, _, _ in brs
+        )
     ):
         return base
     from .sparql import _expand_paths, _rewrite_path_ops
 
     _rewrite_path_ops(w)
-    if w.unions:
-        raise NotImplementedError(
-            "'|' alternative paths in an update WHERE clause are not "
-            "in the supported subset — run one update per alternative"
-        )
     expanded, _ = _expand_paths(base, w)
     return expanded
 
@@ -345,6 +350,31 @@ def _where_optional(base: DataFrame, w: ParsedQuery,
     ]
 
 
+def _construct_where(base: DataFrame, w: ParsedQuery, template: list,
+                     allow_cartesian: bool) -> DataFrame:
+    """Instantiate a modify-form template against the WHERE group's
+    bindings.  A plain group (patterns + OPTIONAL + FILTER) takes the
+    single-BGP bgp.construct plan; a group with UNION blocks (written
+    UNION or spawned by '|' alternative paths) assembles its bindings
+    through the read path's variant machinery and materializes with
+    the same single-explode template plan."""
+    if w.unions:
+        from .sparql import _bindings
+
+        return bgp.construct_from_bindings(
+            _bindings(base, w, allow_cartesian), template
+        )
+    return bgp.construct(
+        base,
+        w.patterns,
+        template=template,
+        optional=_where_optional(base, w, allow_cartesian),
+        optional_filters=w.optional_filters or None,
+        filters=w.filters or None,
+        allow_cartesian=allow_cartesian,
+    )
+
+
 def _delete_set(base: DataFrame, u: ParsedUpdate,
                 allow_cartesian: bool) -> DataFrame | None:
     """The (subj, pred, obj) set this update deletes, computed against
@@ -352,15 +382,8 @@ def _delete_set(base: DataFrame, u: ParsedUpdate,
     if u.form == "delete_data":
         return _ground_df(base.sparkSession, u.data)
     if u.form in ("delete_where", "modify") and u.delete_template:
-        w = u.where
-        return bgp.construct(
-            base,
-            w.patterns,
-            template=u.delete_template,
-            optional=_where_optional(base, w, allow_cartesian),
-            optional_filters=w.optional_filters or None,
-            filters=w.filters or None,
-            allow_cartesian=allow_cartesian,
+        return _construct_where(
+            base, u.where, u.delete_template, allow_cartesian
         )
     return None
 
@@ -372,15 +395,8 @@ def _insert_set(base: DataFrame, u: ParsedUpdate,
     if u.form == "insert_data":
         return _ground_df(base.sparkSession, u.data)
     if u.form == "modify" and u.insert_template:
-        w = u.where
-        return bgp.construct(
-            base,
-            w.patterns,
-            template=u.insert_template,
-            optional=_where_optional(base, w, allow_cartesian),
-            optional_filters=w.optional_filters or None,
-            filters=w.filters or None,
-            allow_cartesian=allow_cartesian,
+        return _construct_where(
+            base, u.where, u.insert_template, allow_cartesian
         )
     return None
 

@@ -636,12 +636,27 @@ def test_update_where_property_paths(spark):
     assert ("b", "http://e/via", "y") in got2
     assert ("b", "http://e/p", "c") not in got2
     assert ("a", "http://e/p", "b") in got2  # a's p/lbl finds no label
-    # alternative paths in an update WHERE stay a loud seam
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError, match="alternative"):
-        updated_graph(
-            t,
-            'PREFIX e: <http://e/> INSERT { ?d e:mark "r" } '
-            "WHERE { <a> e:p|e:lbl ?d }",
-        )
+    # alternative paths in an update WHERE (r5 continuation): the '|'
+    # spawns a UNION block the WHERE evaluates through the read
+    # path's variant machinery — <a> reaches b via p and x via lbl
+    out3 = updated_graph(
+        t,
+        'PREFIX e: <http://e/> INSERT { ?d e:mark "r" } '
+        "WHERE { <a> e:p|e:lbl ?d }",
+    )
+    marked3 = sorted(
+        r.subj for r in out3.where(
+            out3.pred == "http://e/mark").collect()
+    )
+    assert marked3 == ["b", "x"]
+    # written-UNION WHERE: both branches instantiate the template
+    out4 = updated_graph(
+        t,
+        'PREFIX e: <http://e/> INSERT { ?s e:tag ?d } '
+        "WHERE { { ?s e:p ?d } UNION { ?s e:lbl ?d } }",
+    )
+    tagged = sorted(
+        (r.subj, r.obj) for r in out4.where(
+            out4.pred == "http://e/tag").collect()
+    )
+    assert tagged == [("a", "b"), ("a", "x"), ("b", "c"), ("c", "y")]
