@@ -558,6 +558,60 @@ def _q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subj", "pred", "obj")
 
 
+def _q_sparql_negation_values_bind(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VALUES and BIND inside negation groups (operators/sparql.py::
+    _group_bindings): the group's VALUES table joins and its BINDs
+    apply BEFORE the outer semi/anti join, so a BIND target can be
+    the SHARED variable.  Query: customers excluding two listed
+    segments (VALUES inside FILTER NOT EXISTS) and excluding big
+    accounts via a MINUS whose shared ?c comes from a group BIND.
+    Oracle: the equivalent NOT IN + NOT EXISTS predicates."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ck = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    base = (
+        customer.select(
+            ck.alias("subj"),
+            F.lit("http://example.org/segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .unionByName(
+            customer.where(F.col("c_acctbal") > 9000).select(
+                ck.alias("subj"),
+                F.lit("http://example.org/bigacct").alias("pred"),
+                F.lit("1").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?seg WHERE {
+          ?c ex:segment ?seg .
+          FILTER NOT EXISTS {
+            ?c ex:segment ?x .
+            VALUES ?x { "BUILDING" "MACHINERY" }
+          }
+          MINUS { ?k ex:bigacct "1" . BIND (str(?k) AS ?c) }
+        }
+        ORDER BY ?c
+        """,
+    )
+
+
+ORACLE_SPARQL_NEGATION_VALUES_BIND = """
+SELECT 'C' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
+FROM customer
+WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+  AND c_acctbal <= 9000
+ORDER BY c
+"""
+
+
 def _q_sparql_update_union_where(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2297,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_nested_closure": _q_sparql_path_nested_closure,
         "sparql_optional_union": _q_sparql_optional_union,
         "sparql_update_union_where": _q_sparql_update_union_where,
+        "sparql_negation_values_bind": _q_sparql_negation_values_bind,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2477,6 +2532,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_nested_closure": ORACLE_SPARQL_PATH_NESTED_CLOSURE,
         "sparql_optional_union": ORACLE_SPARQL_OPTIONAL_UNION,
         "sparql_update_union_where": ORACLE_SPARQL_UPDATE_UNION_WHERE,
+        "sparql_negation_values_bind": ORACLE_SPARQL_NEGATION_VALUES_BIND,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

@@ -839,24 +839,25 @@ class _Parser:
         (applied to the group's bindings BEFORE the semi/anti join —
         they may reference outer variables the group shares, which
         resolve against the group's own binding columns), plus
-        OPTIONAL groups and UNION blocks (the group evaluates through
-        the same _bindings assembler as a required group).  BIND /
-        VALUES / SERVICE / subqueries / nested negation inside stay
-        loud seams."""
+        OPTIONAL groups, UNION blocks, VALUES tables and BINDs (the
+        group evaluates through the same _bindings assembler as a
+        required group, then its VALUES join and BINDs apply before
+        the outer semi/anti join).  SERVICE / subqueries / nested
+        negation inside stay loud seams, as does a group FILTER
+        referencing a group BIND target (filters apply at assembly,
+        before the bind — Spark raises an unresolved column)."""
         sub = ParsedQuery(form="negation")
         self._parse_group(sub)
         if (
             sub.exists_clauses
             or sub.minus_clauses
-            or sub.values_clauses
-            or sub.binds
             or sub.services
             or sub.subqueries
             or sub.graph_vars
         ):
             raise NotImplementedError(
-                f"only triple patterns, FILTER, OPTIONAL and UNION "
-                f"are supported inside {kw} {{...}}"
+                f"only triple patterns, FILTER, OPTIONAL, UNION, "
+                f"VALUES and BIND are supported inside {kw} {{...}}"
             )
         if not (sub.patterns or sub.unions):
             raise ValueError(f"{kw} group is empty")
@@ -2113,6 +2114,35 @@ def _bindings(
     return out
 
 
+def _group_bindings(
+    triples: DataFrame, g: ParsedQuery, allow_cartesian: bool
+) -> DataFrame:
+    """Bindings of a negation (EXISTS/MINUS) group: the BGP assembly
+    plus the group's own VALUES joins and BINDs — SPARQL algebra
+    applies them inside the group, so their variables participate in
+    the outer semi/anti join's shared-column set."""
+    sub = _bindings(triples, g, allow_cartesian)
+    spark = triples.sparkSession
+    for vars_, rows in g.values_clauses:
+        vdf = F.broadcast(
+            spark.createDataFrame(
+                [list(r) for r in rows],
+                ", ".join(f"`{v}` string" for v in vars_),
+            )
+        )
+        shared = [v for v in vars_ if v in sub.columns]
+        sub = (
+            sub.join(vdf, on=shared, how="inner")
+            if shared
+            else sub.crossJoin(vdf)
+        )
+    for sql, var in g.binds:
+        if var in sub.columns:
+            raise ValueError(f"BIND would rebind ?{var}")
+        sub = sub.withColumn(var, F.expr(sql).cast("string"))
+    return sub
+
+
 def _apply_solution_clauses(
     triples: DataFrame,
     df: DataFrame,
@@ -2130,7 +2160,7 @@ def _apply_solution_clauses(
     uncorrelated); BIND -> withColumn in document order, cast to
     string to match the all-lexical triple model."""
     for positive, neg_q in q.exists_clauses:
-        sub = _bindings(triples, neg_q, allow_cartesian)
+        sub = _group_bindings(triples, neg_q, allow_cartesian)
         shared = [c for c in sub.columns if c in df.columns]
         if not shared:
             raise NotImplementedError(
@@ -2144,7 +2174,7 @@ def _apply_solution_clauses(
             how="left_semi" if positive else "left_anti",
         )
     for neg_q in q.minus_clauses:
-        sub = _bindings(triples, neg_q, allow_cartesian)
+        sub = _group_bindings(triples, neg_q, allow_cartesian)
         shared = [c for c in sub.columns if c in df.columns]
         if shared:
             df = df.join(

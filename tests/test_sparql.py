@@ -421,6 +421,34 @@ def test_union_joins_outer_patterns(triples):
     assert got == [("v1", "alpha title"), ("v2", "Beta Title")]
 
 
+def test_values_and_bind_inside_negation_groups(triples):
+    # VALUES inside NOT EXISTS: exclude scenes depicting a listed
+    # entity (s1, s3 depict A -> dropped; s2 survives)
+    got = sorted(
+        r.s for r in sparql.execute(
+            triples,
+            """SELECT ?s WHERE {
+                 ?s a video:Scene .
+                 FILTER NOT EXISTS {
+                   ?s foaf:depicts ?e .
+                   VALUES ?e { <http://dbpedia.org/resource/A> } } }""",
+        ).collect()
+    )
+    assert got == ["s2"]
+    # BIND inside MINUS: the bind target is the SHARED variable — the
+    # group binds ?s from its own ?x via str(), removing s1 and s3
+    got2 = sorted(
+        r.s for r in sparql.execute(
+            triples,
+            """SELECT ?s WHERE {
+                 ?s a video:Scene .
+                 MINUS { ?x foaf:depicts ?d .
+                         BIND (str(?x) AS ?s) } }""",
+        ).collect()
+    )
+    assert got2 == ["s2"]
+
+
 def test_union_inside_optional(triples):
     # LeftJoin(P1, B ∪ C, F): the OPTIONAL group is a UNION evaluated
     # as a unit — extensions may come from either branch, the group's
@@ -780,20 +808,20 @@ def test_not_exists_ask_and_seams(triples):
             """SELECT ?s WHERE { ?s a video:Scene .
                  FILTER EXISTS { ?x dc:title ?t } }""",
         )
-    # FILTER / OPTIONAL / UNION inside negation groups are supported
-    # since r5 (the group evaluates through the _bindings assembler);
-    # BIND / VALUES / nesting inside stay loud seams
+    # FILTER / OPTIONAL / UNION / VALUES / BIND inside negation groups
+    # are supported (the group evaluates through the _bindings
+    # assembler + its own VALUES/BIND application); nesting and
+    # SERVICE/subquery inside stay loud seams
     sparql.parse(
         """SELECT ?s WHERE { ?s a video:Scene .
              MINUS { ?s foaf:depicts ?e .
                      OPTIONAL { ?e dc:title ?t } } }"""
     )
-    with pytest.raises(NotImplementedError, match="triple patterns"):
-        sparql.parse(
-            """SELECT ?s WHERE { ?s a video:Scene .
-                 MINUS { ?s foaf:depicts ?e .
-                         BIND (str(?e) AS ?x) } }"""
-        )
+    sparql.parse(
+        """SELECT ?s WHERE { ?s a video:Scene .
+             MINUS { ?s foaf:depicts ?e .
+                     BIND (str(?e) AS ?x) } }"""
+    )
 
 
 def test_values_inline_bindings(triples):
@@ -1568,14 +1596,16 @@ def test_review_fixes_precedence_ask_and_gates(triples, spark):
         """ASK { { SELECT ?v (COUNT(?s) AS ?n)
                    WHERE { ?v hunter:hasScene ?s } GROUP BY ?v } }""",
     ) is True
-    # clause-dropping gates: VALUES inside EXISTS, BIND alongside a
-    # nested UNION in a branch, subquery in an update WHERE
-    with pytest.raises(NotImplementedError, match="triple patterns"):
-        sparql.parse(
-            """SELECT ?s WHERE { ?s dc:title ?t .
-                 FILTER NOT EXISTS { ?s dc:identifier ?i .
-                                     VALUES ?i { "x" } } }"""
-        )
+    # VALUES inside a negation group parses since r5 continuation
+    q = sparql.parse(
+        """SELECT ?s WHERE { ?s dc:title ?t .
+             FILTER NOT EXISTS { ?s dc:identifier ?i .
+                                 VALUES ?i { "x" } } }"""
+    )
+    assert len(q.exists_clauses) == 1
+    assert q.exists_clauses[0][1].values_clauses
+    # clause-dropping gates: BIND alongside a nested UNION in a
+    # branch, subquery in an update WHERE
     with pytest.raises(NotImplementedError):
         sparql.parse(
             """SELECT ?v WHERE { { { ?v dc:title ?t }
