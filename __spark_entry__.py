@@ -558,6 +558,76 @@ def _q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subj", "pred", "obj")
 
 
+def _q_sparql_union_bind_branch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BIND inside a UNION branch (operators/sparql.py — COMPLEX
+    branches): the branch assembles as its own sub-group (BGP +
+    BINDs via _group_bindings) and inner-joins the variant's plain
+    part on the shared variable, so a computed column can be a
+    branch's contribution to the union.  Query: per customer, urgent
+    order ids from one branch and a BIND-computed nation tag from the
+    other.  Oracle: the literal UNION ALL with the concat inline."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ck = F.col("c_custkey").cast("long")
+    ok = F.col("o_custkey").cast("long")
+    base = (
+        customer.where(ck <= 150).select(
+            F.concat(F.lit("C"), ck.cast("string")).alias("subj"),
+            F.lit("http://example.org/segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .unionByName(
+            orders.where(
+                (ok <= 150)
+                & (F.col("o_orderpriority") == "1-URGENT")
+            ).select(
+                F.concat(F.lit("C"), ok.cast("string")).alias("subj"),
+                F.lit("http://example.org/urgent").alias("pred"),
+                F.concat(
+                    F.lit("O"), F.col("o_orderkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            customer.where(ck <= 150).select(
+                F.concat(F.lit("C"), ck.cast("string")).alias("subj"),
+                F.lit("http://example.org/nation").alias("pred"),
+                F.col("c_nationkey").cast("string").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?k WHERE {
+          ?c ex:segment ?seg .
+          { ?c ex:urgent ?k }
+          UNION { ?c ex:nation ?n . BIND (concat("N-", ?n) AS ?k) }
+        }
+        ORDER BY ?c ?k
+        """,
+    )
+
+
+ORACLE_SPARQL_UNION_BIND_BRANCH = """
+SELECT c, k FROM (
+  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS c,
+         'O' || CAST(o_orderkey AS VARCHAR) AS k
+  FROM orders WHERE o_custkey <= 150 AND o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'C' || CAST(c_custkey AS VARCHAR),
+         'N-' || CAST(c_nationkey AS VARCHAR)
+  FROM customer WHERE c_custkey <= 150
+) t
+ORDER BY c, k
+"""
+
+
 def _q_sparql_negation_values_bind(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2352,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_optional_union": _q_sparql_optional_union,
         "sparql_update_union_where": _q_sparql_update_union_where,
         "sparql_negation_values_bind": _q_sparql_negation_values_bind,
+        "sparql_union_bind_branch": _q_sparql_union_bind_branch,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2533,6 +2604,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_optional_union": ORACLE_SPARQL_OPTIONAL_UNION,
         "sparql_update_union_where": ORACLE_SPARQL_UPDATE_UNION_WHERE,
         "sparql_negation_values_bind": ORACLE_SPARQL_NEGATION_VALUES_BIND,
+        "sparql_union_bind_branch": ORACLE_SPARQL_UNION_BIND_BRANCH,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

@@ -756,23 +756,33 @@ class _Parser:
         if (
             sub.exists_clauses
             or sub.minus_clauses
-            or sub.values_clauses
-            or sub.binds
             or sub.services
             or sub.subqueries
             or sub.graph_vars
         ):
             raise NotImplementedError(
-                "EXISTS/MINUS/VALUES/BIND/SERVICE/subquery inside a "
-                "UNION branch is not in the supported subset — hoist "
-                "it to the outer group"
+                "EXISTS/MINUS/SERVICE/subquery inside a UNION branch "
+                "is not in the supported subset — hoist it to the "
+                "outer group"
             )
+        if sub.binds or sub.values_clauses:
+            # a branch carrying BIND/VALUES is a COMPLEX branch: it
+            # evaluates as its own sub-group (BGP + VALUES join +
+            # BINDs via _group_bindings) and joins the variant's
+            # plain part on the shared variables in _bindings
+            return [("__q__", sub)]
         if sub.unions:
             if not (
                 sub.patterns or sub.optional or sub.filters
                 or len(sub.unions) > 1
             ):
                 return sub.unions[0]
+            if any(
+                b[0] == "__q__" for blk in sub.unions for b in blk
+            ):
+                # a nested complex branch cannot distribute by tuple
+                # concatenation — keep the whole branch as one unit
+                return [("__q__", sub)]
             from itertools import product
 
             out = []
@@ -1738,7 +1748,13 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
         nu = []
         for branches in sub.unions:
             nb = []
-            for pp, oo, off, ff in branches:
+            for br in branches:
+                if br[0] == "__q__":
+                    nb.append(
+                        ("__q__", rewrite_negation(br[1], kw))
+                    )
+                    continue
+                pp, oo, off, ff = br
                 ff = list(ff)
                 pp2 = rewrite(
                     pp, False, f"a UNION branch of {kw}", ff, nu
@@ -1782,7 +1798,13 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
     new_unions = []
     for branches in q.unions:
         nb = []
-        for pp, oo, off, ff in branches:
+        for br in branches:
+            if br[0] == "__q__":
+                nb.append(
+                    ("__q__", rewrite_negation(br[1], "a UNION branch"))
+                )
+                continue
+            pp, oo, off, ff = br
             ff = list(ff)
             pp2 = rewrite(pp, False, "a UNION branch", ff)
             off = (
@@ -1897,16 +1919,13 @@ def _expand_paths(
         return out
 
     def rewrite_group(sub: ParsedQuery) -> ParsedQuery:
-        # a full sub-group (negation group, or a UNION-carrying
-        # OPTIONAL group): rewrite its own patterns, optionals and
-        # union branches recursively
+        # a full sub-group (negation group, a UNION-carrying OPTIONAL
+        # group, or a complex UNION branch): rewrite its own patterns,
+        # optionals and union branches recursively
         sub.patterns = rewrite(sub.patterns)
         sub.optional = [rewrite_opt(g) for g in sub.optional]
         sub.unions = [
-            [
-                (rewrite(p), [rewrite_opt(g) for g in o], of, f)
-                for (p, o, of, f) in branches
-            ]
+            [rewrite_branch(b) for b in branches]
             for branches in sub.unions
         ]
         return sub
@@ -1917,13 +1936,16 @@ def _expand_paths(
             else rewrite(g)
         )
 
+    def rewrite_branch(b):
+        if b[0] == "__q__":
+            return ("__q__", rewrite_group(b[1]))
+        p, o, of, f = b
+        return (rewrite(p), [rewrite_opt(g) for g in o], of, f)
+
     q.patterns = rewrite(q.patterns)
     q.optional = [rewrite_opt(g) for g in q.optional]
     q.unions = [
-        [
-            (rewrite(p), [rewrite_opt(g) for g in o], of, f)
-            for (p, o, of, f) in branches
-        ]
+        [rewrite_branch(b) for b in branches]
         for branches in q.unions
     ]
     rewrite_negation = rewrite_group
@@ -2043,12 +2065,15 @@ def _variants(q: ParsedQuery) -> list:
     variant is one (patterns, optional, optional_filters, filters)
     evaluation and the results union.  Multiple UNION blocks take the
     cross product of their branch choices (the algebra's join of two
-    unions)."""
+    unions).  A COMPLEX branch (("__q__", sub) — a branch carrying
+    BIND/VALUES or a nested complex branch) cannot flatten by tuple
+    concatenation; it rides in the variant's 5th slot and _bindings
+    joins its separately-assembled bindings onto the plain part."""
     from itertools import product
 
     if not q.unions:
         return [
-            (q.patterns, q.optional, q.optional_filters, q.filters)
+            (q.patterns, q.optional, q.optional_filters, q.filters, [])
         ]
     out = []
     for combo in product(*q.unions):
@@ -2056,12 +2081,17 @@ def _variants(q: ParsedQuery) -> list:
             list(q.patterns), list(q.optional),
             list(q.optional_filters), list(q.filters),
         )
-        for p, o, of, f in combo:
+        cplx = []
+        for b in combo:
+            if b[0] == "__q__":
+                cplx.append(b[1])
+                continue
+            p, o, of, f = b
             pats += p
             opts += o
             optfs += of
             filts += f
-        out.append((pats, opts, optfs, filts))
+        out.append((pats, opts, optfs, filts, cplx))
     return out
 
 
@@ -2084,18 +2114,67 @@ def _bindings(
             group_cache[id(g)] = _bindings(triples, g, allow_cartesian)
         return group_cache[id(g)]
 
+    def _variant_df(p, o, of, f, cx):
+        if not cx:
+            return bgp.graph_pattern(
+                triples,
+                p,
+                select=None,
+                distinct=False,
+                optional=[_opt_entry(g) for g in o] or None,
+                optional_filters=of or None,
+                filters=f or None,
+                allow_cartesian=allow_cartesian,
+            )
+        # complex branches (BIND/VALUES-carrying): assemble the plain
+        # part WITHOUT its filters, inner-join each complex branch's
+        # own bindings (each cached once across variants) on the
+        # shared variables, then apply the variant filters at group
+        # scope — the SPARQL position of a group-level FILTER
+        df0 = None
+        if o and not p:
+            raise ValueError(
+                "OPTIONAL needs required patterns in its group"
+            )
+        if p:
+            df0 = bgp.graph_pattern(
+                triples,
+                p,
+                select=None,
+                distinct=False,
+                optional=[_opt_entry(g) for g in o] or None,
+                optional_filters=of or None,
+                filters=None,
+                allow_cartesian=allow_cartesian,
+            )
+        for sub_q in cx:
+            if id(sub_q) not in group_cache:
+                group_cache[id(sub_q)] = _group_bindings(
+                    triples, sub_q, allow_cartesian
+                )
+            sd = group_cache[id(sub_q)]
+            if df0 is None:
+                df0 = sd
+                continue
+            shared = [c for c in sd.columns if c in df0.columns]
+            if shared:
+                df0 = df0.join(sd, on=shared, how="inner")
+            elif allow_cartesian:
+                df0 = df0.crossJoin(sd)
+            else:
+                raise ValueError(
+                    "a BIND/VALUES-carrying UNION branch shares no "
+                    "variable with the rest of its group (a cross "
+                    "product) — correlate it or pass "
+                    "allow_cartesian=True"
+                )
+        for e in f or []:
+            df0 = df0.where(F.expr(e))
+        return df0
+
     dfs = [
-        bgp.graph_pattern(
-            triples,
-            p,
-            select=None,
-            distinct=False,
-            optional=[_opt_entry(g) for g in o] or None,
-            optional_filters=of or None,
-            filters=f or None,
-            allow_cartesian=allow_cartesian,
-        )
-        for p, o, of, f in _variants(q)
+        _variant_df(p, o, of, f, cx)
+        for p, o, of, f, cx in _variants(q)
     ]
     if len(dfs) == 1:
         return dfs[0]
@@ -2221,11 +2300,25 @@ def _apply_services(
         snap = services[endpoint].select("subj", "pred", "obj")
         # rewrite a COPY so a reused parse tree never double-rewrites
         sq = ParsedQuery(form="service")
+        from copy import deepcopy
+
         sq.patterns = list(group.patterns)
         sq.filters = list(group.filters)
-        sq.optional = [list(g) for g in group.optional]
+        # ParsedQuery entries (UNION-carrying OPTIONAL groups, complex
+        # UNION branches) deep-copy so the in-place path rewrite never
+        # mutates the caller's parse tree across reuses
+        sq.optional = [
+            deepcopy(g) if isinstance(g, ParsedQuery) else list(g)
+            for g in group.optional
+        ]
         sq.optional_filters = [list(f) for f in group.optional_filters]
-        sq.unions = [list(b) for b in group.unions]
+        sq.unions = [
+            [
+                ("__q__", deepcopy(b[1])) if b[0] == "__q__" else b
+                for b in branches
+            ]
+            for branches in group.unions
+        ]
         sq = _rewrite_path_ops(sq)
         snap, sq = _expand_paths(snap, sq)
         sub = _bindings(snap, sq, allow_cartesian)
@@ -2261,13 +2354,23 @@ def _group_bound_vars(q: "ParsedQuery") -> set:
                     out.add(t[1:])
 
     add_patterns(q.patterns)
-    for pats in q.optional:
-        add_patterns(pats)
+    for g in q.optional:
+        if isinstance(g, ParsedQuery):
+            out.update(_group_bound_vars(g))
+        else:
+            add_patterns(g)
     for branches in q.unions:
-        for pats, opt, _ofilt, _filt in branches:
+        for b in branches:
+            if b[0] == "__q__":
+                out.update(_group_bound_vars(b[1]))
+                continue
+            pats, opt, _ofilt, _filt = b
             add_patterns(pats)
-            for p2 in opt:
-                add_patterns(p2)
+            for g2 in opt:
+                if isinstance(g2, ParsedQuery):
+                    out.update(_group_bound_vars(g2))
+                else:
+                    add_patterns(g2)
     for vars_, _rows in q.values_clauses:
         out.update(vars_)
     out.update(v for _sql, v in q.binds)
@@ -2378,10 +2481,21 @@ def execute(
         q.exists_clauses or q.minus_clauses or q.values_clauses or q.binds
     )
     if q.form == "ask":
-        if has_negation or q.services or q.subqueries:
+        vs = _variants(q)
+        needs_assembler = (
+            has_negation or q.services or q.subqueries
+            or any(
+                cx or any(isinstance(g, ParsedQuery) for g in o)
+                for _, o, _, _, cx in vs
+            )
+        )
+        if needs_assembler:
             # same binding assembly as SELECT (an ask-form q has no
             # aggregates/projection/modifiers, so the shared pipeline
-            # reduces to the joins + clauses), then LIMIT-1 existence
+            # reduces to the joins + clauses), then LIMIT-1 existence;
+            # also the route for complex union branches and
+            # UNION-carrying OPTIONAL groups (pre-evaluated DataFrame
+            # units bgp.ask's plain plan doesn't take)
             df = _finish_select(
                 triples, base_triples, q, allow_cartesian, services,
                 deferred_filters,
@@ -2396,7 +2510,7 @@ def execute(
                 filters=f or None,
                 allow_cartesian=allow_cartesian,
             )
-            for p, o, of, f in _variants(q)
+            for p, o, of, f, _cx in vs
         )
     if q.form == "describe":
         if not describe_var:

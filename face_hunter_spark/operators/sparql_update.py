@@ -298,18 +298,26 @@ def _expand_where_paths(base: DataFrame, u: ParsedUpdate) -> DataFrame:
     Alternative paths ('|') spawn UNION blocks into the WHERE group,
     which _construct_where evaluates through the read path's variant
     machinery."""
+    def _branch_has_path(b) -> bool:
+        if b[0] == "__q__":
+            return _grp_has_path(b[1])
+        pp, oo, _of, _f = b
+        return any(isinstance(p, tuple) for _, p, _ in pp) or any(
+            _grp_has_path(x) for x in oo
+        )
+
     def _grp_has_path(g) -> bool:
-        # an OPTIONAL entry may be a full sub-group (UNION inside
-        # OPTIONAL): look for path markers in its own patterns,
-        # branches and nested optionals
+        # an OPTIONAL entry or UNION branch may be a full sub-group
+        # (UNION inside OPTIONAL, BIND/VALUES-carrying branch): look
+        # for path markers in its own patterns, branches and nested
+        # optionals
         if isinstance(g, ParsedQuery):
             return (
                 any(isinstance(p, tuple) for _, p, _ in g.patterns)
                 or any(
-                    any(isinstance(p, tuple) for _, p, _ in pp)
-                    or any(_grp_has_path(x) for x in oo)
+                    _branch_has_path(b)
                     for brs in g.unions
-                    for pp, oo, _, _ in brs
+                    for b in brs
                 )
                 or any(_grp_has_path(x) for x in g.optional)
             )
@@ -320,10 +328,9 @@ def _expand_where_paths(base: DataFrame, u: ParsedUpdate) -> DataFrame:
         any(isinstance(p, tuple) for _, p, _ in w.patterns)
         or any(_grp_has_path(g) for g in w.optional)
         or any(
-            any(isinstance(p, tuple) for _, p, _ in pp)
-            or any(_grp_has_path(x) for x in oo)
+            _branch_has_path(b)
             for brs in w.unions
-            for pp, oo, _, _ in brs
+            for b in brs
         )
     ):
         return base

@@ -421,6 +421,58 @@ def test_union_joins_outer_patterns(triples):
     assert got == [("v1", "alpha title"), ("v2", "Beta Title")]
 
 
+def test_bind_and_values_inside_union_branches(spark):
+    # a branch carrying BIND/VALUES is a COMPLEX branch: it assembles
+    # as its own sub-group (BGP + VALUES join + BINDs) and joins the
+    # variant's plain part on the shared variables
+    rows = [
+        ("v1", "http://e/title", "alpha"),
+        ("v2", "http://e/title", "beta"),
+        ("v1", "http://e/tag", "x"),
+        ("v2", "http://e/alt", "y"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    P = "PREFIX e: <http://e/>\n"
+
+    def run(q):
+        return sorted(map(tuple, sparql.execute(t, P + q).collect()))
+
+    # BIND inside a branch (computed ?k joins the outer ?v patterns)
+    assert run(
+        """SELECT ?v ?k WHERE {
+             ?v e:title ?t .
+             { ?v e:tag ?k }
+             UNION { ?v e:alt ?y . BIND (concat("A-", ?y) AS ?k) } }"""
+    ) == [("v1", "x"), ("v2", "A-y")]
+    # VALUES inside a branch restricts that branch only
+    assert run(
+        """SELECT ?v ?k WHERE {
+             ?v e:title ?t .
+             { ?v e:tag ?k }
+             UNION { ?v e:title ?k . VALUES ?k { "beta" } } }"""
+    ) == [("v1", "x"), ("v2", "beta")]
+    # a group-level FILTER applies to complex variants at group scope
+    # (after the complex-branch join)
+    assert run(
+        """SELECT ?v ?k WHERE {
+             ?v e:title ?t . FILTER(?t != "alpha")
+             { ?v e:tag ?k }
+             UNION { ?v e:alt ?y . BIND (str(?y) AS ?k) } }"""
+    ) == [("v2", "y")]
+    # a union that is ONLY branches (no outer patterns) still works,
+    # and ASK routes complex variants through the assembler
+    assert run(
+        """SELECT ?v ?k WHERE {
+             { ?v e:tag ?k }
+             UNION { ?v e:alt ?y . BIND (ucase(?y) AS ?k) } }"""
+    ) == [("v1", "x"), ("v2", "Y")]
+    assert sparql.execute(
+        t,
+        P + 'ASK { ?v e:title ?t . { ?v e:tag ?k } UNION '
+        "{ ?v e:alt ?y . BIND (str(?y) AS ?k) } }",
+    ) is True
+
+
 def test_values_and_bind_inside_negation_groups(triples):
     # VALUES inside NOT EXISTS: exclude scenes depicting a listed
     # entity (s1, s3 depict A -> dropped; s2 survives)
@@ -1604,14 +1656,15 @@ def test_review_fixes_precedence_ask_and_gates(triples, spark):
     )
     assert len(q.exists_clauses) == 1
     assert q.exists_clauses[0][1].values_clauses
-    # clause-dropping gates: BIND alongside a nested UNION in a
-    # branch, subquery in an update WHERE
-    with pytest.raises(NotImplementedError):
-        sparql.parse(
-            """SELECT ?v WHERE { { { ?v dc:title ?t }
-                 UNION { ?v dc:identifier ?t }
-                 BIND ("z" AS ?z) } UNION { ?v dc:creator ?t } }"""
-        )
+    # BIND alongside a nested UNION in a branch parses as a COMPLEX
+    # branch (r5 continuation): the branch evaluates as its own
+    # sub-group and joins the variant on shared vars
+    q2 = sparql.parse(
+        """SELECT ?v WHERE { { { ?v dc:title ?t }
+             UNION { ?v dc:identifier ?t }
+             BIND ("z" AS ?z) } UNION { ?v dc:creator ?t } }"""
+    )
+    assert q2.unions[0][0][0] == "__q__"
     from face_hunter_spark.operators.sparql_update import parse_update
 
     with pytest.raises(NotImplementedError, match="subquery"):
