@@ -38,9 +38,11 @@ Supported subset — exactly the shapes the reference emits/accepts
 * property paths over the full SPARQL 1.1 path grammar — ``pred+`` /
   ``pred*`` / ``pred?`` closures (transitive closure via
   operators/graph.py path-doubling materialized as synthetic triples,
-  then matched like any constant predicate; ``*``/``?`` need a
-  constant subject or object since their zero-length path is defined
-  over every node), ``^pred`` inverse (subject/object swap; ``^``
+  then matched like any constant predicate; the zero-length component
+  of ``*``/``?`` is the anchored constant's reflexive row, or —
+  unanchored — one reflexive row per term in the graph, SPARQL 1.1
+  §18.4's ZeroLengthPath over G's subjects and objects),
+  ``^pred`` inverse (subject/object swap; ``^``
   distributes through groups and closures), ``p1/p2/...`` sequences
   (fresh join variables, hidden from SELECT * per the spec's
   no-intermediate-bindings rule, closure steps allowed mid-sequence),
@@ -62,13 +64,16 @@ Supported subset — exactly the shapes the reference emits/accepts
   presence/absence branches and an all-ε branch upgrading the outer
   '+' to '*');
 * negation: ``FILTER [NOT] EXISTS { ... }`` (left-semi/left-anti hash
-  join on the shared variables) and ``MINUS { ... }`` (left-anti; a
+  join on the shared variables; a group sharing NO variable is
+  constant over the outer solutions and evaluates as a LIMIT-1
+  broadcast existence marker) and ``MINUS { ... }`` (left-anti; a
   group sharing no variable removes nothing, per spec); both accept
   group-local ``FILTER`` expressions (applied to the group's bindings
   BEFORE the semi/anti join), negated property sets, ``OPTIONAL``
-  groups, ``UNION`` blocks and alternative paths (the group evaluates
-  through the same bindings assembler as a required group; BIND /
-  VALUES / SERVICE / subqueries / nested negation inside stay loud);
+  groups, ``UNION`` blocks, alternative paths, ``BIND`` / ``VALUES``,
+  and nested ``[NOT] EXISTS`` / ``MINUS`` to any depth (the group
+  evaluates through the same _group_bindings assembler as every
+  sub-group; SERVICE / subqueries inside stay loud);
 * ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (a b) ... }`` inline
   binding tables (broadcast inner join; UNDEF binds NULL and does not
   wildcard-match) and ``BIND (expr AS ?v)`` computed variables over
@@ -107,13 +112,22 @@ Supported subset — exactly the shapes the reference emits/accepts
   still pushes main-side predicates below it).  An uncorrelated
   subquery is a cross product and needs ``allow_cartesian``.
 
-Deliberate seams, raised loudly rather than silently mis-answered:
-``SERVICE <endpoint> { ... }`` naming an endpoint with no registered
-offline snapshot (live federation — the offline analogue is a
-broadcast attribute join, see query.get_videos_with_filters), lone
-nested non-SELECT groups and nested UNION-in-UNION (FILTER-scoping
-semantics this subset doesn't model), subqueries nested inside
-OPTIONAL/UNION/EXISTS/MINUS blocks, and unanchored ``pred*``.
+Group elements compose broadly as of round 5: OPTIONAL groups carry
+UNION / BIND / VALUES / alternative paths / nested OPTIONAL / nested
+negation (each such group assembles standalone and left-joins as a
+unit — LeftJoin(P1, Group, F)); UNION branches carry BIND / VALUES /
+nested negation (complex branches assemble standalone and join the
+variant's plain part); a LONE nested group ``{ { A } B }`` evaluates
+as Join(Group(A), B) with A's FILTERs scoped to A.  Deliberate seams,
+raised loudly rather than silently mis-answered: ``SERVICE
+<endpoint> { ... }`` naming an endpoint with no registered offline
+snapshot (live federation — the offline analogue is a broadcast
+attribute join, see query.get_videos_with_filters), and subqueries
+nested inside OPTIONAL/UNION/EXISTS/MINUS blocks.  One scoping
+approximation: an EXISTS nested inside a sub-group correlates on the
+variables its group binds — an outer-group variable the sub-group
+never binds does not correlate into the nested EXISTS (the spec's
+per-solution substitution would); such vars read as uncorrelated.
 
 Literal matching: the triple table stores a literal's LEXICAL form in
 ``obj`` (datatype/lang live in obj_datatype / obj_is_literal —
@@ -561,29 +575,41 @@ class _Parser:
                 sub = ParsedQuery(form="optional")
                 self._parse_group(sub)
                 if (
-                    sub.optional
-                    or sub.exists_clauses
-                    or sub.minus_clauses
-                    or sub.values_clauses
-                    or sub.binds
-                    or sub.services
+                    sub.services
                     or sub.subqueries
                     or sub.graph_vars
                 ):
                     raise NotImplementedError(
-                        "only triple patterns, FILTER and UNION are "
-                        "supported inside OPTIONAL {...} — hoist other "
-                        "clauses to the outer group"
+                        "SERVICE/subquery/GRAPH inside OPTIONAL {...} "
+                        "is not in the supported subset — hoist it to "
+                        "the outer group"
                     )
-                if sub.unions:
-                    # UNION inside OPTIONAL: LeftJoin(P1, B ∪ C, F).
-                    # The whole sub-GROUP becomes the optional entry —
-                    # its bindings assemble through _bindings at
-                    # evaluation time and left-join as a unit.  The
-                    # group-level FILTERs are the LeftJoin condition F
-                    # (they may reference outer vars and a failing F
-                    # keeps the left row), so they move to the aligned
-                    # optional_filters slot, NOT inside the group.
+                has_alt = any(
+                    isinstance(p, tuple)
+                    and p[0] in ("__alt__", "__altseq__")
+                    for _s, p, _o in sub.patterns
+                )
+                if (
+                    sub.unions
+                    or sub.optional
+                    or sub.values_clauses
+                    or sub.binds
+                    or sub.exists_clauses
+                    or sub.minus_clauses
+                    or has_alt
+                ):
+                    # a COMPLEX optional group (UNION / nested
+                    # OPTIONAL / VALUES / BIND / nested negation
+                    # inside OPTIONAL): LeftJoin(P1, Group, F).  The
+                    # whole sub-GROUP becomes the optional entry — its
+                    # bindings assemble through _group_bindings at
+                    # evaluation time (BGP + its own left-joins,
+                    # negations, VALUES, BINDs) and left-join as a
+                    # unit.  The group-level FILTERs are the LeftJoin
+                    # condition F (they may reference outer vars and a
+                    # failing F keeps the left row), so they move to
+                    # the aligned optional_filters slot, NOT inside
+                    # the group.
                     q.optional_filters.append(sub.filters)
                     sub.filters = []
                     q.optional.append(sub)
@@ -725,11 +751,29 @@ class _Parser:
                     branches.extend(self._parse_union_branch())
                     n_groups += 1
                 if n_groups < 2 and len(branches) < 2:
-                    raise NotImplementedError(
-                        "a lone nested group has FILTER-scoping "
-                        "semantics this subset doesn't model — inline "
-                        "its patterns, or add a UNION branch"
-                    )
+                    # a LONE nested group: Join(outer, Group(A)) with
+                    # A's FILTERs scoped to A's own bindings (SPARQL
+                    # group scoping — a filter inside the braces never
+                    # sees outer-group bindings).  A 1-branch "union"
+                    # block of a complex sub-group gives exactly that:
+                    # the group assembles standalone through
+                    # _group_bindings (its filters applying to its own
+                    # variants) and inner-joins the enclosing group on
+                    # the shared variables.
+                    b = branches[0]
+                    if b[0] != "__q__":
+                        b = (
+                            "__q__",
+                            ParsedQuery(
+                                form="union-branch",
+                                patterns=b[0],
+                                optional=b[1],
+                                optional_filters=b[2],
+                                filters=b[3],
+                            ),
+                        )
+                    q.unions.append([b])
+                    continue
                 q.unions.append(branches)
                 continue
             if self._at_kw("union"):
@@ -754,22 +798,24 @@ class _Parser:
         sub = ParsedQuery(form="union-branch")
         self._parse_group(sub)
         if (
-            sub.exists_clauses
-            or sub.minus_clauses
-            or sub.services
+            sub.services
             or sub.subqueries
             or sub.graph_vars
         ):
             raise NotImplementedError(
-                "EXISTS/MINUS/SERVICE/subquery inside a UNION branch "
+                "SERVICE/subquery/GRAPH inside a UNION branch "
                 "is not in the supported subset — hoist it to the "
                 "outer group"
             )
-        if sub.binds or sub.values_clauses:
-            # a branch carrying BIND/VALUES is a COMPLEX branch: it
-            # evaluates as its own sub-group (BGP + VALUES join +
-            # BINDs via _group_bindings) and joins the variant's
-            # plain part on the shared variables in _bindings
+        if (
+            sub.binds or sub.values_clauses
+            or sub.exists_clauses or sub.minus_clauses
+        ):
+            # a branch carrying BIND/VALUES/EXISTS/MINUS is a COMPLEX
+            # branch: it evaluates as its own sub-group (BGP + nested
+            # negation joins + VALUES join + BINDs via
+            # _group_bindings) and joins the variant's plain part on
+            # the shared variables in _bindings
             return [("__q__", sub)]
         if sub.unions:
             if not (
@@ -849,25 +895,26 @@ class _Parser:
         (applied to the group's bindings BEFORE the semi/anti join —
         they may reference outer variables the group shares, which
         resolve against the group's own binding columns), plus
-        OPTIONAL groups, UNION blocks, VALUES tables and BINDs (the
-        group evaluates through the same _bindings assembler as a
-        required group, then its VALUES join and BINDs apply before
-        the outer semi/anti join).  SERVICE / subqueries / nested
-        negation inside stay loud seams, as does a group FILTER
-        referencing a group BIND target (filters apply at assembly,
-        before the bind — Spark raises an unresolved column)."""
+        OPTIONAL groups, UNION blocks, VALUES tables, BINDs and nested
+        [NOT] EXISTS / MINUS groups (the group evaluates through the
+        same _group_bindings assembler as every other sub-group: BGP,
+        then its own negation semi/anti joins — recursively, to any
+        depth — then its VALUES join and BINDs, all before the outer
+        semi/anti join).  SERVICE / subqueries inside stay loud seams,
+        as does a group FILTER referencing a group BIND target
+        (filters apply at assembly, before the bind — Spark raises an
+        unresolved column)."""
         sub = ParsedQuery(form="negation")
         self._parse_group(sub)
         if (
-            sub.exists_clauses
-            or sub.minus_clauses
-            or sub.services
+            sub.services
             or sub.subqueries
             or sub.graph_vars
         ):
             raise NotImplementedError(
                 f"only triple patterns, FILTER, OPTIONAL, UNION, "
-                f"VALUES and BIND are supported inside {kw} {{...}}"
+                f"VALUES, BIND and nested EXISTS/MINUS are supported "
+                f"inside {kw} {{...}}"
             )
         if not (sub.patterns or sub.unions):
             raise ValueError(f"{kw} group is empty")
@@ -1783,6 +1830,16 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
             )
             for i, g in enumerate(sub.optional)
         ]
+        # negation nests (EXISTS/MINUS inside a sub-group): each
+        # nested group rewrites recursively with the shared counter
+        sub.exists_clauses = [
+            (pos, rewrite_negation(g, f"EXISTS of {kw}"))
+            for pos, g in sub.exists_clauses
+        ]
+        sub.minus_clauses = [
+            rewrite_negation(g, f"MINUS of {kw}")
+            for g in sub.minus_clauses
+        ]
         return sub
 
     def opt_entry(g, where: str, fsink, usink=None):
@@ -1845,11 +1902,12 @@ def _expand_paths(
     transitive closure of pred's edge slice appended as synthetic
     triples under a collision-proof name (pred + unit separator), so
     the pattern then matches like any other constant predicate.
-    ``pred*`` and ``pred?`` additionally need the zero-length path,
-    which SPARQL defines over EVERY node — tractable only when the
-    pattern anchors one end on a constant, so an unanchored ``*``/``?``
-    raises; ``pred?`` is the plain edge slice plus that zero row (no
-    closure job).
+    ``pred*`` and ``pred?`` additionally need the zero-length path:
+    anchored on a constant it is that single reflexive row; unanchored
+    it is one reflexive row per term in the graph (SPARQL 1.1 §18.4
+    ZeroLengthPath ranges over G's subjects and objects, not the
+    infinite term universe).  ``pred?`` is the plain edge slice plus
+    the zero rows (no closure job).
 
     Composite-relation closures (``(a/b)+``, ``(a|^b)*``) ride the
     same scheme: the group's edge relation — a union over alternatives
@@ -1906,14 +1964,12 @@ def _expand_paths(
                     ):
                         const = end
                         break
-                if const is None:
-                    raise NotImplementedError(
-                        f"a {mod}-path needs a constant subject or "
-                        "object (the zero-length path over every node "
-                        "is unbounded); anchor one end"
-                        + (" or use '+'" if mod == "*" else "")
-                    )
-                key = name + bgp.PATH_SYNTH_SEP + mod + const
+                # const None = UNANCHORED '*'/'?': the zero-length
+                # component relates every term IN THE GRAPH to itself
+                # (SPARQL 1.1 §18.4 ZeroLengthPath — all subjects and
+                # objects of G), so it stays tractable: |terms| zero
+                # rows plus the same closure '+' already pays
+                key = name + bgp.PATH_SYNTH_SEP + mod + (const or "")
                 specs[key] = (kind, payload, mod, const)
             out.append((s, key, o))
         return out
@@ -1927,6 +1983,12 @@ def _expand_paths(
         sub.unions = [
             [rewrite_branch(b) for b in branches]
             for branches in sub.unions
+        ]
+        sub.exists_clauses = [
+            (pos, rewrite_group(g)) for pos, g in sub.exists_clauses
+        ]
+        sub.minus_clauses = [
+            rewrite_group(g) for g in sub.minus_clauses
         ]
         return sub
 
@@ -2046,14 +2108,29 @@ def _expand_paths(
             F.col("dst").alias("obj"),
         )
         if mod in ("*", "?"):
-            rows = rows.where(
-                (F.col("subj") == F.lit(const))
-                | (F.col("obj") == F.lit(const))
-            )
-            zero = base.sparkSession.createDataFrame(
-                [(const, key, const)],
-                "subj string, pred string, obj string",
-            )
+            if const is not None:
+                rows = rows.where(
+                    (F.col("subj") == F.lit(const))
+                    | (F.col("obj") == F.lit(const))
+                )
+                zero = base.sparkSession.createDataFrame(
+                    [(const, key, const)],
+                    "subj string, pred string, obj string",
+                )
+            else:
+                # unanchored: one reflexive zero row per graph term
+                # (distinct subjects ∪ objects — scan-stage union,
+                # one shuffle for the distinct)
+                zero = (
+                    base.select(F.col("subj").alias("t"))
+                    .unionByName(base.select(F.col("obj").alias("t")))
+                    .distinct()
+                    .select(
+                        F.col("t").alias("subj"),
+                        F.lit(key).alias("pred"),
+                        F.col("t").alias("obj"),
+                    )
+                )
             rows = rows.unionByName(zero).distinct()
         out = out.unionByName(rows)
     return out, q
@@ -2101,17 +2178,21 @@ def _bindings(
     """All variable bindings for q's WHERE clause (bag semantics, no
     projection yet).  Variants missing a variable bind NULL — SPARQL's
     unbound — in the unioned result."""
-    # an OPTIONAL group that is a full sub-group (UNION inside
-    # OPTIONAL) evaluates its own bindings here and left-joins as a
-    # DataFrame; each distinct group materializes ONCE even when the
-    # variant expansion repeats it
+    # an OPTIONAL group that is a full sub-group (UNION / VALUES /
+    # BIND / nested OPTIONAL / nested negation inside OPTIONAL)
+    # evaluates its own bindings here — through the same
+    # _group_bindings assembler complex UNION branches use — and
+    # left-joins as a DataFrame; each distinct group materializes ONCE
+    # even when the variant expansion repeats it
     group_cache: dict[int, DataFrame] = {}
 
     def _opt_entry(g):
         if not isinstance(g, ParsedQuery):
             return g
         if id(g) not in group_cache:
-            group_cache[id(g)] = _bindings(triples, g, allow_cartesian)
+            group_cache[id(g)] = _group_bindings(
+                triples, g, allow_cartesian
+            )
         return group_cache[id(g)]
 
     def _variant_df(p, o, of, f, cx):
@@ -2196,11 +2277,16 @@ def _bindings(
 def _group_bindings(
     triples: DataFrame, g: ParsedQuery, allow_cartesian: bool
 ) -> DataFrame:
-    """Bindings of a negation (EXISTS/MINUS) group: the BGP assembly
-    plus the group's own VALUES joins and BINDs — SPARQL algebra
-    applies them inside the group, so their variables participate in
-    the outer semi/anti join's shared-column set."""
+    """Bindings of a full sub-group (an EXISTS/MINUS group, a complex
+    UNION branch, a complex OPTIONAL group, or a lone nested group):
+    the BGP assembly plus the group's own nested [NOT] EXISTS / MINUS
+    joins, VALUES joins and BINDs — SPARQL algebra applies them inside
+    the group, so their variables participate in the outer join's
+    shared-column set and negation nests to any depth (each level is
+    its own semi/anti join, same order as the top level)."""
     sub = _bindings(triples, g, allow_cartesian)
+    if g.exists_clauses or g.minus_clauses:
+        sub = _apply_negations(triples, sub, g, allow_cartesian)
     spark = triples.sparkSession
     for vars_, rows in g.values_clauses:
         vdf = F.broadcast(
@@ -2222,31 +2308,41 @@ def _group_bindings(
     return sub
 
 
-def _apply_solution_clauses(
+def _apply_negations(
     triples: DataFrame,
     df: DataFrame,
     q: ParsedQuery,
     allow_cartesian: bool,
 ) -> DataFrame:
-    """Post-join solution clauses, in SPARQL-algebra order.
-    FILTER [NOT] EXISTS -> left-semi/left-anti hash join of the outer
-    bindings against the group's bindings on the shared variables;
-    MINUS -> left-anti, and per the SPARQL spec a MINUS group sharing
-    NO variable removes nothing (OPTIONAL-produced NULL keys never
-    match a join key, so NOT EXISTS keeps them and EXISTS drops them —
-    SPARQL's unbound-incompatible semantics).  VALUES -> broadcast
-    inner join of the inline binding table (cross product when
-    uncorrelated); BIND -> withColumn in document order, cast to
-    string to match the all-lexical triple model."""
+    """FILTER [NOT] EXISTS -> left-semi/left-anti hash join of the
+    outer bindings against the group's bindings on the shared
+    variables; MINUS -> left-anti, and per the SPARQL spec a MINUS
+    group sharing NO variable removes nothing (OPTIONAL-produced NULL
+    keys never match a join key, so NOT EXISTS keeps them and EXISTS
+    drops them — SPARQL's unbound-incompatible semantics).
+
+    An EXISTS group sharing no variable is CONSTANT over the outer
+    solutions (the spec evaluates EXISTS per solution, but every
+    solution sees the same group): a LIMIT-1 broadcast marker keeps
+    the check fully distributed — every outer row survives iff the
+    group is [non-]empty, and the inner plan stops at its first row."""
     for positive, neg_q in q.exists_clauses:
         sub = _group_bindings(triples, neg_q, allow_cartesian)
         shared = [c for c in sub.columns if c in df.columns]
         if not shared:
-            raise NotImplementedError(
-                "FILTER [NOT] EXISTS must share at least one variable "
-                "with the outer patterns (an uncorrelated existence "
-                "check is a separate ASK)"
+            marker = F.broadcast(
+                sub.limit(1).select(F.lit(1).alias("__ex__"))
             )
+            df = (
+                df.withColumn("__ex__", F.lit(1))
+                .join(
+                    marker,
+                    on="__ex__",
+                    how="left_semi" if positive else "left_anti",
+                )
+                .drop("__ex__")
+            )
+            continue
         df = df.join(
             sub.select(*shared).distinct(),
             on=shared,
@@ -2259,6 +2355,21 @@ def _apply_solution_clauses(
             df = df.join(
                 sub.select(*shared).distinct(), on=shared, how="left_anti"
             )
+    return df
+
+
+def _apply_solution_clauses(
+    triples: DataFrame,
+    df: DataFrame,
+    q: ParsedQuery,
+    allow_cartesian: bool,
+) -> DataFrame:
+    """Post-join solution clauses, in SPARQL-algebra order: negation
+    joins (``_apply_negations``), then VALUES -> broadcast inner join
+    of the inline binding table (cross product when uncorrelated),
+    then BIND -> withColumn in document order, cast to string to match
+    the all-lexical triple model."""
+    df = _apply_negations(triples, df, q, allow_cartesian)
     spark = triples.sparkSession
     for vars_, rows in q.values_clauses:
         vdf = F.broadcast(

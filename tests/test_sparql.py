@@ -133,8 +133,15 @@ def test_parse_loud_seams():
         )
     # property paths inside SERVICE parse since r5 (they evaluate
     # against the snapshot's graph); see test_service_snapshot_paths
-    with pytest.raises(NotImplementedError, match="lone nested group"):
-        sparql.parse("SELECT ?v WHERE { { ?v dc:title ?t } }")
+    # a lone nested group parses as a 1-branch complex block (r5):
+    # Join(outer, Group) with the group's FILTERs scoped to itself
+    q = sparql.parse(
+        'SELECT ?v WHERE { { ?v dc:title ?t . FILTER(?t != "x") } }'
+    )
+    assert len(q.unions) == 1 and len(q.unions[0]) == 1
+    assert q.unions[0][0][0] == "__q__"
+    assert q.unions[0][0][1].filters == ["(t <> 'x')"]
+    assert q.filters == []
     # nested pure UNION flattens by associativity (r5): 3 branches
     q = sparql.parse(
         "SELECT ?v WHERE { { { ?v dc:title ?t } UNION "
@@ -170,12 +177,16 @@ def test_parse_loud_seams():
     )
     assert len(q.optional) == 1 and len(q.optional_filters) == 1
     assert q.optional_filters[0] == ["(i <> 'x')"]
-    with pytest.raises(NotImplementedError, match="inside OPTIONAL"):
-        sparql.parse(
-            "SELECT ?v WHERE { ?v dc:title ?t . "
-            "OPTIONAL { ?v dc:identifier ?i . "
-            "OPTIONAL { ?v dc:title ?u } } }"
-        )
+    # nested OPTIONAL parses as a complex sub-group entry (r5):
+    # LeftJoin(P1, LeftJoin(P2, P3))
+    q = sparql.parse(
+        "SELECT ?v WHERE { ?v dc:title ?t . "
+        "OPTIONAL { ?v dc:identifier ?i . "
+        "OPTIONAL { ?v dc:title ?u } } }"
+    )
+    assert len(q.optional) == 1
+    assert isinstance(q.optional[0], sparql.ParsedQuery)
+    assert len(q.optional[0].optional) == 1
     with pytest.raises(ValueError, match="unknown prefix"):
         sparql.parse("SELECT ?v WHERE { ?v nosuch:pred ?t }")
     with pytest.raises(ValueError, match="trailing"):
@@ -707,15 +718,23 @@ def test_property_path_inverse_sequence_alternative(spark):
         "{ ?x <http://e/border>+/<http://e/inRegion> ?r }",
     ).collect()))
     assert got7 == [("n1", "r1")]
-    # still-unsupported shapes raise loudly
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError, match="OPTIONAL"):
-        sparql.execute(
-            tri,
-            "SELECT ?x WHERE { ?x <http://e/inNation> ?n . "
-            "OPTIONAL { ?x <a>|<b> ?z } }",
-        )
+    # alternative paths inside OPTIONAL (r5): the group routes
+    # through the complex sub-group path, the alternatives spawning
+    # the GROUP's own union branches — LeftJoin(P1, A ∪ B); here no
+    # <a>/<b> edges exist so every left row keeps ?z unbound
+    got8 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?x ?z WHERE { ?x <http://e/inNation> ?n . "
+        "OPTIONAL { ?x <a>|<b> ?z } }",
+    ).collect()))
+    assert got8 == [("c1", None), ("c2", None)]
+    # and a matching alternative extends the row
+    got9 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?x ?z WHERE { ?x <http://e/inNation> ?n . "
+        "OPTIONAL { ?x <a>|<http://e/inNation> ?z } }",
+    ).collect()))
+    assert got9 == [("c1", "n1"), ("c2", "n2")]
 
 
 def test_property_path_star_anchored(spark):
@@ -730,10 +749,15 @@ def test_property_path_star_anchored(spark):
         ).collect()
     )
     assert got == ["e1", "e2", "e3"]  # zero-length path includes e1
-    with pytest.raises(NotImplementedError, match="constant"):
-        sparql.execute(
-            tri, "SELECT ?x WHERE { ?y rdfs:subClassOf* ?x }"
-        )
+    # unanchored '*' (r5): one reflexive pair per graph term plus the
+    # closure pairs
+    got_un = sorted(map(tuple, sparql.execute(
+        tri, "SELECT ?y ?x WHERE { ?y rdfs:subClassOf* ?x }"
+    ).collect()))
+    assert got_un == sorted(
+        [("e1", "e1"), ("e2", "e2"), ("e3", "e3")]
+        + [("e1", "e2"), ("e1", "e3"), ("e2", "e3")]
+    )
     with pytest.raises(ValueError, match="CONSTRUCT template"):
         sparql.parse(
             "CONSTRUCT { ?x rdfs:subClassOf+ ?y } "
@@ -770,17 +794,21 @@ def test_property_path_zero_or_one(spark):
         "SELECT ?i WHERE { ?i a ?base . ?base rdfs:subClassOf? <e2> }",
     ).collect()))
     assert got3 == [("x1",)]  # e1 reaches e2 in one hop; e2 via zero
-    with pytest.raises(NotImplementedError, match="constant"):
-        sparql.execute(
-            tri, "SELECT ?x WHERE { ?y rdfs:subClassOf? ?x }"
-        )
-    # '?' mid-sequence now parses, but its step ends on a fresh join
-    # variable — no constant anchor, so the zero-length path is still
-    # unbounded and raises the anchoring seam
-    with pytest.raises(NotImplementedError, match="constant"):
-        sparql.execute(
-            tri, "SELECT ?x WHERE { ?x <a>/<b>? ?y }"
-        )
+    # unanchored '?' (r5): reflexive pairs for every graph term
+    # (e1, e2, e3, x1) plus the single-hop edges
+    got4 = sorted(map(tuple, sparql.execute(
+        tri, "SELECT ?y ?x WHERE { ?y rdfs:subClassOf? ?x }"
+    ).collect()))
+    assert got4 == sorted(
+        [(t, t) for t in ("e1", "e2", "e3", "x1")]
+        + [("e1", "e2"), ("e2", "e3")]
+    )
+    # '?' mid-sequence: the step ends on a fresh join variable, so
+    # the zero-length rows ride the unanchored path (r5) — here no
+    # <a> edges exist, so the sequence is empty
+    assert sparql.execute(
+        tri, "SELECT ?x WHERE { ?x <a>/<b>? ?y }"
+    ).count() == 0
 
 
 def test_property_path_cycle_safe(spark):
@@ -854,16 +882,34 @@ def test_not_exists_ask_and_seams(triples):
         """ASK { ?s a video:Scene .
                  FILTER NOT EXISTS { ?s foaf:depicts ?e } }""",
     ) is True
-    with pytest.raises(NotImplementedError, match="share at least one"):
-        sparql.execute(
+    # uncorrelated EXISTS (r5): the group is constant over the outer
+    # solutions — non-empty keeps every row, empty keeps none (and
+    # NOT EXISTS inverts); evaluated via a LIMIT-1 broadcast marker
+    got_u = sorted(
+        r.s for r in sparql.execute(
             triples,
             """SELECT ?s WHERE { ?s a video:Scene .
                  FILTER EXISTS { ?x dc:title ?t } }""",
-        )
-    # FILTER / OPTIONAL / UNION / VALUES / BIND inside negation groups
-    # are supported (the group evaluates through the _bindings
-    # assembler + its own VALUES/BIND application); nesting and
-    # SERVICE/subquery inside stay loud seams
+        ).collect()
+    )
+    assert got_u == ["s1", "s2", "s3"]
+    assert sparql.execute(
+        triples,
+        """SELECT ?s WHERE { ?s a video:Scene .
+             FILTER EXISTS { ?x <http://nosuch/pred> ?t } }""",
+    ).count() == 0
+    got_n = sorted(
+        r.s for r in sparql.execute(
+            triples,
+            """SELECT ?s WHERE { ?s a video:Scene .
+                 FILTER NOT EXISTS { ?x <http://nosuch/pred> ?t } }""",
+        ).collect()
+    )
+    assert got_n == ["s1", "s2", "s3"]
+    # FILTER / OPTIONAL / UNION / VALUES / BIND / nested negation
+    # inside negation groups are supported (the group evaluates
+    # through the _group_bindings assembler); SERVICE/subquery inside
+    # stay loud seams
     sparql.parse(
         """SELECT ?s WHERE { ?s a video:Scene .
              MINUS { ?s foaf:depicts ?e .
@@ -1849,10 +1895,18 @@ def test_composite_path_closure(spark):
     assert run('SELECT ?b WHERE { "n1" (e:p?/e:q?)+ ?b }') == [
         ("n1",), ("n2",), ("n3",), ("n4",), ("n5",), ("n6",),
     ]
-    # unanchored '*' still raises (zero-length path over every node;
-    # the anchor check runs at path-expansion time, not parse time)
-    with pytest.raises(NotImplementedError, match="constant"):
-        sparql.execute(t, P + "SELECT ?a WHERE { ?a (e:p/e:q)* ?b }")
+    # unanchored '*' (r5): the zero-length component contributes one
+    # reflexive pair per term IN THE GRAPH (SPARQL 1.1 §18.4 — G's
+    # subjects and objects, here n1..n6 and n9), plus the closure
+    terms = [f"n{i}" for i in (1, 2, 3, 4, 5, 6, 9)]
+    assert run("SELECT ?a ?b WHERE { ?a (e:p/e:q)* ?b }") == sorted(
+        [(x, x) for x in terms]
+        + [("n1", "n3"), ("n1", "n5"), ("n3", "n5")]
+    )
+    # unanchored '?': reflexive pairs plus the single composite hop
+    assert run("SELECT ?a ?b WHERE { ?a (e:p/e:q)? ?b }") == sorted(
+        [(x, x) for x in terms] + [("n1", "n3"), ("n3", "n5")]
+    )
 
 
 def test_optional_union_inside_negation_groups(spark):
@@ -1901,9 +1955,111 @@ def test_optional_union_inside_negation_groups(spark):
         "SELECT ?d WHERE { ?d e:type ?t . "
         "FILTER EXISTS { ?d (e:tag|e:flag) ?x } }"
     ) == [("d1",), ("d2",)]
-    # nested negation stays loud
-    with pytest.raises(NotImplementedError, match="triple patterns"):
-        sparql.parse(
-            P + "SELECT ?d WHERE { ?d e:type ?t . FILTER EXISTS { "
-            "?d e:tag ?x MINUS { ?d e:flag ?y } } }"
-        )
+    # nested negation (r5): each level is its own semi/anti join —
+    # docs with a tag that do NOT also have a flag
+    assert run(
+        "SELECT ?d WHERE { ?d e:type ?t . FILTER EXISTS { "
+        "?d e:tag ?x MINUS { ?d e:flag ?y } } }"
+    ) == [("d1",)]
+
+
+def test_complex_optional_groups(spark):
+    # BIND / VALUES / nested OPTIONAL / negation inside OPTIONAL (r5):
+    # the group assembles through _group_bindings and left-joins as a
+    # unit — LeftJoin(P1, Group, F)
+    rows = [
+        ("a", "http://e/knows", "b"),
+        ("b", "http://e/knows", "c"),
+        ("c", "http://e/knows", "d"),
+        ("a", "http://e/type", "Person"),
+        ("b", "http://e/type", "Person"),
+        ("d", "http://e/type", "Robot"),
+        ("a", "http://e/name", "Alice"),
+        ("b", "http://e/name", "Bob"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    P = "PREFIX e: <http://e/>\n"
+
+    def run(q, **kw):
+        return sorted(map(tuple, sparql.execute(t, P + q, **kw).collect()))
+
+    # BIND inside OPTIONAL: the computed var rides the extension
+    assert run(
+        'SELECT ?s ?lbl WHERE { ?s e:type "Person" . '
+        'OPTIONAL { ?s e:name ?n . BIND(CONCAT(?n, "!") AS ?lbl) } }'
+    ) == [("a", "Alice!"), ("b", "Bob!")]
+    # VALUES inside OPTIONAL restricts the extension, never the left
+    assert run(
+        'SELECT ?s ?n WHERE { ?s e:type "Person" . '
+        'OPTIONAL { ?s e:name ?n . VALUES ?n { "Alice" } } }'
+    ) == [("a", "Alice"), ("b", None)]
+    # nested OPTIONAL: LeftJoin(P1, LeftJoin(P2, P3))
+    assert run(
+        'SELECT ?s ?o ?ty WHERE { ?s e:type "Person" . '
+        "OPTIONAL { ?s e:knows ?o . OPTIONAL { ?o e:type ?ty } } }"
+    ) == [("a", "b", "Person"), ("b", "c", None)]
+    # NOT EXISTS inside OPTIONAL filters the extension only
+    assert run(
+        'SELECT ?s ?o WHERE { ?s e:type "Person" . '
+        "OPTIONAL { ?s e:knows ?o . "
+        "FILTER NOT EXISTS { ?o e:type ?x } } }"
+    ) == [("a", None), ("b", "c")]
+    # the LeftJoin condition F still applies OVER the complex group
+    assert run(
+        'SELECT ?s ?o ?ty WHERE { ?s e:type "Person" . '
+        "OPTIONAL { ?s e:knows ?o . OPTIONAL { ?o e:type ?ty } "
+        'FILTER(?o != "b") } }'
+    ) == [("a", None, None), ("b", "c", None)]
+
+
+def test_lone_nested_group_scoping(spark):
+    rows = [
+        ("a", "http://e/type", "Person"),
+        ("b", "http://e/type", "Person"),
+        ("a", "http://e/name", "Alice"),
+        ("b", "http://e/name", "Bob"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    P = "PREFIX e: <http://e/>\n"
+
+    def run(q):
+        return sorted(map(tuple, sparql.execute(t, P + q).collect()))
+
+    # Join(outer, Group) with the group's FILTER scoped to the group
+    assert run(
+        'SELECT ?s ?n WHERE { ?s e:type "Person" . '
+        '{ ?s e:name ?n . FILTER(?n != "Bob") } }'
+    ) == [("a", "Alice")]
+    # group-scoped OPTIONAL inside the lone group
+    assert run(
+        'SELECT ?s ?n WHERE { ?s e:type "Person" . '
+        "{ ?s e:name ?n } }"
+    ) == [("a", "Alice"), ("b", "Bob")]
+
+
+def test_union_branch_negation(spark):
+    rows = [
+        ("a", "http://e/type", "Person"),
+        ("b", "http://e/type", "Person"),
+        ("d", "http://e/type", "Robot"),
+        ("a", "http://e/name", "Alice"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    P = "PREFIX e: <http://e/>\n"
+
+    def run(q):
+        return sorted(map(tuple, sparql.execute(t, P + q).collect()))
+
+    # EXISTS inside a UNION branch: σ_EXISTS(BGP) evaluates on the
+    # branch's own bindings, then the branch unions per the algebra
+    assert run(
+        'SELECT ?s WHERE { { ?s e:type "Person" . '
+        "FILTER EXISTS { ?s e:name ?n } } "
+        'UNION { ?s e:type "Robot" } }'
+    ) == [("a",), ("d",)]
+    # NOT EXISTS inside a branch
+    assert run(
+        'SELECT ?s WHERE { { ?s e:type "Person" . '
+        "FILTER NOT EXISTS { ?s e:name ?n } } "
+        'UNION { ?s e:type "Robot" } }'
+    ) == [("b",), ("d",)]
