@@ -682,6 +682,256 @@ ORDER BY c
 """
 
 
+def _q_sparql_uncorrelated_exists(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Uncorrelated FILTER [NOT] EXISTS (operators/sparql.py::
+    _apply_negations): a group sharing NO variable with the outer
+    patterns is constant over the solutions — evaluated as a LIMIT-1
+    broadcast existence marker, never a driver collect.  Query:
+    all customer segments, kept only because SOME automobile-segment
+    customer exists and NO customer carries a nonexistent segment.
+    Oracle: the same two uncorrelated EXISTS predicates in SQL."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("http://example.org/segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?seg WHERE {
+          ?c ex:segment ?seg .
+          FILTER EXISTS { ?x ex:segment "AUTOMOBILE" }
+          FILTER NOT EXISTS { ?y ex:segment "NOSUCHSEG" }
+        }
+        ORDER BY ?c
+        """,
+    )
+
+
+ORACLE_SPARQL_UNCORRELATED_EXISTS = """
+SELECT 'C' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
+FROM customer
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_mktsegment = 'NOSUCHSEG')
+ORDER BY c
+"""
+
+
+def _q_sparql_optional_bind_nested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BIND and nested OPTIONAL inside an OPTIONAL group (the r5
+    complex sub-group path, operators/sparql.py::_opt_entry →
+    _group_bindings): the group assembles its own LeftJoin(P2, P3)
+    plus BIND, then left-joins the outer patterns as a unit.  Query:
+    every customer's segment, optionally extended with a big-account
+    marker whose tag is computed by a group BIND, and a nested
+    OPTIONAL gold flag only big accounts can carry.  Oracle: chained
+    LEFT JOINs with the same computed column."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ck = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    base = (
+        customer.select(
+            ck.alias("subj"),
+            F.lit("http://example.org/segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .unionByName(
+            customer.where(F.col("c_acctbal") > 9000).select(
+                ck.alias("subj"),
+                F.lit("http://example.org/bigacct").alias("pred"),
+                F.lit("1").alias("obj"),
+            )
+        )
+        .unionByName(
+            customer.where(F.col("c_acctbal") > 9900).select(
+                ck.alias("subj"),
+                F.lit("http://example.org/goldacct").alias("pred"),
+                F.lit("1").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?seg ?tag ?g WHERE {
+          ?c ex:segment ?seg .
+          OPTIONAL {
+            ?c ex:bigacct ?b .
+            OPTIONAL { ?c ex:goldacct ?g }
+            BIND (CONCAT("big:", str(?c)) AS ?tag)
+          }
+        }
+        ORDER BY ?c
+        """,
+    )
+
+
+ORACLE_SPARQL_OPTIONAL_BIND_NESTED = """
+SELECT 'C' || CAST(c_custkey AS VARCHAR) AS c,
+       c_mktsegment AS seg,
+       CASE WHEN c_acctbal > 9000
+            THEN 'big:C' || CAST(c_custkey AS VARCHAR) END AS tag,
+       CASE WHEN c_acctbal > 9900 THEN '1' END AS g
+FROM customer
+ORDER BY c
+"""
+
+
+def _q_sparql_nested_negation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nested negation (r5, operators/sparql.py::_group_bindings
+    applies its own negation joins recursively): a MINUS inside a
+    FILTER EXISTS group — customers having at least one order that is
+    NOT urgent.  Each nesting level is its own semi/anti hash join.
+    Oracle: EXISTS over the non-urgent order slice."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+    base = (
+        customer.select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("http://example.org/segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"),
+        )
+        .unionByName(
+            orders.select(
+                ok.alias("subj"),
+                F.lit("http://example.org/by").alias("pred"),
+                F.concat(
+                    F.lit("C"), F.col("o_custkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.where(
+                F.col("o_orderpriority") == F.lit("1-URGENT")
+            ).select(
+                ok.alias("subj"),
+                F.lit("http://example.org/urgent").alias("pred"),
+                F.lit("1").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?seg WHERE {
+          ?c ex:segment ?seg .
+          FILTER EXISTS {
+            ?o ex:by ?c .
+            MINUS { ?o ex:urgent "1" }
+          }
+        }
+        ORDER BY ?c
+        """,
+    )
+
+
+ORACLE_SPARQL_NESTED_NEGATION = """
+SELECT 'C' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS seg
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+)
+ORDER BY c
+"""
+
+
+def _q_sparql_group_scope_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A lone nested group (r5): ``{ A . FILTER(f) }`` inside a group
+    evaluates as Join(outer, Group(A)) with f scoped to A's own
+    bindings — previously a loud seam.  Query: customer segments
+    joined with their nation through a braced group whose FILTER
+    excludes one nation at group scope.  Oracle: the same join +
+    predicate."""
+    from face_hunter_spark.operators.sparql import execute
+
+    return execute(
+        _kg_edge_graph(spark, sf_dir),
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?n WHERE {
+          ?c ex:inNation ?n .
+          { ?n ex:inRegion ?r . FILTER(?r != "ASIA") }
+        }
+        ORDER BY ?c ?n
+        """,
+    )
+
+
+ORACLE_SPARQL_GROUP_SCOPE = """
+SELECT c_name AS c, n_name AS n
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name <> 'ASIA'
+ORDER BY c, n
+"""
+
+
+def _q_sparql_unanchored_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unanchored ``pred*`` (r5, operators/sparql.py::_expand_paths):
+    with both ends variable the zero-length component contributes one
+    reflexive pair per term IN THE GRAPH (SPARQL 1.1 §18.4
+    ZeroLengthPath over G's subjects and objects), alongside the
+    transitive closure — previously a loud seam.  Graph: the 25
+    nation→region containment edges.  Oracle: the edge pairs UNION ALL
+    one reflexive row per nation and per region."""
+    from face_hunter_spark.operators.sparql import execute
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    base = nation.join(
+        region, F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(
+        F.col("n_name").alias("subj"),
+        F.lit("http://example.org/inRegion").alias("pred"),
+        F.col("r_name").alias("obj"),
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?a ?b WHERE { ?a ex:inRegion* ?b }
+        ORDER BY ?a ?b
+        """,
+    )
+
+
+ORACLE_SPARQL_UNANCHORED_STAR = """
+SELECT n_name AS a, r_name AS b
+FROM nation JOIN region ON n_regionkey = r_regionkey
+UNION ALL
+SELECT n_name AS a, n_name AS b FROM nation
+UNION ALL
+SELECT r_name AS a, r_name AS b FROM region
+ORDER BY a, b
+"""
+
+
 def _q_sparql_update_union_where(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2423,6 +2673,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_update_union_where": _q_sparql_update_union_where,
         "sparql_negation_values_bind": _q_sparql_negation_values_bind,
         "sparql_union_bind_branch": _q_sparql_union_bind_branch,
+        "sparql_uncorrelated_exists": _q_sparql_uncorrelated_exists,
+        "sparql_optional_bind_nested": _q_sparql_optional_bind_nested,
+        "sparql_nested_negation": _q_sparql_nested_negation,
+        "sparql_group_scope_join": _q_sparql_group_scope_join,
+        "sparql_unanchored_star": _q_sparql_unanchored_star,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2605,6 +2860,11 @@ def oracle_sql() -> dict[str, str]:
         "sparql_update_union_where": ORACLE_SPARQL_UPDATE_UNION_WHERE,
         "sparql_negation_values_bind": ORACLE_SPARQL_NEGATION_VALUES_BIND,
         "sparql_union_bind_branch": ORACLE_SPARQL_UNION_BIND_BRANCH,
+        "sparql_uncorrelated_exists": ORACLE_SPARQL_UNCORRELATED_EXISTS,
+        "sparql_optional_bind_nested": ORACLE_SPARQL_OPTIONAL_BIND_NESTED,
+        "sparql_nested_negation": ORACLE_SPARQL_NESTED_NEGATION,
+        "sparql_group_scope_join": ORACLE_SPARQL_GROUP_SCOPE,
+        "sparql_unanchored_star": ORACLE_SPARQL_UNANCHORED_STAR,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
