@@ -932,6 +932,47 @@ ORDER BY a, b
 """
 
 
+def _q_sparql_select_expr_orderby(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Non-aggregate SELECT expressions + ORDER BY expression keys
+    (operators/sparql.py::_parse_select / _parse_modifiers): a
+    projection-scope Extend computing a display label over a group
+    key and an aggregate alias, sorted by an expression.  Oracle: the
+    same GROUP BY with the computed column spelled in SQL."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = customer.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+            "subj"
+        ),
+        F.lit("http://example.org/segment").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?seg (COUNT(?c) AS ?n)
+               (CONCAT(LCASE(?seg), ":", STR(?n)) AS ?lbl)
+        WHERE { ?c ex:segment ?seg }
+        GROUP BY ?seg
+        ORDER BY DESC(STRLEN(?lbl)) ?seg
+        """,
+    )
+
+
+ORACLE_SPARQL_SELECT_EXPR = """
+SELECT c_mktsegment AS seg,
+       COUNT(*) AS n,
+       LOWER(c_mktsegment) || ':' || CAST(COUNT(*) AS VARCHAR) AS lbl
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY LENGTH(lbl) DESC, seg
+"""
+
+
 def _q_sparql_update_union_where(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2678,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_nested_negation": _q_sparql_nested_negation,
         "sparql_group_scope_join": _q_sparql_group_scope_join,
         "sparql_unanchored_star": _q_sparql_unanchored_star,
+        "sparql_select_expr_orderby": _q_sparql_select_expr_orderby,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2865,6 +2907,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_nested_negation": ORACLE_SPARQL_NESTED_NEGATION,
         "sparql_group_scope_join": ORACLE_SPARQL_GROUP_SCOPE,
         "sparql_unanchored_star": ORACLE_SPARQL_UNANCHORED_STAR,
+        "sparql_select_expr_orderby": ORACLE_SPARQL_SELECT_EXPR,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

@@ -78,6 +78,11 @@ Supported subset — exactly the shapes the reference emits/accepts
   binding tables (broadcast inner join; UNDEF binds NULL and does not
   wildcard-match) and ``BIND (expr AS ?v)`` computed variables over
   the FILTER expression subset;
+* non-aggregate SELECT expressions ``(expr AS ?x)`` over the FILTER
+  builtin subset — SPARQL 1.1's projection-scope Extend, applied
+  after aggregation so an expression may reference group keys or
+  aggregate aliases — and ORDER BY expression sort keys
+  (``DESC(STRLEN(?n))``, bare ``STRLEN(?n)``) alongside plain vars;
 * aggregates ``(COUNT([DISTINCT] ?v | *) AS ?n)`` / MIN / MAX / SUM /
   AVG / SAMPLE / ``GROUP_CONCAT(?v; SEPARATOR="...")`` with
   ``GROUP BY`` and ``HAVING`` — one hash aggregation with map-side
@@ -282,6 +287,10 @@ class ParsedQuery:
     # collapse into the enclosing group exactly like GRAPH <iri>
     graph_vars: list = field(default_factory=list)
     select: list | None = None  # None = SELECT *
+    # (sql_expr, alias) for each non-aggregate (expr AS ?x) in the
+    # SELECT list — applied at projection time, after aggregation, so
+    # an expression may reference group keys or aggregate aliases
+    select_exprs: list = field(default_factory=list)
     # (func, arg_var|None, distinct, alias) for each (AGG(?v) AS ?a)
     # in the SELECT list; non-empty => grouped query
     aggregates: list = field(default_factory=list)
@@ -414,7 +423,33 @@ class _Parser:
                 if t is not None and t.kind == "VAR":
                     names.append(self._next().text[1:])
                 elif t is not None and t.kind == "OP" and t.text == "(":
-                    names.append(self._parse_select_agg(q))
+                    # '( AGG(...) AS ?a )' when the head is an
+                    # aggregate function, else a non-aggregate SELECT
+                    # expression '( expr AS ?a )' (SPARQL 1.1 §18.2.4
+                    # Extend at projection scope)
+                    nxt = (
+                        self.toks[self.i + 1]
+                        if self.i + 1 < len(self.toks)
+                        else None
+                    )
+                    if (
+                        nxt is not None
+                        and nxt.kind == "NAME"
+                        and nxt.text.lower() in self._AGG_FUNCS
+                    ):
+                        names.append(self._parse_select_agg(q))
+                    else:
+                        self._expect_op("(")
+                        expr = self._filter_expr()
+                        self._expect_kw("as")
+                        v = self._next()
+                        if v.kind != "VAR":
+                            raise ValueError(
+                                "SELECT expression needs '... AS ?var'"
+                            )
+                        self._expect_op(")")
+                        q.select_exprs.append((expr, v.text[1:]))
+                        names.append(v.text[1:])
                 else:
                     break
             if not names:
@@ -425,10 +460,10 @@ class _Parser:
         self._parse_group(q)
         self._parse_modifiers(q)
         if q.aggregates:
-            plain = [
-                v for v in q.select
-                if v not in {a[3] for a in q.aggregates}
-            ]
+            computed = {a[3] for a in q.aggregates} | {
+                a for _, a in q.select_exprs
+            }
+            plain = [v for v in q.select if v not in computed]
             bad = [v for v in plain if v not in q.group_by]
             if bad:
                 raise ValueError(
@@ -540,17 +575,29 @@ class _Parser:
             saw = False
             while True:
                 asc = True
+                t = self._peek()
                 if self._at_kw("asc", "desc"):
+                    # ASC(?v) / DESC(expr): the parenthesized sort key
+                    # is any FILTER-subset expression, a bare ?var
+                    # being the common case
                     asc = self._next().text.lower() == "asc"
                     self._expect_op("(")
-                    v = self._next()
-                    if v.kind != "VAR":
-                        raise ValueError("ORDER BY ASC/DESC needs a ?var")
+                    q.order_by.append((self._filter_expr(), asc))
                     self._expect_op(")")
-                    q.order_by.append((v.text[1:], asc))
                     saw = True
-                elif self._peek() is not None and self._peek().kind == "VAR":
+                elif t is not None and t.kind == "VAR":
                     q.order_by.append((self._next().text[1:], True))
+                    saw = True
+                elif (
+                    t is not None
+                    and t.kind == "NAME"
+                    and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1].kind == "OP"
+                    and self.toks[self.i + 1].text == "("
+                ):
+                    # bare expression sort condition: ORDER BY
+                    # STRLEN(?n) — ascending per the spec's default
+                    q.order_by.append((self._filter_expr(), True))
                     saw = True
                 else:
                     break
@@ -2802,6 +2849,13 @@ def _finish_select(
         )
         for h in q.having:
             df = df.where(F.expr(h))
+    for sql, alias in q.select_exprs:
+        # non-aggregate SELECT expressions extend at projection scope
+        # (after aggregation, so group keys and aggregate aliases are
+        # in reach), cast to string per the all-lexical triple model
+        if alias in df.columns:
+            raise ValueError(f"SELECT expression would rebind ?{alias}")
+        df = df.withColumn(alias, F.expr(sql).cast("string"))
     if q.select is not None:
         missing = [v for v in q.select if v not in df.columns]
         if missing:
@@ -2810,10 +2864,21 @@ def _finish_select(
     if q.distinct:
         df = df.distinct()
     if q.order_by:
+
+        def _key(e):
+            # plain var names stay column references (backticked so a
+            # name shadowing a SQL keyword stays a column); anything
+            # else is a compiled sort expression
+            return F.expr(
+                f"`{e}`"
+                if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", e)
+                else e
+            )
+
         df = df.orderBy(
             *[
-                df[v].asc() if asc else df[v].desc()
-                for v, asc in q.order_by
+                _key(e).asc() if asc else _key(e).desc()
+                for e, asc in q.order_by
             ]
         )
     if q.offset:

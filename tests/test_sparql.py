@@ -2063,3 +2063,46 @@ def test_union_branch_negation(spark):
         "FILTER NOT EXISTS { ?s e:name ?n } } "
         'UNION { ?s e:type "Robot" } }'
     ) == [("b",), ("d",)]
+
+
+def test_select_and_orderby_expressions(spark):
+    rows = [
+        ("a", "http://e/p", "1"),
+        ("b", "http://e/p", "2"),
+        ("a", "http://e/name", "Xavier"),
+        ("b", "http://e/name", "Al"),
+        ("c", "http://e/name", "Bo"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    P = "PREFIX e: <http://e/>\n"
+
+    # non-aggregate SELECT expression (SPARQL 1.1 Extend at
+    # projection scope)
+    got = sorted(map(tuple, sparql.execute(
+        t, P + 'SELECT ?s (CONCAT(?n, "!") AS ?x) '
+               "WHERE { ?s e:name ?n }"
+    ).collect()))
+    assert got == [("a", "Xavier!"), ("b", "Al!"), ("c", "Bo!")]
+    # a SELECT expression may reference an aggregate alias (applied
+    # after the aggregation)
+    got2 = [tuple(r) for r in sparql.execute(
+        t, P + 'SELECT (COUNT(?s) AS ?n) (CONCAT("n=", STR(?n)) AS ?l) '
+               "WHERE { ?s e:p ?v }"
+    ).collect()]
+    assert got2 == [(2, "n=2")]
+    # ORDER BY DESC(expr) and a bare expression sort condition
+    got3 = [r.s for r in sparql.execute(
+        t, P + "SELECT ?s ?n WHERE { ?s e:name ?n } "
+               "ORDER BY DESC(STRLEN(?n)) ?s"
+    ).collect()]
+    assert got3 == ["a", "b", "c"]
+    got4 = [r.s for r in sparql.execute(
+        t, P + "SELECT ?s ?n WHERE { ?s e:name ?n } "
+               "ORDER BY STRLEN(?n) ?s"
+    ).collect()]
+    assert got4 == ["b", "c", "a"]
+    # rebinding an existing variable raises
+    with pytest.raises(ValueError, match="rebind"):
+        sparql.execute(
+            t, P + 'SELECT ?n (STR(?n) AS ?n) WHERE { ?s e:name ?n }'
+        ).collect()
