@@ -119,16 +119,17 @@ Supported subset — exactly the shapes the reference emits/accepts
 
 Group elements compose broadly as of round 5: OPTIONAL groups carry
 UNION / BIND / VALUES / alternative paths / nested OPTIONAL / nested
-negation (each such group assembles standalone and left-joins as a
-unit — LeftJoin(P1, Group, F)); UNION branches carry BIND / VALUES /
-nested negation (complex branches assemble standalone and join the
-variant's plain part); a LONE nested group ``{ { A } B }`` evaluates
-as Join(Group(A), B) with A's FILTERs scoped to A.  Deliberate seams,
-raised loudly rather than silently mis-answered: ``SERVICE
+negation / subqueries (each such group assembles standalone and
+left-joins as a unit — LeftJoin(P1, Group, F)); UNION branches carry
+BIND / VALUES / nested negation / subqueries (complex branches
+assemble standalone and join the variant's plain part; a subquery may
+BE a whole branch); negation groups carry all of those plus deeper
+negation; a LONE nested group ``{ { A } B }`` evaluates as
+Join(Group(A), B) with A's FILTERs scoped to A.  The one deliberate
+seam, raised loudly rather than silently mis-answered: ``SERVICE
 <endpoint> { ... }`` naming an endpoint with no registered offline
 snapshot (live federation — the offline analogue is a broadcast
-attribute join, see query.get_videos_with_filters), and subqueries
-nested inside OPTIONAL/UNION/EXISTS/MINUS blocks.  One scoping
+attribute join, see query.get_videos_with_filters).  One scoping
 approximation: an EXISTS nested inside a sub-group correlates on the
 variables its group binds — an outer-group variable the sub-group
 never binds does not correlate into the nested EXISTS (the spec's
@@ -621,13 +622,9 @@ class _Parser:
                 self._next()
                 sub = ParsedQuery(form="optional")
                 self._parse_group(sub)
-                if (
-                    sub.services
-                    or sub.subqueries
-                    or sub.graph_vars
-                ):
+                if sub.services or sub.graph_vars:
                     raise NotImplementedError(
-                        "SERVICE/subquery/GRAPH inside OPTIONAL {...} "
+                        "SERVICE/GRAPH inside OPTIONAL {...} "
                         "is not in the supported subset — hoist it to "
                         "the outer group"
                     )
@@ -643,6 +640,7 @@ class _Parser:
                     or sub.binds
                     or sub.exists_clauses
                     or sub.minus_clauses
+                    or sub.subqueries
                     or has_alt
                 ):
                     # a COMPLEX optional group (UNION / nested
@@ -782,11 +780,22 @@ class _Parser:
                     sub = self._parse_select()
                     self._expect_op("}")
                     if self._at_kw("union"):
-                        raise NotImplementedError(
-                            "a subquery cannot be a UNION branch in "
-                            "this subset — hoist it next to the UNION "
-                            "block instead"
-                        )
+                        # { SELECT ... } UNION { ... }: the subquery
+                        # is a whole UNION branch — wrap it as a
+                        # complex sub-group branch (its bindings
+                        # assemble bottom-up like any subquery, then
+                        # union with the other branches)
+                        branches = [(
+                            "__q__",
+                            ParsedQuery(
+                                form="union-branch", subqueries=[sub]
+                            ),
+                        )]
+                        while self._at_kw("union"):
+                            self._next()
+                            branches.extend(self._parse_union_branch())
+                        q.unions.append(branches)
+                        continue
                     q.subqueries.append(sub)
                     if self._at_op("."):
                         self._next()
@@ -844,25 +853,23 @@ class _Parser:
         every flattened tuple evaluates as one plain BGP."""
         sub = ParsedQuery(form="union-branch")
         self._parse_group(sub)
-        if (
-            sub.services
-            or sub.subqueries
-            or sub.graph_vars
-        ):
+        if sub.services or sub.graph_vars:
             raise NotImplementedError(
-                "SERVICE/subquery/GRAPH inside a UNION branch "
+                "SERVICE/GRAPH inside a UNION branch "
                 "is not in the supported subset — hoist it to the "
                 "outer group"
             )
         if (
             sub.binds or sub.values_clauses
             or sub.exists_clauses or sub.minus_clauses
+            or sub.subqueries
         ):
-            # a branch carrying BIND/VALUES/EXISTS/MINUS is a COMPLEX
-            # branch: it evaluates as its own sub-group (BGP + nested
-            # negation joins + VALUES join + BINDs via
-            # _group_bindings) and joins the variant's plain part on
-            # the shared variables in _bindings
+            # a branch carrying BIND/VALUES/EXISTS/MINUS/subqueries
+            # is a COMPLEX branch: it evaluates as its own sub-group
+            # (BGP + subquery joins + nested negation joins + VALUES
+            # join + BINDs via _group_bindings) and joins the
+            # variant's plain part on the shared variables in
+            # _bindings
             return [("__q__", sub)]
         if sub.unions:
             if not (
@@ -953,17 +960,13 @@ class _Parser:
         unresolved column)."""
         sub = ParsedQuery(form="negation")
         self._parse_group(sub)
-        if (
-            sub.services
-            or sub.subqueries
-            or sub.graph_vars
-        ):
+        if sub.services or sub.graph_vars:
             raise NotImplementedError(
                 f"only triple patterns, FILTER, OPTIONAL, UNION, "
-                f"VALUES, BIND and nested EXISTS/MINUS are supported "
-                f"inside {kw} {{...}}"
+                f"VALUES, BIND, subqueries and nested EXISTS/MINUS "
+                f"are supported inside {kw} {{...}}"
             )
-        if not (sub.patterns or sub.unions):
+        if not (sub.patterns or sub.unions or sub.subqueries):
             raise ValueError(f"{kw} group is empty")
         return sub
 
@@ -2220,11 +2223,18 @@ def _variants(q: ParsedQuery) -> list:
 
 
 def _bindings(
-    triples: DataFrame, q: ParsedQuery, allow_cartesian: bool
+    triples: DataFrame,
+    q: ParsedQuery,
+    allow_cartesian: bool,
+    base_triples: DataFrame | None = None,
+    services: dict | None = None,
 ) -> DataFrame:
     """All variable bindings for q's WHERE clause (bag semantics, no
     projection yet).  Variants missing a variable bind NULL — SPARQL's
-    unbound — in the unioned result."""
+    unbound — in the unioned result.  ``base_triples``/``services``
+    ride along so sub-groups (complex OPTIONAL/UNION entries, nested
+    negation) can evaluate their own ``{ SELECT ... }`` subqueries
+    bottom-up against the pre-expansion graph."""
     # an OPTIONAL group that is a full sub-group (UNION / VALUES /
     # BIND / nested OPTIONAL / nested negation inside OPTIONAL)
     # evaluates its own bindings here — through the same
@@ -2238,7 +2248,7 @@ def _bindings(
             return g
         if id(g) not in group_cache:
             group_cache[id(g)] = _group_bindings(
-                triples, g, allow_cartesian
+                triples, g, allow_cartesian, base_triples, services
             )
         return group_cache[id(g)]
 
@@ -2278,7 +2288,8 @@ def _bindings(
         for sub_q in cx:
             if id(sub_q) not in group_cache:
                 group_cache[id(sub_q)] = _group_bindings(
-                    triples, sub_q, allow_cartesian
+                    triples, sub_q, allow_cartesian,
+                    base_triples, services,
                 )
             sd = group_cache[id(sub_q)]
             if df0 is None:
@@ -2322,18 +2333,36 @@ def _bindings(
 
 
 def _group_bindings(
-    triples: DataFrame, g: ParsedQuery, allow_cartesian: bool
+    triples: DataFrame,
+    g: ParsedQuery,
+    allow_cartesian: bool,
+    base_triples: DataFrame | None = None,
+    services: dict | None = None,
 ) -> DataFrame:
     """Bindings of a full sub-group (an EXISTS/MINUS group, a complex
     UNION branch, a complex OPTIONAL group, or a lone nested group):
-    the BGP assembly plus the group's own nested [NOT] EXISTS / MINUS
-    joins, VALUES joins and BINDs — SPARQL algebra applies them inside
-    the group, so their variables participate in the outer join's
-    shared-column set and negation nests to any depth (each level is
-    its own semi/anti join, same order as the top level)."""
-    sub = _bindings(triples, g, allow_cartesian)
+    the BGP assembly plus the group's own ``{ SELECT ... }`` subquery
+    joins, nested [NOT] EXISTS / MINUS joins, VALUES joins and BINDs —
+    SPARQL algebra applies them inside the group, so their variables
+    participate in the outer join's shared-column set and negation
+    nests to any depth (each level is its own semi/anti join, same
+    order as the top level)."""
+    if g.patterns or g.unions or not g.subqueries:
+        sub = _bindings(
+            triples, g, allow_cartesian, base_triples, services
+        )
+    else:
+        sub = None  # subquery-only group: start from the first
+    if g.subqueries:
+        sub = _apply_subqueries(
+            sub, g,
+            base_triples if base_triples is not None else triples,
+            allow_cartesian, services,
+        )
     if g.exists_clauses or g.minus_clauses:
-        sub = _apply_negations(triples, sub, g, allow_cartesian)
+        sub = _apply_negations(
+            triples, sub, g, allow_cartesian, base_triples, services
+        )
     spark = triples.sparkSession
     for vars_, rows in g.values_clauses:
         vdf = F.broadcast(
@@ -2360,6 +2389,8 @@ def _apply_negations(
     df: DataFrame,
     q: ParsedQuery,
     allow_cartesian: bool,
+    base_triples: DataFrame | None = None,
+    services: dict | None = None,
 ) -> DataFrame:
     """FILTER [NOT] EXISTS -> left-semi/left-anti hash join of the
     outer bindings against the group's bindings on the shared
@@ -2374,7 +2405,9 @@ def _apply_negations(
     the check fully distributed — every outer row survives iff the
     group is [non-]empty, and the inner plan stops at its first row."""
     for positive, neg_q in q.exists_clauses:
-        sub = _group_bindings(triples, neg_q, allow_cartesian)
+        sub = _group_bindings(
+            triples, neg_q, allow_cartesian, base_triples, services
+        )
         shared = [c for c in sub.columns if c in df.columns]
         if not shared:
             marker = F.broadcast(
@@ -2396,7 +2429,9 @@ def _apply_negations(
             how="left_semi" if positive else "left_anti",
         )
     for neg_q in q.minus_clauses:
-        sub = _group_bindings(triples, neg_q, allow_cartesian)
+        sub = _group_bindings(
+            triples, neg_q, allow_cartesian, base_triples, services
+        )
         shared = [c for c in sub.columns if c in df.columns]
         if shared:
             df = df.join(
@@ -2410,13 +2445,17 @@ def _apply_solution_clauses(
     df: DataFrame,
     q: ParsedQuery,
     allow_cartesian: bool,
+    base_triples: DataFrame | None = None,
+    services: dict | None = None,
 ) -> DataFrame:
     """Post-join solution clauses, in SPARQL-algebra order: negation
     joins (``_apply_negations``), then VALUES -> broadcast inner join
     of the inline binding table (cross product when uncorrelated),
     then BIND -> withColumn in document order, cast to string to match
     the all-lexical triple model."""
-    df = _apply_negations(triples, df, q, allow_cartesian)
+    df = _apply_negations(
+        triples, df, q, allow_cartesian, base_triples, services
+    )
     spark = triples.sparkSession
     for vars_, rows in q.values_clauses:
         vdf = F.broadcast(
@@ -2703,10 +2742,23 @@ def execute(
 
 
 def _service_endpoints(q: ParsedQuery) -> list:
-    """All SERVICE endpoint IRIs in q, including inside subqueries."""
+    """All SERVICE endpoint IRIs in q, including inside subqueries and
+    nested sub-groups (complex OPTIONAL/UNION entries, negation
+    groups) — so a missing snapshot raises up-front, not mid-plan."""
     eps = [e for e, _ in q.services]
     for sub in q.subqueries:
         eps += _service_endpoints(sub)
+    for g in q.optional:
+        if isinstance(g, ParsedQuery):
+            eps += _service_endpoints(g)
+    for branches in q.unions:
+        for b in branches:
+            if b[0] == "__q__":
+                eps += _service_endpoints(b[1])
+    for _pos, g in q.exists_clauses:
+        eps += _service_endpoints(g)
+    for g in q.minus_clauses:
+        eps += _service_endpoints(g)
     return eps
 
 
@@ -2779,7 +2831,9 @@ def _finish_select(
         q.exists_clauses or q.minus_clauses or q.values_clauses or q.binds
     )
     if q.patterns or q.unions or not q.subqueries:
-        df = _bindings(triples, q, allow_cartesian)
+        df = _bindings(
+            triples, q, allow_cartesian, base_triples, services
+        )
     else:
         df = None  # subquery-only WHERE clause: start from the first
     if q.subqueries:
@@ -2789,7 +2843,9 @@ def _finish_select(
     if q.services:
         df = _apply_services(df, q, services, allow_cartesian)
     if has_negation:
-        df = _apply_solution_clauses(triples, df, q, allow_cartesian)
+        df = _apply_solution_clauses(
+            triples, df, q, allow_cartesian, base_triples, services
+        )
     for expr in deferred_filters:
         df = df.where(F.expr(expr))
     # sequence-path join variables are not solution bindings (SPARQL
