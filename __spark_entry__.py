@@ -973,6 +973,115 @@ ORDER BY LENGTH(lbl) DESC, seg
 """
 
 
+def _q_sparql_subquery_optional_negation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Subqueries nested inside OPTIONAL and inside FILTER NOT EXISTS
+    (operators/sparql.py sub-group subquery lists, r5): every customer
+    with their nation, left-extended by an aggregating subquery in
+    OPTIONAL (order count; NULL for order-less customers), minus — via
+    a NOT EXISTS whose group is itself a HAVING-filtered aggregating
+    subquery — the heavy customers with >= 25 orders.  The reference's
+    users would script this as three round-trips against Virtuoso
+    (graph.py:194-244); one SPARQL 1.1 text query does it here."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+            .alias("subj"),
+            F.lit("http://example.org/byCustomer").alias("pred"),
+            F.col("c_name").alias("obj"),
+        )
+        .unionByName(
+            customer.join(
+                nation, F.col("c_nationkey") == F.col("n_nationkey")
+            ).select(
+                F.col("c_name").alias("subj"),
+                F.lit("http://example.org/inNation").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?nat ?n WHERE {
+          ?c ex:inNation ?nat .
+          OPTIONAL { { SELECT ?c (COUNT(?o) AS ?n)
+                       WHERE { ?o ex:byCustomer ?c } GROUP BY ?c } }
+          FILTER NOT EXISTS {
+            { SELECT ?c (COUNT(?o) AS ?m)
+              WHERE { ?o ex:byCustomer ?c }
+              GROUP BY ?c HAVING (?m >= 25) }
+          }
+        }
+        ORDER BY ?c
+        """,
+    )
+
+
+ORACLE_SPARQL_SUBQ_OPT_NEG = """
+WITH cnt AS (
+  SELECT c.c_name AS c, COUNT(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_name
+)
+SELECT cu.c_name AS c, na.n_name AS nat, CAST(cnt.n AS BIGINT) AS n
+FROM customer cu
+JOIN nation na ON cu.c_nationkey = na.n_nationkey
+LEFT JOIN cnt ON cnt.c = cu.c_name
+WHERE cu.c_name NOT IN (SELECT c FROM cnt WHERE n >= 25)
+ORDER BY c
+"""
+
+
+def _q_sparql_subquery_union_branches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aggregating subqueries as BOTH branches of a UNION
+    (operators/sparql.py ``__q__`` union-branch subqueries, r5): one
+    branch counts suppliers per nation, the other counts customers per
+    nation; the UNION is the bag-concat of the two grouped results.
+    Exercises bottom-up subquery evaluation inside union assembly —
+    neither branch shares variables with an outer pattern."""
+    from face_hunter_spark.operators.sparql import execute
+
+    return execute(
+        _sparql_path_base(spark, sf_dir),
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?nat ?k WHERE {
+          { { SELECT ?nat (COUNT(?w) AS ?k)
+              WHERE { ?w ex:suppNation ?nat } GROUP BY ?nat } }
+          UNION
+          { { SELECT ?nat (COUNT(?w) AS ?k)
+              WHERE { ?w ex:inNation ?nat } GROUP BY ?nat } }
+        }
+        ORDER BY ?nat ?k
+        """,
+    )
+
+
+ORACLE_SPARQL_SUBQ_UNION = """
+SELECT nat, CAST(k AS BIGINT) AS k FROM (
+  SELECT n.n_name AS nat, COUNT(*) AS k
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+  UNION ALL
+  SELECT n.n_name AS nat, COUNT(*) AS k
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+ORDER BY nat, k
+"""
+
+
 def _q_sparql_update_union_where(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2720,6 +2829,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_group_scope_join": _q_sparql_group_scope_join,
         "sparql_unanchored_star": _q_sparql_unanchored_star,
         "sparql_select_expr_orderby": _q_sparql_select_expr_orderby,
+        "sparql_subquery_optional_negation": (
+            _q_sparql_subquery_optional_negation
+        ),
+        "sparql_subquery_union_branches": _q_sparql_subquery_union_branches,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -2908,6 +3021,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_group_scope_join": ORACLE_SPARQL_GROUP_SCOPE,
         "sparql_unanchored_star": ORACLE_SPARQL_UNANCHORED_STAR,
         "sparql_select_expr_orderby": ORACLE_SPARQL_SELECT_EXPR,
+        "sparql_subquery_optional_negation": ORACLE_SPARQL_SUBQ_OPT_NEG,
+        "sparql_subquery_union_branches": ORACLE_SPARQL_SUBQ_UNION,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
