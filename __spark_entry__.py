@@ -1269,6 +1269,65 @@ ORDER BY c, n, r
 """
 
 
+def _q_sparql_service_in_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SERVICE blocks nested inside OPTIONAL and inside MINUS
+    (operators/sparql.py::_group_bindings service joins, r5): the
+    'remote regions endpoint' snapshot left-extends each customer with
+    their region through OPTIONAL{SERVICE{...FILTER}} — ASIA rows fail
+    the service-group filter, so those customers survive NULL-padded —
+    and a MINUS{SERVICE{...}} drops customers whose nation the
+    endpoint places in AFRICA.  The reference hits DBpedia mid-query
+    the same way (graph.py:194-244); here the endpoint is an offline
+    snapshot and both nested forms are one Spark plan."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    local = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    snapshot = nation.join(
+        region, F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(
+        F.col("n_name").alias("subj"),
+        F.lit("http://example.org/inRegion").alias("pred"),
+        F.col("r_name").alias("obj"),
+    )
+    out = execute(
+        local,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?nat ?reg WHERE {
+          ?c ex:inNation ?nat .
+          OPTIONAL { SERVICE <http://regions.example/sparql> {
+            ?nat ex:inRegion ?reg FILTER (?reg != "ASIA") } }
+          MINUS { SERVICE <http://regions.example/sparql> {
+            ?nat ex:inRegion "AFRICA" } }
+        }
+        """,
+        services={"http://regions.example/sparql": snapshot},
+    )
+    return out.orderBy("c", "nat", "reg")
+
+
+ORACLE_SPARQL_SERVICE_GROUPS = """
+SELECT c_name AS c, n_name AS nat,
+       CASE WHEN r_name <> 'ASIA' THEN r_name END AS reg
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name <> 'AFRICA'
+ORDER BY c, nat, reg
+"""
+
+
 def _q_sparql_optional_inner_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2833,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _q_sparql_subquery_optional_negation
         ),
         "sparql_subquery_union_branches": _q_sparql_subquery_union_branches,
+        "sparql_service_in_groups": _q_sparql_service_in_groups,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -3023,6 +3083,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_select_expr_orderby": ORACLE_SPARQL_SELECT_EXPR,
         "sparql_subquery_optional_negation": ORACLE_SPARQL_SUBQ_OPT_NEG,
         "sparql_subquery_union_branches": ORACLE_SPARQL_SUBQ_UNION,
+        "sparql_service_in_groups": ORACLE_SPARQL_SERVICE_GROUPS,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

@@ -622,9 +622,9 @@ class _Parser:
                 self._next()
                 sub = ParsedQuery(form="optional")
                 self._parse_group(sub)
-                if sub.services or sub.graph_vars:
+                if sub.graph_vars:
                     raise NotImplementedError(
-                        "SERVICE/GRAPH inside OPTIONAL {...} "
+                        "GRAPH ?var inside OPTIONAL {...} "
                         "is not in the supported subset — hoist it to "
                         "the outer group"
                     )
@@ -641,6 +641,7 @@ class _Parser:
                     or sub.exists_clauses
                     or sub.minus_clauses
                     or sub.subqueries
+                    or sub.services
                     or has_alt
                 ):
                     # a COMPLEX optional group (UNION / nested
@@ -853,16 +854,16 @@ class _Parser:
         every flattened tuple evaluates as one plain BGP."""
         sub = ParsedQuery(form="union-branch")
         self._parse_group(sub)
-        if sub.services or sub.graph_vars:
+        if sub.graph_vars:
             raise NotImplementedError(
-                "SERVICE/GRAPH inside a UNION branch "
+                "GRAPH ?var inside a UNION branch "
                 "is not in the supported subset — hoist it to the "
                 "outer group"
             )
         if (
             sub.binds or sub.values_clauses
             or sub.exists_clauses or sub.minus_clauses
-            or sub.subqueries
+            or sub.subqueries or sub.services
         ):
             # a branch carrying BIND/VALUES/EXISTS/MINUS/subqueries
             # is a COMPLEX branch: it evaluates as its own sub-group
@@ -952,21 +953,25 @@ class _Parser:
         OPTIONAL groups, UNION blocks, VALUES tables, BINDs and nested
         [NOT] EXISTS / MINUS groups (the group evaluates through the
         same _group_bindings assembler as every other sub-group: BGP,
-        then its own negation semi/anti joins — recursively, to any
-        depth — then its VALUES join and BINDs, all before the outer
-        semi/anti join).  SERVICE / subqueries inside stay loud seams,
-        as does a group FILTER referencing a group BIND target
-        (filters apply at assembly, before the bind — Spark raises an
-        unresolved column)."""
+        then its own subquery and SERVICE-snapshot joins, then its
+        negation semi/anti joins — recursively, to any depth — then
+        its VALUES join and BINDs, all before the outer semi/anti
+        join).  GRAPH ?var inside stays a loud seam, as does a group
+        FILTER referencing a group BIND target (filters apply at
+        assembly, before the bind — Spark raises an unresolved
+        column)."""
         sub = ParsedQuery(form="negation")
         self._parse_group(sub)
-        if sub.services or sub.graph_vars:
+        if sub.graph_vars:
             raise NotImplementedError(
                 f"only triple patterns, FILTER, OPTIONAL, UNION, "
-                f"VALUES, BIND, subqueries and nested EXISTS/MINUS "
-                f"are supported inside {kw} {{...}}"
+                f"VALUES, BIND, SERVICE, subqueries and nested "
+                f"EXISTS/MINUS are supported inside {kw} {{...}} — "
+                f"not GRAPH ?var"
             )
-        if not (sub.patterns or sub.unions or sub.subqueries):
+        if not (
+            sub.patterns or sub.unions or sub.subqueries or sub.services
+        ):
             raise ValueError(f"{kw} group is empty")
         return sub
 
@@ -2347,18 +2352,26 @@ def _group_bindings(
     participate in the outer join's shared-column set and negation
     nests to any depth (each level is its own semi/anti join, same
     order as the top level)."""
-    if g.patterns or g.unions or not g.subqueries:
+    if g.patterns or g.unions or not (g.subqueries or g.services):
         sub = _bindings(
             triples, g, allow_cartesian, base_triples, services
         )
     else:
-        sub = None  # subquery-only group: start from the first
+        sub = None  # subquery/SERVICE-only group: start from the first
     if g.subqueries:
         sub = _apply_subqueries(
             sub, g,
             base_triples if base_triples is not None else triples,
             allow_cartesian, services,
         )
+    if g.services:
+        # SERVICE inside a sub-group (OPTIONAL / UNION branch /
+        # EXISTS / MINUS): the snapshot bindings join the group's own
+        # bindings here, BEFORE the group's negations/VALUES/BINDs,
+        # so the joined variables participate in the outer join's
+        # shared-column set (SPARQL 1.1 Federated Query evaluates the
+        # service pattern and joins within its group)
+        sub = _apply_services(sub, g, services, allow_cartesian)
     if g.exists_clauses or g.minus_clauses:
         sub = _apply_negations(
             triples, sub, g, allow_cartesian, base_triples, services
@@ -2478,9 +2491,9 @@ def _apply_solution_clauses(
 
 
 def _apply_services(
-    df: DataFrame,
+    df: DataFrame | None,
     q: ParsedQuery,
-    services: dict,
+    services: dict | None,
     allow_cartesian: bool,
 ) -> DataFrame:
     """Join each SERVICE group's bindings — evaluated against its
@@ -2492,8 +2505,17 @@ def _apply_services(
     evaluated against the SNAPSHOT's graph through the shared
     rewrite/closure machinery and _bindings assembler (federation
     evaluates the whole pattern remotely).  Uncorrelated groups need
-    allow_cartesian, same as every other cross-product seam."""
+    allow_cartesian, same as every other cross-product seam.  ``df``
+    may be None (a SERVICE-only sub-group, e.g. ``OPTIONAL { SERVICE
+    <e> {...} }``): the first service's bindings seed the frame."""
     for endpoint, group in q.services:
+        if services is None or endpoint not in services:
+            raise NotImplementedError(
+                f"SERVICE <{endpoint}> names no registered offline "
+                "snapshot; live federation needs a live endpoint — "
+                "register one (execute(services={iri: df}) / "
+                "hunter.register_service_snapshot)"
+            )
         snap = services[endpoint].select("subj", "pred", "obj")
         # rewrite a COPY so a reused parse tree never double-rewrites
         sq = ParsedQuery(form="service")
@@ -2522,6 +2544,9 @@ def _apply_services(
         seq_cols = [c for c in sub.columns if c.startswith("__seq")]
         if seq_cols:
             sub = sub.drop(*seq_cols)
+        if df is None:
+            df = sub
+            continue
         shared = [c for c in sub.columns if c in df.columns]
         if shared:
             df = df.join(sub, on=shared, how="inner")

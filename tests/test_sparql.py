@@ -1135,6 +1135,76 @@ def test_service_snapshot_ask_and_unregistered(spark, triples):
         ).collect()
 
 
+def test_service_inside_groups(spark):
+    # SERVICE blocks nest inside OPTIONAL / UNION branches / EXISTS /
+    # MINUS as of r5 — the snapshot bindings join within the group
+    # through _group_bindings, so the group's algebra (left join,
+    # union branch, semi/anti join) applies to federated bindings
+    rows = [
+        ("a", "http://e/knows", "b"),
+        ("a", "http://e/knows", "c"),
+        ("b", "http://e/knows", "c"),
+        ("a", "http://e/type", "Person"),
+        ("b", "http://e/type", "Person"),
+        ("d", "http://e/type", "Person"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    snap = spark.createDataFrame(
+        [("a", "http://x/home", "Paris"), ("b", "http://x/home", "Rome"),
+         ("e", "http://x/home", "Oslo")],
+        "subj string, pred string, obj string",
+    )
+    svc = {"http://svc/sparql": snap}
+    P = "PREFIX e: <http://e/>\nPREFIX x: <http://x/>\n"
+
+    def run(q):
+        return sorted(
+            map(tuple, sparql.execute(t, P + q, services=svc).collect()),
+            key=str,
+        )
+
+    # OPTIONAL { SERVICE {...} }: left rows without a snapshot match
+    # survive NULL-padded
+    assert run(
+        'SELECT ?s ?h WHERE { ?s e:type "Person" . '
+        "OPTIONAL { SERVICE <http://svc/sparql> { ?s x:home ?h } } }"
+    ) == [("a", "Paris"), ("b", "Rome"), ("d", None)]
+    # SERVICE as a whole UNION branch (bag semantics; 'e' enters from
+    # the snapshot alone)
+    assert run(
+        "SELECT ?s WHERE { { ?s e:knows ?o } UNION "
+        "{ SERVICE <http://svc/sparql> { ?s x:home ?h } } }"
+    ) == [("a",), ("a",), ("a",), ("b",), ("b",), ("e",)]
+    # EXISTS / NOT EXISTS / MINUS with a service-only group
+    assert run(
+        'SELECT ?s WHERE { ?s e:type "Person" . '
+        "FILTER EXISTS { SERVICE <http://svc/sparql> { ?s x:home ?h } } }"
+    ) == [("a",), ("b",)]
+    assert run(
+        'SELECT ?s WHERE { ?s e:type "Person" . FILTER NOT EXISTS '
+        "{ SERVICE <http://svc/sparql> { ?s x:home ?h } } }"
+    ) == [("d",)]
+    assert run(
+        'SELECT ?s WHERE { ?s e:type "Person" . '
+        "MINUS { SERVICE <http://svc/sparql> { ?s x:home ?h } } }"
+    ) == [("d",)]
+    # an unregistered endpoint nested inside a group still raises
+    # up-front (the endpoint collector recurses into sub-groups)
+    with pytest.raises(NotImplementedError, match="register"):
+        sparql.execute(
+            t,
+            P + 'SELECT ?s WHERE { ?s e:type "Person" . OPTIONAL '
+            "{ SERVICE <http://nope> { ?s x:home ?h } } }",
+            services=svc,
+        )
+    # GRAPH ?var inside a group remains a loud seam
+    with pytest.raises(NotImplementedError, match="GRAPH"):
+        sparql.parse(
+            'SELECT ?s WHERE { ?s <http://e/type> "Person" . OPTIONAL '
+            "{ GRAPH ?g { ?s <http://x/home> ?h } } }"
+        )
+
+
 def test_facade_register_service_snapshot(spark, tmp_path):
     import pytest as _pytest
 
