@@ -2092,6 +2092,72 @@ ORDER BY name
 """
 
 
+def _q_sparql_graph_var_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``GRAPH ?g`` wrappers nested inside sub-groups
+    (operators/sparql.py ``_inject_graph_binds`` recursion): inside
+    OPTIONAL the wrapper's variable NULL-pads like any optional var
+    (bound to the store URI only where the group matched), and inside
+    MINUS the wrapper collapses without disturbing the anti-join's
+    shared-variable set.  Graph is TPC-H nation→region as triples;
+    answers 'non-African nations, tagged with the graph URI iff
+    Asian'."""
+    from face_hunter_spark.operators.sparql import execute
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    base = (
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+            .alias("subj"),
+            F.lit("http://example.org/inRegion").alias("pred"),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string"))
+            .alias("obj"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+                .alias("subj"),
+                F.lit("http://example.org/name").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("R"), F.col("r_regionkey").cast("string"))
+                .alias("subj"),
+                F.lit("http://example.org/name").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?name (COALESCE(?g, "none") AS ?gtag) WHERE {
+          ?n ex:name ?name .
+          ?n ex:inRegion ?r .
+          OPTIONAL { GRAPH ?g { ?r ex:name "ASIA" } }
+          MINUS { GRAPH ?h { ?n ex:inRegion ?x . ?x ex:name "AFRICA" } }
+        }
+        ORDER BY ?name
+        """,
+        graph_uri="http://face-hunter.org/graph",
+    )
+
+
+ORACLE_SPARQL_GRAPH_VAR_GROUPS = """
+SELECT n_name AS name,
+       CASE WHEN r_name = 'ASIA'
+            THEN 'http://face-hunter.org/graph' ELSE 'none' END AS gtag
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE r_name <> 'AFRICA'
+ORDER BY name
+"""
+
+
 def _q_sparql_negset_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Negated property set with an inverse member (SPARQL 1.1 §9.1,
     operators/sparql.py): ``!(ex:next|^ex:label)`` is the union of
@@ -2874,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_composite": _q_sparql_path_composite,
         "sparql_negation_union": _q_sparql_negation_union,
         "sparql_graph_var": _q_sparql_graph_var,
+        "sparql_graph_var_groups": _q_sparql_graph_var_groups,
         "sparql_negset_inverse": _q_sparql_negset_inverse,
         "sparql_negset_closure": _q_sparql_negset_closure,
         "sparql_union_distributed": _q_sparql_union_distributed,
@@ -3067,6 +3134,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_path_composite": ORACLE_SPARQL_PATH_COMPOSITE,
         "sparql_negation_union": ORACLE_SPARQL_NEGATION_UNION,
         "sparql_graph_var": ORACLE_SPARQL_GRAPH_VAR,
+        "sparql_graph_var_groups": ORACLE_SPARQL_GRAPH_VAR_GROUPS,
         "sparql_negset_inverse": ORACLE_SPARQL_NEGSET_INVERSE,
         "sparql_negset_closure": ORACLE_SPARQL_NEGSET_CLOSURE,
         "sparql_union_distributed": ORACLE_SPARQL_UNION_DISTRIBUTED,

@@ -622,12 +622,6 @@ class _Parser:
                 self._next()
                 sub = ParsedQuery(form="optional")
                 self._parse_group(sub)
-                if sub.graph_vars:
-                    raise NotImplementedError(
-                        "GRAPH ?var inside OPTIONAL {...} "
-                        "is not in the supported subset — hoist it to "
-                        "the outer group"
-                    )
                 has_alt = any(
                     isinstance(p, tuple)
                     and p[0] in ("__alt__", "__altseq__")
@@ -642,6 +636,7 @@ class _Parser:
                     or sub.minus_clauses
                     or sub.subqueries
                     or sub.services
+                    or sub.graph_vars
                     or has_alt
                 ):
                     # a COMPLEX optional group (UNION / nested
@@ -854,16 +849,10 @@ class _Parser:
         every flattened tuple evaluates as one plain BGP."""
         sub = ParsedQuery(form="union-branch")
         self._parse_group(sub)
-        if sub.graph_vars:
-            raise NotImplementedError(
-                "GRAPH ?var inside a UNION branch "
-                "is not in the supported subset — hoist it to the "
-                "outer group"
-            )
         if (
             sub.binds or sub.values_clauses
             or sub.exists_clauses or sub.minus_clauses
-            or sub.subqueries or sub.services
+            or sub.subqueries or sub.services or sub.graph_vars
         ):
             # a branch carrying BIND/VALUES/EXISTS/MINUS/subqueries
             # is a COMPLEX branch: it evaluates as its own sub-group
@@ -956,19 +945,13 @@ class _Parser:
         then its own subquery and SERVICE-snapshot joins, then its
         negation semi/anti joins — recursively, to any depth — then
         its VALUES join and BINDs, all before the outer semi/anti
-        join).  GRAPH ?var inside stays a loud seam, as does a group
-        FILTER referencing a group BIND target (filters apply at
-        assembly, before the bind — Spark raises an unresolved
-        column)."""
+        join).  GRAPH ?var inside binds the store's single graph URI
+        like every other group (``_inject_graph_binds`` recurses).
+        One loud seam remains: a group FILTER referencing a group
+        BIND target (filters apply at assembly, before the bind —
+        Spark raises an unresolved column)."""
         sub = ParsedQuery(form="negation")
         self._parse_group(sub)
-        if sub.graph_vars:
-            raise NotImplementedError(
-                f"only triple patterns, FILTER, OPTIONAL, UNION, "
-                f"VALUES, BIND, SERVICE, subqueries and nested "
-                f"EXISTS/MINUS are supported inside {kw} {{...}} — "
-                f"not GRAPH ?var"
-            )
         if not (
             sub.patterns or sub.unions or sub.subqueries or sub.services
         ):
@@ -2599,11 +2582,45 @@ def _group_bound_vars(q: "ParsedQuery") -> set:
     return out
 
 
+def _iter_group_queries(q: "ParsedQuery"):
+    """Yield ``q`` and every nested ParsedQuery group reachable from
+    it — complex OPTIONAL groups, complex UNION branches (and the
+    complex optionals of plain tuple branches), EXISTS/MINUS groups,
+    and subqueries — recursively, in document order.  SERVICE groups
+    are NOT yielded: the parser forbids GRAPH ?var inside SERVICE
+    (the wrapper would name the REMOTE dataset's graphs, not the
+    store's single graph, so the single-graph collapse is wrong
+    there)."""
+    yield q
+    for g in q.optional:
+        if isinstance(g, ParsedQuery):
+            yield from _iter_group_queries(g)
+    for blk in q.unions:
+        for b in blk:
+            if b[0] == "__q__":
+                yield from _iter_group_queries(b[1])
+            else:
+                for g2 in b[1]:
+                    if isinstance(g2, ParsedQuery):
+                        yield from _iter_group_queries(g2)
+    for _positive, g in q.exists_clauses:
+        yield from _iter_group_queries(g)
+    for g in q.minus_clauses:
+        yield from _iter_group_queries(g)
+    for g in q.subqueries:
+        yield from _iter_group_queries(g)
+
+
 def _inject_graph_binds(q: "ParsedQuery", graph_uri: str | None) -> None:
-    """Turn each ``GRAPH ?g {...}`` wrapper variable (top-level and
-    per-subquery) into a BIND of the store's single graph URI — the
-    one graph the dataset's graph iteration can visit."""
-    targets = [t for t in [q] + list(q.subqueries) if t.graph_vars]
+    """Turn each ``GRAPH ?g {...}`` wrapper variable — top-level,
+    per-subquery, and inside any nested OPTIONAL / UNION-branch /
+    EXISTS / MINUS group — into a BIND of the store's single graph
+    URI within that group — the one graph the dataset's graph
+    iteration can visit.  The bind joins outward like any group
+    variable, so a graph var shared with an outer pattern column
+    joins on equality with the constant URI (the spec's semantics
+    when the dataset holds exactly one named graph)."""
+    targets = [t for t in _iter_group_queries(q) if t.graph_vars]
     if not targets:
         return
     if graph_uri is None:

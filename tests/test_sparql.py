@@ -1197,12 +1197,12 @@ def test_service_inside_groups(spark):
             "{ SERVICE <http://nope> { ?s x:home ?h } } }",
             services=svc,
         )
-    # GRAPH ?var inside a group remains a loud seam
-    with pytest.raises(NotImplementedError, match="GRAPH"):
-        sparql.parse(
-            'SELECT ?s WHERE { ?s <http://e/type> "Person" . OPTIONAL '
-            "{ GRAPH ?g { ?s <http://x/home> ?h } } }"
-        )
+    # GRAPH ?var inside a group parses (support lives in
+    # test_graph_variable_inside_groups)
+    sparql.parse(
+        'SELECT ?s WHERE { ?s <http://e/type> "Person" . OPTIONAL '
+        "{ GRAPH ?g { ?s <http://x/home> ?h } } }"
+    )
 
 
 def test_facade_register_service_snapshot(spark, tmp_path):
@@ -1907,11 +1907,67 @@ def test_graph_variable_binds_store_uri(triples):
             "SELECT ?v WHERE { GRAPH ?g { ?v dc:title ?g } }",
             graph_uri=G,
         )
-    # and inside restricted sub-groups the wrapper stays a loud seam
-    with pytest.raises(NotImplementedError, match="OPTIONAL"):
-        sparql.parse(
+    # sub-group wrappers bind too — see
+    # test_graph_variable_inside_groups for the full matrix
+
+
+def test_graph_variable_inside_groups(triples):
+    # GRAPH ?g inside OPTIONAL / UNION branches / EXISTS / MINUS:
+    # _inject_graph_binds recurses into every nested group, so the
+    # wrapper collapses and ?g binds the store URI within that
+    # group's own bindings — NULL-padded by OPTIONAL, unioned by
+    # UNION, and invisible (but join-shaping) inside negation
+    G = "http://face-hunter.org/graph"
+
+    def rows(q):
+        return sorted(
+            map(tuple, sparql.execute(triples, q, graph_uri=G).collect())
+        )
+
+    # OPTIONAL: matched scenes carry the URI, unmatched NULL-pad ?g
+    assert rows(
+        """SELECT DISTINCT ?s ?g WHERE {
+             ?s rdf:type video:Scene .
+             OPTIONAL { GRAPH ?g { ?s foaf:depicts ?e } }
+           }"""
+    ) == [("s1", G), ("s2", None), ("s3", G)]
+    # UNION: the wrapper forces the complex-branch path; ?g is NULL
+    # in the branch that never binds it
+    assert rows(
+        """SELECT DISTINCT ?v ?g WHERE {
+             { GRAPH ?g { ?v dc:title ?t } }
+             UNION
+             { ?v foaf:depicts ?e }
+           }"""
+    ) == [("s1", None), ("s3", None), ("v1", G), ("v2", G)]
+    # FILTER EXISTS / MINUS: the group's graph bind joins like any
+    # group variable (not shared here, so pure existence semantics)
+    assert rows(
+        """SELECT ?s WHERE {
+             ?s temporal:hasStartTime ?st .
+             FILTER EXISTS { GRAPH ?g { ?s foaf:depicts ?e } }
+           }"""
+    ) == [("s1",), ("s3",)]
+    assert rows(
+        """SELECT ?s WHERE {
+             ?s temporal:hasStartTime ?st .
+             MINUS { GRAPH ?g { ?s foaf:depicts ?e } }
+           }"""
+    ) == [("s2",)]
+    # an unconfigured store is loud even when the wrapper is nested
+    with pytest.raises(ValueError, match="graph_uri"):
+        sparql.execute(
+            triples,
             """SELECT ?v WHERE { ?v dc:title ?t .
-                 OPTIONAL { GRAPH ?g { ?v dc:identifier ?i } } }"""
+                 OPTIONAL { GRAPH ?g { ?v hunter:hasScene ?s } } }""",
+        )
+    # and the pattern-collision guard applies per nested group
+    with pytest.raises(NotImplementedError, match="single graph"):
+        sparql.execute(
+            triples,
+            """SELECT ?v WHERE { ?v dc:title ?t .
+                 MINUS { GRAPH ?g { ?v foaf:depicts ?g } } }""",
+            graph_uri=G,
         )
 
 
