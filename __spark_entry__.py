@@ -2158,6 +2158,81 @@ ORDER BY name
 """
 
 
+def _q_sparql_alt_in_union_branch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``p1|p2`` alternative paths INSIDE a UNION branch
+    (operators/sparql.py): the branch promotes to a complex sub-group
+    at parse time and the alternative rewrites into the sub-group's
+    OWN union list, so the branch's other patterns join each
+    alternative before the outer bag-semantics union.  Graph is TPC-H
+    nation→region as triples; answers 'each Asian nation's region id
+    AND name edges, plus African nation names'."""
+    from face_hunter_spark.operators.sparql import execute
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    base = (
+        nation.select(
+            F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+            .alias("subj"),
+            F.lit("http://example.org/inRegion").alias("pred"),
+            F.concat(F.lit("R"), F.col("n_regionkey").cast("string"))
+            .alias("obj"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+                .alias("subj"),
+                F.lit("http://example.org/name").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("R"), F.col("r_regionkey").cast("string"))
+                .alias("subj"),
+                F.lit("http://example.org/name").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?x ?y WHERE {
+          { ?x ex:inRegion|ex:name ?y .
+            ?x ex:inRegion ?r . ?r ex:name "ASIA" }
+          UNION
+          { ?x ex:name ?y .
+            ?x ex:inRegion ?r2 . ?r2 ex:name "AFRICA" }
+        }
+        ORDER BY ?x ?y
+        """,
+    )
+
+
+ORACLE_SPARQL_ALT_IN_UNION_BRANCH = """
+WITH asia AS (
+  SELECT n_nationkey AS k, n_name, n_regionkey
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+SELECT x, y FROM (
+  SELECT 'N' || CAST(k AS VARCHAR) AS x,
+         'R' || CAST(n_regionkey AS VARCHAR) AS y FROM asia
+  UNION ALL
+  SELECT 'N' || CAST(k AS VARCHAR), n_name FROM asia
+  UNION ALL
+  SELECT 'N' || CAST(n_nationkey AS VARCHAR), n_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'AFRICA'
+) t
+ORDER BY x, y
+"""
+
+
 def _q_sparql_negset_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Negated property set with an inverse member (SPARQL 1.1 §9.1,
     operators/sparql.py): ``!(ex:next|^ex:label)`` is the union of
@@ -2941,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_negation_union": _q_sparql_negation_union,
         "sparql_graph_var": _q_sparql_graph_var,
         "sparql_graph_var_groups": _q_sparql_graph_var_groups,
+        "sparql_alt_in_union_branch": _q_sparql_alt_in_union_branch,
         "sparql_negset_inverse": _q_sparql_negset_inverse,
         "sparql_negset_closure": _q_sparql_negset_closure,
         "sparql_union_distributed": _q_sparql_union_distributed,
@@ -3135,6 +3211,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_negation_union": ORACLE_SPARQL_NEGATION_UNION,
         "sparql_graph_var": ORACLE_SPARQL_GRAPH_VAR,
         "sparql_graph_var_groups": ORACLE_SPARQL_GRAPH_VAR_GROUPS,
+        "sparql_alt_in_union_branch": ORACLE_SPARQL_ALT_IN_UNION_BRANCH,
         "sparql_negset_inverse": ORACLE_SPARQL_NEGSET_INVERSE,
         "sparql_negset_closure": ORACLE_SPARQL_NEGSET_CLOSURE,
         "sparql_union_distributed": ORACLE_SPARQL_UNION_DISTRIBUTED,

@@ -849,10 +849,15 @@ class _Parser:
         every flattened tuple evaluates as one plain BGP."""
         sub = ParsedQuery(form="union-branch")
         self._parse_group(sub)
+        has_alt = any(
+            isinstance(p, tuple) and p[0] in ("__alt__", "__altseq__")
+            for _s, p, _o in sub.patterns
+        )
         if (
             sub.binds or sub.values_clauses
             or sub.exists_clauses or sub.minus_clauses
             or sub.subqueries or sub.services or sub.graph_vars
+            or has_alt
         ):
             # a branch carrying BIND/VALUES/EXISTS/MINUS/subqueries
             # is a COMPLEX branch: it evaluates as its own sub-group
@@ -1734,8 +1739,12 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
       inside its branch), evaluated by the existing distributive
       machinery; supported in the required top-level patterns and in
       the required patterns of EXISTS/MINUS groups (the block lands
-      in the GROUP's own union list) — inside OPTIONAL or an existing
-      UNION branch the branch algebra would differ, so those raise;
+      in the GROUP's own union list).  OPTIONAL groups and UNION
+      branches whose patterns carry an alternative are promoted to
+      COMPLEX sub-groups at parse time, so the alt rewrites into the
+      sub-group's own union list there; the ``allow_alt=False``
+      raise below is a defensive backstop for plain pattern lists,
+      which should no longer carry alts;
     * ``!(...)`` — a fresh hidden predicate variable plus a
       ``NOT IN`` filter appended to the enclosing group's filter list
       (required group, OPTIONAL group, UNION branch, or a negation

@@ -735,6 +735,32 @@ def test_property_path_inverse_sequence_alternative(spark):
         "OPTIONAL { ?x <a>|<http://e/inNation> ?z } }",
     ).collect()))
     assert got9 == [("c1", "n1"), ("c2", "n2")]
+    # alternatives INSIDE a UNION branch: the branch promotes to a
+    # complex sub-group at parse time and the alt rewrites into the
+    # sub-group's own union list (bag semantics per branch)
+    got10 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?x ?y WHERE { "
+        "{ ?x <http://e/inNation>|<http://e/border> ?y } "
+        "UNION { ?x <http://e/inRegion> ?y } }",
+    ).collect()))
+    assert got10 == [
+        ("c1", "n1"), ("c2", "n2"), ("n1", "n2"),
+        ("n1", "r1"), ("n2", "r1"),
+    ]
+    # an alt branch that also JOINS a required pattern joins within
+    # the sub-group before the union
+    got11 = sorted(map(tuple, sparql.execute(
+        tri,
+        "SELECT ?x ?r WHERE { "
+        "{ ?x <http://e/inNation>|<http://e/border> ?n . "
+        "?n <http://e/inRegion> ?r } "
+        "UNION { ?x <http://e/inRegion> ?r } }",
+    ).collect()))
+    assert got11 == [
+        ("c1", "r1"), ("c2", "r1"), ("n1", "r1"),
+        ("n1", "r1"), ("n2", "r1"),
+    ]
 
 
 def test_property_path_star_anchored(spark):
