@@ -1217,6 +1217,93 @@ ORDER BY subj, pred, obj
 """
 
 
+def _q_sparql_update_full_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Modify-form UPDATE whose WHERE clause uses the read path's
+    FULL group surface (operators/sparql_update.py: the WHERE routes
+    through the same ``_group_bindings`` assembler as read
+    sub-groups): VALUES restricts the nations, MINUS excludes
+    customers carrying a 'high' account edge, and BIND computes the
+    inserted object.  The oracle replays the anti-join/union algebra
+    in DuckDB over the identical base graph."""
+    from face_hunter_spark.operators.sparql_update import updated_graph
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("http://example.org/inNation").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+        .unionByName(
+            customer.where(F.col("c_acctbal") > 5000.0).select(
+                F.col("c_name").alias("subj"),
+                F.lit("http://example.org/acct").alias("pred"),
+                F.lit("high").alias("obj"),
+            )
+        )
+    )
+    out = updated_graph(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        DELETE { ?c ex:inNation ?n }
+        INSERT { ?c ex:memberOf ?t }
+        WHERE {
+          ?c ex:inNation ?n .
+          VALUES ?n { "JAPAN" "INDIA" }
+          MINUS { ?c ex:acct "high" }
+          BIND(CONCAT("N:", ?n) AS ?t)
+        }
+        """,
+    )
+    return out.orderBy("subj", "pred", "obj")
+
+
+ORACLE_SPARQL_UPDATE_FULL_WHERE = """
+WITH base AS (
+  SELECT c_name AS subj, 'http://example.org/inNation' AS pred,
+         n_name AS obj
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT c_name, 'http://example.org/acct', 'high'
+  FROM customer WHERE c_acctbal > 5000.0
+),
+sel AS (
+  SELECT c_name, n_name
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE n_name IN ('JAPAN', 'INDIA') AND c_acctbal <= 5000.0
+),
+dels AS (
+  SELECT DISTINCT c_name AS subj,
+         'http://example.org/inNation' AS pred, n_name AS obj
+  FROM sel
+),
+ins AS (
+  SELECT DISTINCT c_name AS subj,
+         'http://example.org/memberOf' AS pred, 'N:' || n_name AS obj
+  FROM sel
+),
+after_del AS (
+  SELECT b.subj, b.pred, b.obj FROM base b
+  ANTI JOIN dels d
+    ON b.subj = d.subj AND b.pred = d.pred AND b.obj = d.obj
+),
+novel AS (
+  SELECT i.subj, i.pred, i.obj FROM ins i
+  ANTI JOIN after_del a
+    ON i.subj = a.subj AND i.pred = a.pred AND i.obj = a.obj
+)
+SELECT subj, pred, obj FROM after_del
+UNION ALL
+SELECT subj, pred, obj FROM novel
+ORDER BY subj, pred, obj
+"""
+
+
 def _q_sparql_service_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Federated-query analogue (operators/sparql.py SERVICE snapshot
     evaluation — the offline form of the reference's live DBpedia/
@@ -3017,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_graph_var": _q_sparql_graph_var,
         "sparql_graph_var_groups": _q_sparql_graph_var_groups,
         "sparql_alt_in_union_branch": _q_sparql_alt_in_union_branch,
+        "sparql_update_full_where": _q_sparql_update_full_where,
         "sparql_negset_inverse": _q_sparql_negset_inverse,
         "sparql_negset_closure": _q_sparql_negset_closure,
         "sparql_union_distributed": _q_sparql_union_distributed,
@@ -3212,6 +3300,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_graph_var": ORACLE_SPARQL_GRAPH_VAR,
         "sparql_graph_var_groups": ORACLE_SPARQL_GRAPH_VAR_GROUPS,
         "sparql_alt_in_union_branch": ORACLE_SPARQL_ALT_IN_UNION_BRANCH,
+        "sparql_update_full_where": ORACLE_SPARQL_UPDATE_FULL_WHERE,
         "sparql_negset_inverse": ORACLE_SPARQL_NEGSET_INVERSE,
         "sparql_negset_closure": ORACLE_SPARQL_NEGSET_CLOSURE,
         "sparql_union_distributed": ORACLE_SPARQL_UNION_DISTRIBUTED,

@@ -413,6 +413,7 @@ class SparkHunter:
         report = execute_update(
             self.spark, self.catalog, "triples", text, run_id=run_id,
             graph_uri=self.graph_uri,
+            services=self._services or None,
         )
         if self.catalog.exists("triples"):
             self._refresh_views()

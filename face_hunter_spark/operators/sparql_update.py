@@ -205,20 +205,18 @@ class _UpdateParser(_Parser):
         return tq.patterns
 
     def _parse_where_group(self) -> ParsedQuery:
+        """The modify-form WHERE clause takes the read path's full
+        group surface — patterns, FILTER, OPTIONAL, UNION, property
+        paths, FILTER [NOT] EXISTS / MINUS, VALUES, BIND, SERVICE
+        snapshots, ``{ SELECT ... }`` subqueries, and GRAPH wrappers —
+        evaluated by the same ``_group_bindings`` assembler the read
+        queries use (SPARQL 1.1 §3.1.3: the WHERE clause is evaluated
+        exactly like a query's)."""
         sub = ParsedQuery(form="update-where")
         self._parse_group(sub)
-        if (
-            sub.exists_clauses or sub.minus_clauses
-            or sub.values_clauses or sub.binds
-            or sub.services or sub.subqueries or sub.graph_vars
+        if not (
+            sub.patterns or sub.unions or sub.subqueries or sub.services
         ):
-            raise NotImplementedError(
-                "EXISTS/MINUS/VALUES/BIND/SERVICE/subquery/"
-                "GRAPH-variable in an update WHERE clause is not in "
-                "the supported subset — SELECT the bindings first and "
-                "issue DATA forms"
-            )
-        if not sub.patterns and not sub.unions:
             raise ValueError("update WHERE group has no triple patterns")
         return sub
 
@@ -332,6 +330,10 @@ def _expand_where_paths(base: DataFrame, u: ParsedUpdate) -> DataFrame:
             for brs in w.unions
             for b in brs
         )
+        # negation groups and subqueries may carry paths arbitrarily
+        # deep; the read path's rewrite recurses into them, so run it
+        # whenever they are present (a no-op plan pass when pathless)
+        or w.exists_clauses or w.minus_clauses or w.subqueries
     ):
         return base
     from .sparql import _expand_paths, _rewrite_path_ops
@@ -358,18 +360,25 @@ def _where_optional(base: DataFrame, w: ParsedQuery,
 
 
 def _construct_where(base: DataFrame, w: ParsedQuery, template: list,
-                     allow_cartesian: bool) -> DataFrame:
+                     allow_cartesian: bool,
+                     services: dict | None = None) -> DataFrame:
     """Instantiate a modify-form template against the WHERE group's
     bindings.  A plain group (patterns + OPTIONAL + FILTER) takes the
-    single-BGP bgp.construct plan; a group with UNION blocks (written
-    UNION or spawned by '|' alternative paths) assembles its bindings
-    through the read path's variant machinery and materializes with
-    the same single-explode template plan."""
-    if w.unions:
-        from .sparql import _bindings
+    single-BGP bgp.construct plan; a group carrying UNION blocks
+    (written UNION or spawned by '|' alternative paths), negation
+    ([NOT] EXISTS / MINUS), VALUES, BIND, SERVICE snapshots, or
+    subqueries assembles its bindings through the read path's
+    ``_group_bindings`` (the same assembler read sub-groups use) and
+    materializes with the same single-explode template plan."""
+    if (
+        w.unions or w.exists_clauses or w.minus_clauses
+        or w.values_clauses or w.binds or w.services or w.subqueries
+    ):
+        from .sparql import _group_bindings
 
         return bgp.construct_from_bindings(
-            _bindings(base, w, allow_cartesian), template
+            _group_bindings(base, w, allow_cartesian, services=services),
+            template,
         )
     return bgp.construct(
         base,
@@ -383,27 +392,29 @@ def _construct_where(base: DataFrame, w: ParsedQuery, template: list,
 
 
 def _delete_set(base: DataFrame, u: ParsedUpdate,
-                allow_cartesian: bool) -> DataFrame | None:
+                allow_cartesian: bool,
+                services: dict | None = None) -> DataFrame | None:
     """The (subj, pred, obj) set this update deletes, computed against
     the ORIGINAL graph, or None if the form deletes nothing."""
     if u.form == "delete_data":
         return _ground_df(base.sparkSession, u.data)
     if u.form in ("delete_where", "modify") and u.delete_template:
         return _construct_where(
-            base, u.where, u.delete_template, allow_cartesian
+            base, u.where, u.delete_template, allow_cartesian, services
         )
     return None
 
 
 def _insert_set(base: DataFrame, u: ParsedUpdate,
-                allow_cartesian: bool) -> DataFrame | None:
+                allow_cartesian: bool,
+                services: dict | None = None) -> DataFrame | None:
     """The (subj, pred, obj) set this update inserts (pre-dedup vs the
     post-delete state), or None."""
     if u.form == "insert_data":
         return _ground_df(base.sparkSession, u.data)
     if u.form == "modify" and u.insert_template:
         return _construct_where(
-            base, u.where, u.insert_template, allow_cartesian
+            base, u.where, u.insert_template, allow_cartesian, services
         )
     return None
 
@@ -436,6 +447,7 @@ def updated_graph(
     update: str | ParsedUpdate,
     allow_cartesian: bool = False,
     graph_uri: str | None = None,
+    services: dict | None = None,
 ) -> DataFrame:
     """Pure state transition: the (subj, pred, obj) graph after
     applying ``update`` — (G \\ D) ∪ I with D and I both instantiated
@@ -451,9 +463,13 @@ def updated_graph(
         return base.limit(0)
     if u.form == "clear_named":
         return base
+    if u.where is not None:
+        from .sparql import _inject_graph_binds
+
+        _inject_graph_binds(u.where, graph_uri)
     match_base = _expand_where_paths(base, u)
-    dels = _delete_set(match_base, u, allow_cartesian)
-    ins = _insert_set(match_base, u, allow_cartesian)
+    dels = _delete_set(match_base, u, allow_cartesian, services)
+    ins = _insert_set(match_base, u, allow_cartesian, services)
     out = base
     if dels is not None:
         out = out.join(
@@ -503,6 +519,7 @@ def execute_update(
     run_id: str | None = None,
     allow_cartesian: bool = False,
     graph_uri: str | None = None,
+    services: dict | None = None,
 ) -> dict:
     """Parse + apply a SPARQL Update against a catalog-backed triple
     table and commit the result.  Returns
@@ -565,11 +582,15 @@ def execute_update(
     # Instantiate BOTH sets against the ORIGINAL state first (SPARQL
     # 1.1 §3.1.3), and cut their lineage when a delete follows: the
     # copy-on-write overwrite EXPIRES the files these lazy plans read.
+    if u.where is not None:
+        from .sparql import _inject_graph_binds
+
+        _inject_graph_binds(u.where, graph_uri)
     match_base = (
         _expand_where_paths(base, u) if base is not None else None
     )
     dels = (
-        _delete_set(match_base, u, allow_cartesian)
+        _delete_set(match_base, u, allow_cartesian, services)
         if base is not None
         else None
     )
@@ -584,6 +605,7 @@ def execute_update(
         else _ground_df(spark, u.data).limit(0),
         u,
         allow_cartesian,
+        services,
     )
     if ins is not None:
         ins = ins.select("subj", "pred", "obj").distinct()

@@ -1859,12 +1859,14 @@ def test_review_fixes_precedence_ask_and_gates(triples, spark):
     assert q2.unions[0][0][0] == "__q__"
     from face_hunter_spark.operators.sparql_update import parse_update
 
-    with pytest.raises(NotImplementedError, match="subquery"):
-        parse_update(
-            """DELETE { ?s <http://e/p> ?o }
-               WHERE { ?s <http://e/p> ?o .
-                 { SELECT ?s WHERE { ?s <http://e/q> "keep" } } }"""
-        )
+    # subqueries in an update WHERE clause parse now (the full read
+    # surface — see test_sparql_update.test_update_where_full_read_surface)
+    pu = parse_update(
+        """DELETE { ?s <http://e/p> ?o }
+           WHERE { ?s <http://e/p> ?o .
+             { SELECT ?s WHERE { ?s <http://e/q> "keep" } } }"""
+    )
+    assert pu.where.subqueries
 
 
 def test_graph_wrapper_collapses(triples):

@@ -660,3 +660,85 @@ def test_update_where_property_paths(spark):
             out4.pred == "http://e/tag").collect()
     )
     assert tagged == [("a", "b"), ("a", "x"), ("b", "c"), ("c", "y")]
+
+
+def test_update_where_full_read_surface(spark):
+    # the modify-form WHERE clause takes the read path's full group
+    # surface (negation, VALUES, BIND, subqueries, SERVICE snapshots,
+    # GRAPH ?var) — evaluated by the same _group_bindings assembler
+    # the read queries use, then instantiated through the one-explode
+    # template plan
+    t = _graph(spark, [
+        ("a", "http://x/p", "b"),
+        ("b", "http://x/p", "c"),
+        ("a", "http://x/tag", "old"),
+        ("b", "http://x/tag", "old"),
+        ("c", "http://x/q", "z"),
+    ])
+    P = "PREFIX x: <http://x/>\n"
+
+    # MINUS: retag only subjects WITHOUT a p-edge into a q-source
+    out = updated_graph(t, P + '''DELETE { ?s x:tag "old" }
+        INSERT { ?s x:tag "new" }
+        WHERE { ?s x:tag "old" . MINUS { ?s x:p ?o . ?o x:q ?z } }''')
+    assert ("a", "http://x/tag", "new") in _spo(out)
+    assert ("b", "http://x/tag", "old") in _spo(out)
+    assert ("b", "http://x/tag", "new") not in _spo(out)
+
+    # FILTER EXISTS: only subjects whose p-target has a q-edge
+    out = updated_graph(t, P + '''INSERT { ?s x:hasq "yes" }
+        WHERE { ?s x:p ?o . FILTER EXISTS { ?o x:q ?z } }''')
+    assert ("b", "http://x/hasq", "yes") in _spo(out)
+    assert ("a", "http://x/hasq", "yes") not in _spo(out)
+
+    # VALUES restricts the delete to the listed subjects
+    out = updated_graph(t, P + '''DELETE { ?s x:tag "old" }
+        WHERE { ?s x:tag "old" . VALUES ?s { "a" } }''')
+    assert ("a", "http://x/tag", "old") not in _spo(out)
+    assert ("b", "http://x/tag", "old") in _spo(out)
+
+    # BIND computes the inserted object
+    out = updated_graph(t, P + '''INSERT { ?s x:len ?n }
+        WHERE { ?s x:tag "old" . BIND(STRLEN(str(?s)) AS ?n) }''')
+    assert ("a", "http://x/len", "1") in _spo(out)
+
+    # aggregating subquery feeds the template
+    out = updated_graph(t, P + '''INSERT { ?s x:deg ?n }
+        WHERE { { SELECT ?s (COUNT(?o) AS ?n)
+                  WHERE { ?s x:p ?o } GROUP BY ?s } }''')
+    assert ("a", "http://x/deg", "1") in _spo(out)
+    assert ("b", "http://x/deg", "1") in _spo(out)
+
+    # GRAPH ?g binds the store URI into the template
+    out = updated_graph(
+        t,
+        P + "INSERT { ?s x:ing ?g } WHERE { GRAPH ?g { ?s x:q ?z } }",
+        graph_uri="http://g/1",
+    )
+    assert ("c", "http://x/ing", "http://g/1") in _spo(out)
+    # ... and raises without a configured store URI
+    with pytest.raises(ValueError, match="graph_uri"):
+        updated_graph(
+            t,
+            P + "INSERT { ?s x:ing ?g } WHERE { GRAPH ?g { ?s x:q ?z } }",
+        )
+
+    # SERVICE snapshot joins into the WHERE bindings
+    svc = _graph(spark, [("a", "http://y/home", "H1")])
+    out = updated_graph(
+        t,
+        P + '''INSERT { ?s x:home ?h }
+        WHERE { ?s x:tag "old" .
+                SERVICE <http://svc> { ?s <http://y/home> ?h } }''',
+        services={"http://svc": svc},
+    )
+    assert ("a", "http://x/home", "H1") in _spo(out)
+    assert not any(p == "http://x/home" and s == "b"
+                   for s, p, _ in _spo(out))
+    # unregistered endpoints stay loud
+    with pytest.raises(NotImplementedError, match="register"):
+        updated_graph(
+            t,
+            P + '''INSERT { ?s x:home ?h }
+            WHERE { SERVICE <http://nope> { ?s <http://y/home> ?h } }''',
+        )
