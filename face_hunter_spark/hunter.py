@@ -403,8 +403,12 @@ class SparkHunter:
         strings, virtuoso_store.py:29-52).  INSERT DATA / DELETE DATA /
         DELETE WHERE / DELETE{...}INSERT{...}WHERE{...} — inserts
         append one snapshot set-semantically, deletes rewrite the
-        table copy-on-write.  Returns the
-        ``{"form", "inserted", "deleted", "snapshot"}`` report.
+        table copy-on-write.  A multi-operation (';'-separated)
+        request — the shape the reference batches by concatenation —
+        executes in document order, one snapshot per operation.
+        Returns the ``{"form", "inserted", "deleted", "snapshot"}``
+        report (aggregated, with an ``operations`` list, for
+        requests).
         Raises before any link() commit when the update needs existing
         state; a first INSERT DATA bootstraps the table
         (execute_update owns both paths)."""

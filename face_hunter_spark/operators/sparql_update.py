@@ -61,6 +61,7 @@ from .triples import with_partitioning
 
 __all__ = [
     "parse_update",
+    "parse_update_request",
     "ParsedUpdate",
     "updated_graph",
     "execute_update",
@@ -94,6 +95,29 @@ class _UpdateParser(_Parser):
     def _number_term(self, text):
         dt = _XSD + ("decimal" if "." in text else "integer")
         return Lit(text, dt, None)
+
+    def parse_update_request(self) -> list["ParsedUpdate"]:
+        """A full SPARQL 1.1 update REQUEST: one or more operations
+        separated by ';' (grammar rule Update ::= Prologue (Update1
+        (';' Update)?)?), each operation optionally extending the
+        PREFIX prologue.  A trailing ';' is legal.  Operations apply
+        in document order, each against the state the previous one
+        left (§3.1: a request is a sequence)."""
+        ops = [self.parse_update()]
+        while True:
+            t = self._peek()
+            if t is None:
+                return ops
+            if t.kind == "OP" and t.text == ";":
+                self._next()
+                if self._peek() is None:
+                    return ops  # trailing ';'
+                ops.append(self.parse_update())
+                continue
+            raise ValueError(
+                f"trailing content after update at offset {t.pos}: "
+                f"{t.text!r}"
+            )
 
     def parse_update(self) -> ParsedUpdate:
         self._parse_prologue()
@@ -181,16 +205,10 @@ class _UpdateParser(_Parser):
         )
 
     def _done(self) -> None:
+        # end of ONE operation: EOF or a ';' separator (consumed by
+        # parse_update_request) are both fine; anything else is noise
         t = self._peek()
-        if t is not None:
-            if t.kind == "OP" and t.text == ";":
-                raise NotImplementedError(
-                    "multi-operation update requests (';'-separated) "
-                    "are not in the supported subset — issue them one "
-                    "at a time (the reference batches by string "
-                    "concatenation before ONE commit, which maps to "
-                    "one call per operation here)"
-                )
+        if t is not None and not (t.kind == "OP" and t.text == ";"):
             raise ValueError(
                 f"trailing content after update at offset {t.pos}: "
                 f"{t.text!r}"
@@ -275,8 +293,24 @@ def _check_template(patterns, what: str, allow_vars: bool) -> None:
 
 
 def parse_update(text: str) -> ParsedUpdate:
-    """Parse a SPARQL Update string without executing it."""
-    return _UpdateParser(text).parse_update()
+    """Parse a single-operation SPARQL Update string without executing
+    it.  A multi-operation (';'-separated) request raises — use
+    :func:`parse_update_request` (or the executing callers, which
+    accept either form)."""
+    ops = _UpdateParser(text).parse_update_request()
+    if len(ops) != 1:
+        raise ValueError(
+            f"update request holds {len(ops)} operations — "
+            "parse_update is the single-operation form; use "
+            "parse_update_request"
+        )
+    return ops[0]
+
+
+def parse_update_request(text: str) -> list[ParsedUpdate]:
+    """Parse a full SPARQL Update request — one or more ';'-separated
+    operations, applied in document order — without executing it."""
+    return _UpdateParser(text).parse_update_request()
 
 
 def _ground_df(spark: SparkSession, triples: list) -> DataFrame:
@@ -454,10 +488,29 @@ def updated_graph(
     against the original G (SPARQL 1.1 update semantics).  Leaves the
     input bag untouched apart from the deletions; insertions are added
     set-semantically (only triples not already present survive), so a
-    set input stays a set.  No catalog side effects — the committing
-    form is :func:`execute_update`."""
-    u = parse_update(update) if isinstance(update, str) else update
-    base = triples.select("subj", "pred", "obj")
+    set input stays a set.  A multi-operation (';'-separated) request
+    folds: each operation applies against the state the previous one
+    left (§3.1).  No catalog side effects — the committing form is
+    :func:`execute_update`."""
+    ops = (
+        parse_update_request(update)
+        if isinstance(update, str)
+        else [update]
+    )
+    out = triples.select("subj", "pred", "obj")
+    for u in ops:
+        out = _apply_op(out, u, allow_cartesian, graph_uri, services)
+    return out
+
+
+def _apply_op(
+    base: DataFrame,
+    u: ParsedUpdate,
+    allow_cartesian: bool,
+    graph_uri: str | None,
+    services: dict | None,
+) -> DataFrame:
+    """One operation's (G \\ D) ∪ I transition over spo columns."""
     if u.form == "clear":
         _check_clear_graph(u, graph_uri)
         return base.limit(0)
@@ -545,9 +598,54 @@ def execute_update(
 
     A missing table bootstraps from ``INSERT DATA`` (the other forms
     need existing state and raise FileNotFoundError).
+
+    A multi-operation (';'-separated) request — the shape the
+    reference assembles by string concatenation before one POST
+    (virtuoso_store.py:29-52) — executes its operations in document
+    order, each against the state the previous one left (SPARQL 1.1
+    §3.1); each operation commits its own snapshot (catalog time
+    travel keeps the per-operation lineage inspectable) and the
+    report aggregates: ``{"form": "request", "operations": [...],
+    "inserted": sum, "deleted": sum, "snapshot": last}``.
     """
-    u = parse_update(text)
+    ops = parse_update_request(text)
     run_id = run_id or "sparql-update-" + uuid.uuid4().hex[:8]
+    if len(ops) > 1:
+        reports = [
+            _execute_one(
+                spark, catalog, table, u, f"{run_id}-op{i}",
+                allow_cartesian, graph_uri, services,
+            )
+            for i, u in enumerate(ops)
+        ]
+        return {
+            "form": "request",
+            "operations": [r["form"] for r in reports],
+            "inserted": sum(r["inserted"] for r in reports),
+            "deleted": sum(r["deleted"] for r in reports),
+            "snapshot": next(
+                (r["snapshot"] for r in reversed(reports)
+                 if r["snapshot"]),
+                None,
+            ),
+        }
+    return _execute_one(
+        spark, catalog, table, ops[0], run_id,
+        allow_cartesian, graph_uri, services,
+    )
+
+
+def _execute_one(
+    spark: SparkSession,
+    catalog,
+    table: str,
+    u: ParsedUpdate,
+    run_id: str,
+    allow_cartesian: bool,
+    graph_uri: str | None,
+    services: dict | None,
+) -> dict:
+    """Parse-free single-operation execution (see execute_update)."""
     report = {"form": u.form, "inserted": 0, "deleted": 0,
               "snapshot": None}
 

@@ -73,11 +73,19 @@ def test_parse_prefixes_semicolon_blocks_and_numbers():
 def test_parse_rejects_variables_in_data_and_multi_op():
     with pytest.raises(ValueError, match="ground"):
         parse_update("INSERT DATA { ?s <http://e/p> <http://e/o> . }")
-    with pytest.raises(NotImplementedError, match="multi-operation"):
+    # the single-operation form stays strict — multi-op requests go
+    # through parse_update_request (or the executing callers)
+    with pytest.raises(ValueError, match="2 operations"):
         parse_update(
             "INSERT DATA { <http://e/s> <http://e/p> <http://e/o> } ; "
             "INSERT DATA { <http://e/a> <http://e/p> <http://e/b> }"
         )
+    ops = U.parse_update_request(
+        "INSERT DATA { <http://e/s> <http://e/p> <http://e/o> } ; "
+        "PREFIX ex: <http://e/> "
+        "DELETE WHERE { ?s ex:p ?o } ;"
+    )
+    assert [u.form for u in ops] == ["insert_data", "delete_where"]
     with pytest.raises(ValueError):
         parse_update("SELECT ?s WHERE { ?s ?p ?o }")
 
@@ -742,3 +750,35 @@ def test_update_where_full_read_surface(spark):
             P + '''INSERT { ?s x:home ?h }
             WHERE { SERVICE <http://nope> { ?s <http://y/home> ?h } }''',
         )
+
+
+def test_multi_operation_update_request(spark, tmp_path):
+    # a ';'-separated request — the shape the reference assembles by
+    # string concatenation before one POST (virtuoso_store.py:29-52) —
+    # applies its operations in document order, each against the
+    # state the previous one left (SPARQL 1.1 §3.1)
+    t = _graph(spark, [("a", "http://x/p", "b")])
+    P = "PREFIX x: <http://x/>\n"
+    # pure fold: op 2's WHERE must see op 1's insert
+    out = _spo(updated_graph(t, P + '''
+        INSERT DATA { <c> x:p "d" } ;
+        DELETE { ?s x:p ?o } INSERT { ?s x:q ?o }
+        WHERE { ?s x:p ?o . FILTER(?s = "c") } ;
+    '''))
+    assert out == {("a", "http://x/p", "b"), ("c", "http://x/q", "d")}
+
+    # committing path: one snapshot per operation, aggregated report
+    from face_hunter_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    rep = execute_update(
+        spark, cat, "triples",
+        P + 'INSERT DATA { <a> x:p "1" . <b> x:p "2" } ; '
+        'DELETE { ?s x:p "1" } INSERT { ?s x:p "one" } '
+        'WHERE { ?s x:p "1" }',
+    )
+    assert rep["form"] == "request"
+    assert rep["operations"] == ["insert_data", "modify"]
+    assert rep["inserted"] == 3 and rep["deleted"] == 1
+    got = _spo(cat.read(spark, "triples"))
+    assert got == {("a", "http://x/p", "one"), ("b", "http://x/p", "2")}
