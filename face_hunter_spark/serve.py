@@ -7,7 +7,7 @@ reference exposes:
 |-----------------------------------|-------------------------------|
 | GET /api/youtube/<id>  (:74-78)   | GET /api/youtube/<id> — scenes of a LINKED video (404 if absent) |
 | GET /api/entity/<e>    (:100-109) | GET /api/entity/<e> — scenes depicting a label or URI |
-| POST /api/query        (:81-97)   | POST /api/query {"where": fragment} (token-allowlisted) or {"filters": [{column, op, value}]} (predicate built server-side); {"sql": raw graph-pattern SQL} only when serve(allow_raw_sql=True) |
+| POST /api/query        (:81-97)   | POST /api/query {"sparql": full SPARQL text} (the reference's get_videos_by_sparql form — parsed, never spliced; ASK returns {"ask": bool}); {"where": fragment} (token-allowlisted) or {"filters": [{column, op, value}]} (predicate built server-side); {"sql": raw graph-pattern SQL} only when serve(allow_raw_sql=True) |
 
 Deliberate shape change, documented: the reference's /api/youtube
 fires a fire-and-forget linking THREAD per request
@@ -161,6 +161,30 @@ def make_handler(hunter, attributes=None, allow_raw_sql: bool = False):
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if self.path != "/api/query":
                     self._send(404, {"success": False, "error": "no route"})
+                    return
+                if "sparql" in req:
+                    # full SPARQL text (the reference's POST body key
+                    # 'query', api.py:81-97): parsed by the engine's
+                    # front-end — a read-only language surface, no
+                    # splicing, so no injection gate needed; the
+                    # parser rejects UPDATE forms and allow_cartesian
+                    # stays False (cross-product queries 400)
+                    try:
+                        res = hunter.sparql(req["sparql"])
+                    except (ValueError, NotImplementedError) as exc:
+                        self._send(400, {"success": False,
+                                         "error": str(exc)})
+                        return
+                    if isinstance(res, bool):
+                        self._send(200, {"success": True, "ask": res})
+                        return
+                    if res is None:
+                        self._send(404, {"success": False,
+                                         "error": "no triples "
+                                                  "committed yet"})
+                        return
+                    self._send(200, {"success": True,
+                                     "rows": _rows(res)})
                     return
                 if "sql" in req:
                     if not allow_raw_sql:

@@ -156,3 +156,37 @@ def test_locked_server_posture(api):
     code, body = _post(f"{lbase}/api/query",
                        {"where": "entity LIKE '%Entity_001'"})
     assert code == 200 and body["rows"]
+
+
+def test_query_sparql_text(api):
+    # the reference's POST /api/query body carries a full SPARQL query
+    # string (api.py:81-97 get_videos_by_sparql); here the engine's
+    # text front-end parses it — a language surface, never spliced —
+    # and ASK strings return {"ask": bool}
+    base, lbase, _ = api
+    q = ("PREFIX fh: <http://face-hunter.org/ontology/> "
+         "SELECT DISTINCT ?v WHERE { ?v fh:hasScene ?s } "
+         "ORDER BY ?v LIMIT 5")
+    code, body = _post(f"{base}/api/query", {"sparql": q})
+    assert code == 200 and len(body["rows"]) == 5
+    assert set(body["rows"][0]) == {"v"}
+    # available on the locked server too: parsed, not spliced, so it
+    # needs no raw-sql opt-in
+    code, body = _post(f"{lbase}/api/query", {"sparql": q})
+    assert code == 200 and len(body["rows"]) == 5
+    # ASK form
+    code, body = _post(
+        f"{lbase}/api/query",
+        {"sparql": "PREFIX fh: <http://face-hunter.org/ontology/> "
+                   "ASK { ?v fh:hasScene ?s }"},
+    )
+    assert code == 200 and body["ask"] is True
+    # parse errors and loud seams surface as 400, not 500
+    code, body = _post(f"{lbase}/api/query", {"sparql": "SELECT WHERE"})
+    assert code == 400 and not body["success"]
+    code, body = _post(
+        f"{lbase}/api/query",
+        {"sparql": "SELECT ?s WHERE { SERVICE <http://nope> "
+                   "{ ?s ?p ?o } }"},
+    )
+    assert code == 400
