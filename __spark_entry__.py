@@ -1829,6 +1829,96 @@ ORDER BY r
 """
 
 
+def _q_sparql_having_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over a raw aggregate call (operators/sparql.py
+    _having_aggregate): the spec's canonical ``HAVING (COUNT(?c) > k)``
+    form — the aggregate computes as a hidden column alongside the
+    SELECT list and drops after the filter.  The WHERE clause also
+    carries a single-quoted string literal (SPARQL 1.1 permits all
+    four string forms; the tokenizer canonicalizes them)."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?n (MIN(?c) AS ?first_cust)
+        WHERE { ?c ex:inNation ?n FILTER(?n != 'JAPAN') }
+        GROUP BY ?n
+        HAVING (COUNT(?c) > 55)
+        ORDER BY ?n
+        """,
+    )
+
+
+ORACLE_SPARQL_HAVING = """
+SELECT n_name AS n, MIN(c_name) AS first_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name <> 'JAPAN'
+GROUP BY n_name
+HAVING COUNT(c_name) > 55
+ORDER BY n
+"""
+
+
+def _q_sparql_construct_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT WHERE { BGP } short form (SPARQL 1.1 §10.2.3,
+    operators/sparql.py _parse_construct): the two-pattern WHERE
+    doubles as the template; output is the set-deduplicated union of
+    both instantiations."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    base = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    ).unionByName(
+        nation.join(
+            region, F.col("n_regionkey") == F.col("r_regionkey")
+        ).select(
+            F.col("n_name").alias("subj"),
+            F.lit("http://example.org/inRegion").alias("pred"),
+            F.col("r_name").alias("obj"),
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        CONSTRUCT WHERE { ?c ex:inNation ?n . ?n ex:inRegion ?r }
+        """,
+    )
+
+
+ORACLE_SPARQL_CONSTRUCT_WHERE = """
+WITH b AS (
+  SELECT c_name AS c, n_name AS n, r_name AS r
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT c AS subj, 'http://example.org/inNation' AS pred, n AS obj FROM b
+  UNION ALL
+  SELECT n, 'http://example.org/inRegion', r FROM b
+)
+"""
+
+
 def _q_sparql_expr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL aggregates over full expressions (operators/sparql.py):
     SUM(?p * month(?d)) — an aggregate whose argument composes
@@ -3124,6 +3214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "sparql_subquery_union_branches": _q_sparql_subquery_union_branches,
         "sparql_service_in_groups": _q_sparql_service_in_groups,
+        "sparql_having_agg": _q_sparql_having_agg,
+        "sparql_construct_where": _q_sparql_construct_where,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -3318,6 +3410,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_subquery_optional_negation": ORACLE_SPARQL_SUBQ_OPT_NEG,
         "sparql_subquery_union_branches": ORACLE_SPARQL_SUBQ_UNION,
         "sparql_service_in_groups": ORACLE_SPARQL_SERVICE_GROUPS,
+        "sparql_having_agg": ORACLE_SPARQL_HAVING,
+        "sparql_construct_where": ORACLE_SPARQL_CONSTRUCT_WHERE,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

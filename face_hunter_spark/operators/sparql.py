@@ -186,7 +186,10 @@ _TOKEN_RE = re.compile(
       (?P<WS>\s+)
     | (?P<COMMENT>\#[^\n]*)
     | (?P<IRI><[^<>\s{}|^`\\]*>)
-    | (?P<STRING>"(?:[^"\\]|\\.)*")
+    | (?P<STRING>"{3}(?:[^"\\]|\\.|"(?!"{2}))*"{3}
+        |'{3}(?:[^'\\]|\\.|'(?!'{2}))*'{3}
+        |"(?:[^"\\]|\\.)*"
+        |'(?:[^'\\]|\\.)*')
     | (?P<LANGTAG>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<DTSEP>\^\^)
     | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
@@ -240,9 +243,45 @@ def _tokenize(text: str) -> list[_Tok]:
             )
         kind = m.lastgroup
         if kind not in ("WS", "COMMENT"):
-            toks.append(_Tok(kind, m.group(), i))
+            txt = m.group()
+            if kind == "STRING" and not (
+                txt.startswith('"') and not txt.startswith('"""')
+            ):
+                txt = _canonical_string(txt)
+            toks.append(_Tok(kind, txt, i))
         i = m.end()
     return toks
+
+
+def _canonical_string(txt: str) -> str:
+    """Rewrite any SPARQL string form ('...', '''...''', \"\"\"...\"\"\")
+    to the canonical short double-quoted form every consumer slices
+    with ``text[1:-1]``.  Only the QUOTE escaping is adjusted — other
+    escape sequences (\\n, \\t, ...) pass through verbatim so the
+    downstream ``_unescape`` sites keep their exact behavior; bare
+    newlines inside long forms stay as literal characters."""
+    if txt[:3] in ('"""', "'''"):
+        inner, q = txt[3:-3], txt[0]
+    else:
+        inner, q = txt[1:-1], txt[0]
+    out, i = [], 0
+    while i < len(inner):
+        c = inner[i]
+        if c == "\\" and i + 1 < len(inner):
+            nxt = inner[i + 1]
+            if nxt == "'":
+                out.append("'")  # \' only needs escaping in '-forms
+            else:
+                out.append(c)
+                out.append(nxt)
+            i += 2
+        elif c == '"':
+            out.append('\\"')  # bare " is legal in '- and long forms
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return '"' + "".join(out) + '"'
 
 
 @dataclass
@@ -461,6 +500,11 @@ class _Parser:
         self._parse_group(q)
         self._parse_modifiers(q)
         if q.aggregates:
+            if q.select is None:
+                raise ValueError(
+                    "SELECT * cannot combine with aggregation — name "
+                    "the group keys and aggregates explicitly"
+                )
             computed = {a[3] for a in q.aggregates} | {
                 a for _, a in q.select_exprs
             }
@@ -541,6 +585,27 @@ class _Parser:
     def _parse_construct(self) -> ParsedQuery:
         self._next()  # CONSTRUCT
         q = ParsedQuery(form="construct")
+        if self._at_kw("where"):
+            # CONSTRUCT WHERE { BGP } short form (SPARQL 1.1 §10.2.3):
+            # the pattern doubles as the template, so only plain triple
+            # patterns are allowed — no FILTER/OPTIONAL/paths
+            self._next()
+            self._parse_group(q)
+            if (
+                q.optional or q.filters or q.unions or q.minus_clauses
+                or q.exists_clauses or q.values_clauses or q.binds
+                or q.services or q.subqueries
+                or any(
+                    isinstance(x, tuple) for tpl in q.patterns for x in tpl
+                )
+            ):
+                raise ValueError(
+                    "CONSTRUCT WHERE {...} allows only plain triple "
+                    "patterns — use the explicit template form for "
+                    "anything else"
+                )
+            q.template = [list(p) for p in q.patterns]
+            return q
         tq = ParsedQuery(form="template")
         self._parse_group(tq, template_mode=True)
         for tpl in tq.patterns:
@@ -564,10 +629,17 @@ class _Parser:
                 raise ValueError("GROUP BY needs at least one ?var")
         if self._at_kw("having"):
             self._next()
-            while self._at_op("("):
-                self._next()
-                q.having.append(self._filter_expr())
-                self._expect_op(")")
+            # aggregate calls inside the HAVING expression (the spec's
+            # usual form: HAVING (COUNT(?s) > 1)) resolve through
+            # _function -> _having_aggregate while this sink is set
+            self._agg_sink = q
+            try:
+                while self._at_op("("):
+                    self._next()
+                    q.having.append(self._filter_expr())
+                    self._expect_op(")")
+            finally:
+                self._agg_sink = None
             if not q.having:
                 raise ValueError("HAVING needs (expr)")
         if self._at_kw("order"):
@@ -1414,9 +1486,39 @@ class _Parser:
             f"FILTER syntax error at offset {t.pos}: unexpected {t.text!r}"
         )
 
+    _agg_sink = None  # ParsedQuery while parsing HAVING expressions
+
+    def _having_aggregate(self, func: str) -> str:
+        """Aggregate call in expression position (inside HAVING):
+        reuse a matching SELECT-list aggregate's alias, else register
+        a hidden one computed alongside and dropped after the HAVING
+        filters run."""
+        q = self._agg_sink
+        distinct = False
+        if self._at_kw("distinct"):
+            self._next()
+            distinct = True
+        arg = None
+        if self._at_op("*"):
+            if func != "count":
+                raise ValueError(f"{func.upper()}(*) is not valid SPARQL")
+            self._next()
+        else:
+            arg = self._value_expr()
+        extra = " " if func == "group_concat" else None
+        self._expect_op(")")
+        for f2, a2, d2, alias, e2 in q.aggregates:
+            if (f2, a2, d2, e2) == (func, arg, distinct, extra):
+                return f"`{alias}`"
+        alias = f"__having_{len(q.aggregates)}"
+        q.aggregates.append((func, arg, distinct, alias, extra))
+        return f"`{alias}`"
+
     def _function(self, t: _Tok) -> str:
         name = t.text.lower()
         self._expect_op("(")
+        if name in self._AGG_FUNCS and self._agg_sink is not None:
+            return self._having_aggregate(name)
         if name == "str":
             # lexical-form cast = identity over our representation
             arg = self._operand()
@@ -2956,6 +3058,9 @@ def _finish_select(
         )
         for h in q.having:
             df = df.where(F.expr(h))
+        hidden = [c for c in df.columns if c.startswith("__having_")]
+        if hidden:
+            df = df.drop(*hidden)
     for sql, alias in q.select_exprs:
         # non-aggregate SELECT expressions extend at projection scope
         # (after aggregation, so group keys and aggregate aliases are

@@ -2310,3 +2310,84 @@ def test_select_and_orderby_expressions(spark):
         sparql.execute(
             t, P + 'SELECT ?n (STR(?n) AS ?n) WHERE { ?s e:name ?n }'
         ).collect()
+
+
+def test_string_literal_forms(spark):
+    """SPARQL 1.1 grammar: all four string forms ('x', "x", '''x''',
+    \"\"\"x\"\"\") tokenize to the same literal; quote chars inside the
+    other form need no escaping; \\' unescapes in '-forms."""
+    t = spark.createDataFrame(
+        [("a", "p", "Alice"), ("b", "p", 'say "hi"'), ("c", "p", "it's")],
+        "subj string, pred string, obj string",
+    )
+    q = "SELECT ?s WHERE { ?s <p> ?o FILTER(?o = %s) }"
+    for lit in ('"Alice"', "'Alice'", '"""Alice"""', "'''Alice'''"):
+        got = [r.s for r in sparql.execute(t, q % lit).collect()]
+        assert got == ["a"], lit
+    # bare double quote inside a single-quoted form
+    got = [r.s for r in sparql.execute(t, q % "'say \"hi\"'").collect()]
+    assert got == ["b"]
+    # \' escape in a single-quoted form
+    got = [r.s for r in sparql.execute(t, q % r"'it\'s'").collect()]
+    assert got == ["c"]
+    # long form spanning a newline
+    t2 = spark.createDataFrame(
+        [("d", "p", "line1\nline2")], "subj string, pred string, obj string"
+    )
+    got = [r.s for r in sparql.execute(
+        t2, 'SELECT ?s WHERE { ?s <p> """line1\nline2""" }'
+    ).collect()]
+    assert got == ["d"]
+
+
+def test_having_aggregate_expression(spark):
+    """HAVING over an aggregate call (the spec's canonical form, not an
+    alias): hidden aggregates compute alongside and drop afterwards."""
+    t = spark.createDataFrame(
+        [("v1", "h", "s1"), ("v1", "h", "s2"), ("v2", "h", "s3")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, "SELECT ?v WHERE { ?v <h> ?s } GROUP BY ?v "
+           "HAVING (COUNT(?s) > 1)"
+    )
+    assert out.columns == ["v"]  # the hidden __having_ column dropped
+    assert [r.v for r in out.collect()] == ["v1"]
+    # reuses a SELECT-list aggregate instead of recomputing
+    out2 = sparql.execute(
+        t, "SELECT ?v (COUNT(?s) AS ?n) WHERE { ?v <h> ?s } GROUP BY ?v "
+           "HAVING (COUNT(?s) > 1)"
+    ).collect()
+    assert [(r.v, r.n) for r in out2] == [("v1", 2)]
+    # two HAVING conditions, mixed aggregate functions
+    out3 = sparql.execute(
+        t, "SELECT ?v WHERE { ?v <h> ?s } GROUP BY ?v "
+           "HAVING (COUNT(?s) >= 1) (MIN(?s) = 's1')"
+    ).collect()
+    assert [r.v for r in out3] == ["v1"]
+    # SELECT * with aggregation is rejected loudly
+    with pytest.raises(ValueError, match="SELECT \\*"):
+        sparql.execute(
+            t, "SELECT * WHERE { ?v <h> ?s } GROUP BY ?v "
+               "HAVING (COUNT(?s) > 0)"
+        )
+
+
+def test_construct_where_short_form(triples):
+    """CONSTRUCT WHERE { BGP } (SPARQL 1.1 §10.2.3): the pattern doubles
+    as the template; non-BGP constructs are rejected loudly."""
+    text = (
+        "PREFIX hunter: <http://face-hunter.org/ontology/> "
+        "CONSTRUCT WHERE { ?v hunter:hasScene ?s }"
+    )
+    got = sorted(tuple(r) for r in sparql.execute(triples, text).collect())
+    assert got == [
+        ("v1", P_SCENE, "s1"),
+        ("v1", P_SCENE, "s2"),
+        ("v2", P_SCENE, "s3"),
+    ]
+    with pytest.raises(ValueError, match="plain triple patterns"):
+        sparql.execute(
+            triples,
+            "CONSTRUCT WHERE { ?v <p> ?s FILTER(?s != 'x') }",
+        )
