@@ -782,3 +782,22 @@ def test_multi_operation_update_request(spark, tmp_path):
     assert rep["inserted"] == 3 and rep["deleted"] == 1
     got = _spo(cat.read(spark, "triples"))
     assert got == {("a", "http://x/p", "one"), ("b", "http://x/p", "2")}
+
+
+def test_insert_data_alternate_string_forms(spark):
+    """The shared tokenizer's string canonicalization flows through the
+    UPDATE path: '-quoted and long-form literals insert the same lexical
+    forms as the double-quoted house style."""
+    g = _graph(spark, [("keep", "p", "row")])
+    out = updated_graph(
+        g,
+        "INSERT DATA { <http://x/a> <http://x/p> 'single quoted' . "
+        "<http://x/b> <http://x/p> '''it's long''' . "
+        '<http://x/c> <http://x/p> """say "hi" there""" }',
+    )
+    assert _spo(out) == {
+        ("keep", "p", "row"),
+        ("http://x/a", "http://x/p", "single quoted"),
+        ("http://x/b", "http://x/p", "it's long"),
+        ("http://x/c", "http://x/p", 'say "hi" there'),
+    }
