@@ -646,6 +646,10 @@ class _Parser:
             self._next()
             self._expect_kw("by")
             saw = False
+            # aggregate calls in sort keys (ORDER BY DESC(COUNT(?s)))
+            # resolve like HAVING's: hidden aggregates ride along and
+            # drop after the sort (see the execute() tail)
+            self._agg_sink = q
             while True:
                 asc = True
                 t = self._peek()
@@ -674,6 +678,7 @@ class _Parser:
                     saw = True
                 else:
                     break
+            self._agg_sink = None
             if not saw:
                 raise ValueError("ORDER BY needs at least one ?var")
         for kw in ("limit", "offset"):
@@ -3058,9 +3063,28 @@ def _finish_select(
         )
         for h in q.having:
             df = df.where(F.expr(h))
-        hidden = [c for c in df.columns if c.startswith("__having_")]
-        if hidden:
-            df = df.drop(*hidden)
+        # hidden HAVING/ORDER-BY aggregates: drop the ones no sort key
+        # references now; the rest survive projection and drop after
+        # the orderBy below
+        order_sql = " ".join(e for e, _ in q.order_by)
+        hidden_kept = [
+            c for c in df.columns
+            if c.startswith("__having_") and f"`{c}`" in order_sql
+        ]
+        drop_now = [
+            c for c in df.columns
+            if c.startswith("__having_") and c not in hidden_kept
+        ]
+        if drop_now:
+            df = df.drop(*drop_now)
+        if hidden_kept and q.distinct:
+            raise NotImplementedError(
+                "DISTINCT with an aggregate ORDER BY key is not in the "
+                "supported subset — alias the aggregate in the SELECT "
+                "list and sort by the alias"
+            )
+    else:
+        hidden_kept = []
     for sql, alias in q.select_exprs:
         # non-aggregate SELECT expressions extend at projection scope
         # (after aggregation, so group keys and aggregate aliases are
@@ -3072,7 +3096,7 @@ def _finish_select(
         missing = [v for v in q.select if v not in df.columns]
         if missing:
             raise ValueError(f"select names unbound variables: {missing}")
-        df = df.select(*q.select)
+        df = df.select(*q.select, *hidden_kept)
     if q.distinct:
         df = df.distinct()
     if q.order_by:
@@ -3093,6 +3117,8 @@ def _finish_select(
                 for e, asc in q.order_by
             ]
         )
+        if hidden_kept:
+            df = df.drop(*hidden_kept)
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:

@@ -2391,3 +2391,32 @@ def test_construct_where_short_form(triples):
             triples,
             "CONSTRUCT WHERE { ?v <p> ?s FILTER(?s != 'x') }",
         )
+
+
+def test_order_by_aggregate_expression(spark):
+    """ORDER BY DESC(COUNT(?s)) — aggregate calls as sort keys resolve
+    through the same hidden-aggregate mechanism as HAVING; the hidden
+    column survives projection and drops after the sort."""
+    t = spark.createDataFrame(
+        [("v1", "h", "s1"), ("v1", "h", "s2"), ("v2", "h", "s3"),
+         ("v3", "h", "s4"), ("v3", "h", "s5"), ("v3", "h", "s6")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, "SELECT ?v WHERE { ?v <h> ?s } GROUP BY ?v "
+           "ORDER BY DESC(COUNT(?s)) ?v"
+    )
+    assert out.columns == ["v"]
+    assert [r.v for r in out.collect()] == ["v3", "v1", "v2"]
+    # combined with HAVING, and reusing a SELECT-list aggregate
+    out2 = sparql.execute(
+        t, "SELECT ?v (COUNT(?s) AS ?n) WHERE { ?v <h> ?s } GROUP BY ?v "
+           "HAVING (COUNT(?s) > 1) ORDER BY DESC(COUNT(?s))"
+    ).collect()
+    assert [(r.v, r.n) for r in out2] == [("v3", 3), ("v1", 2)]
+    # DISTINCT + hidden aggregate sort key is a loud seam
+    with pytest.raises(NotImplementedError, match="DISTINCT"):
+        sparql.execute(
+            t, "SELECT DISTINCT ?v WHERE { ?v <h> ?s } GROUP BY ?v "
+               "ORDER BY DESC(COUNT(?s))"
+        )
