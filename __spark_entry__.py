@@ -1870,6 +1870,46 @@ ORDER BY n
 """
 
 
+def _q_sparql_order_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate calls as ORDER BY sort keys (operators/sparql.py):
+    ``ORDER BY DESC(COUNT(?c)) ?n`` with LIMIT — the hidden aggregate
+    survives projection for the sort and drops after, so the result
+    schema is just (n, first_cust); LIMIT makes the sort semantics
+    material to the row set (top-5 nations by customer count,
+    name-tie-broken)."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?n (MIN(?c) AS ?first_cust)
+        WHERE { ?c ex:inNation ?n }
+        GROUP BY ?n
+        ORDER BY DESC(COUNT(?c)) ?n
+        LIMIT 5
+        """,
+    )
+
+
+ORACLE_SPARQL_ORDER_AGG = """
+SELECT n_name AS n, MIN(c_name) AS first_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY COUNT(c_name) DESC, n
+LIMIT 5
+"""
+
+
 def _q_sparql_construct_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT WHERE { BGP } short form (SPARQL 1.1 §10.2.3,
     operators/sparql.py _parse_construct): the two-pattern WHERE
@@ -3216,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_service_in_groups": _q_sparql_service_in_groups,
         "sparql_having_agg": _q_sparql_having_agg,
         "sparql_construct_where": _q_sparql_construct_where,
+        "sparql_order_agg": _q_sparql_order_agg,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -3412,6 +3453,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_service_in_groups": ORACLE_SPARQL_SERVICE_GROUPS,
         "sparql_having_agg": ORACLE_SPARQL_HAVING,
         "sparql_construct_where": ORACLE_SPARQL_CONSTRUCT_WHERE,
+        "sparql_order_agg": ORACLE_SPARQL_ORDER_AGG,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
