@@ -1633,6 +1633,26 @@ class _Parser:
                 f"substring({a}, instr({a}, {b}) + length({b})) "
                 f"ELSE '' END)"
             )
+        if name == "encode_for_uri":
+            # RFC 3986 percent-encoding (spec §17.4.2.8): Spark's
+            # url_encode is form-encoding; patch its three deviations
+            # (space→'+', '~'→%7E, '*' left bare) — none of the three
+            # replacement patterns can arise from any other input byte
+            a = self._value_expr()
+            self._expect_op(")")
+            return (
+                f"replace(replace(replace(url_encode({a}), "
+                f"'+', '%20'), '%7E', '~'), '*', '%2A')"
+            )
+        if name == "sameterm":
+            # all-lexical triple model: term identity == lexical
+            # equality (unbound args yield NULL → effective false,
+            # the spec's type-error rule)
+            a = self._operand()
+            self._expect_op(",")
+            b = self._operand()
+            self._expect_op(")")
+            return f"({a} = {b})"
         if name in ("md5", "sha1", "sha256", "sha512"):
             a = self._value_expr()
             self._expect_op(")")
@@ -1666,7 +1686,8 @@ class _Parser:
             "(STR, BOUND, REGEX, CONTAINS, STRSTARTS, STRENDS, UCASE, "
             "LCASE, STRLEN, SUBSTR, REPLACE, CONCAT, COALESCE, "
             "STRBEFORE, STRAFTER, IF, ABS, CEIL, FLOOR, ROUND, MD5, SHA1, "
-            "SHA256, SHA512, YEAR, MONTH, DAY, HOURS, MINUTES, SECONDS)"
+            "SHA256, SHA512, YEAR, MONTH, DAY, HOURS, MINUTES, SECONDS, "
+            "ENCODE_FOR_URI, SAMETERM)"
         )
 
 

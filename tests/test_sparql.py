@@ -2420,3 +2420,34 @@ def test_order_by_aggregate_expression(spark):
             t, "SELECT DISTINCT ?v WHERE { ?v <h> ?s } GROUP BY ?v "
                "ORDER BY DESC(COUNT(?s))"
         )
+
+
+def test_encode_for_uri_and_sameterm(spark):
+    """ENCODE_FOR_URI follows RFC 3986 (space → %20, '~' bare,
+    '*' → %2A — the three places Spark's url_encode form-encoding
+    deviates); SAMETERM is lexical identity in the all-lexical model."""
+    import urllib.parse
+
+    vals = [
+        "a b/c~d*e'f",
+        "plain",
+        "schön+x",  # multibyte UTF-8 + literal '+'
+        "100% sure?",
+    ]
+    t = spark.createDataFrame(
+        [(f"s{i}", "p", v) for i, v in enumerate(vals)],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        r.s: r.e
+        for r in sparql.execute(
+            t, "SELECT ?s (ENCODE_FOR_URI(?o) AS ?e) "
+               "WHERE { ?s <p> ?o }"
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[f"s{i}"] == urllib.parse.quote(v, safe=""), v
+    same = [r.s for r in sparql.execute(
+        t, "SELECT ?s WHERE { ?s <p> ?o FILTER(SAMETERM(?o, 'plain')) }"
+    ).collect()]
+    assert same == ["s1"]
