@@ -312,6 +312,11 @@ class ParsedQuery:
     # BIND (expr AS ?v): (sql_expr, var) applied in document order
     # after all joins
     binds: list = field(default_factory=list)
+    # EXISTS {...} used in expression position (inside a BIND):
+    # (group ParsedQuery, hidden alias) — a left marker join computes
+    # the alias as a boolean before the binds apply, and it drops
+    # after (operators/sparql.py::_apply_solution_clauses)
+    exists_binds: list = field(default_factory=list)
     # SERVICE <endpoint> {...}: (endpoint_iri, group ParsedQuery —
     # patterns, FILTERs, OPTIONAL groups, UNION blocks) — evaluated
     # against a REGISTERED OFFLINE SNAPSHOT of that endpoint's triples
@@ -765,7 +770,13 @@ class _Parser:
             if not template_mode and self._at_kw("bind"):
                 self._next()
                 self._expect_op("(")
-                expr = self._filter_expr()
+                # EXISTS {...} in the expression resolves through
+                # _operand -> the marker-join list while this sink is set
+                self._exists_sink = q
+                try:
+                    expr = self._filter_expr()
+                finally:
+                    self._exists_sink = None
                 self._expect_kw("as")
                 v = self._next()
                 if v.kind != "VAR":
@@ -1485,6 +1496,18 @@ class _Parser:
                 t.text[1:-1] if t.kind == "IRI" else self._expand_pname(t)
             )
             return _sql_str(iri)
+        if (
+            t.kind == "NAME"
+            and t.text.lower() == "exists"
+            and self._exists_sink is not None
+            and self._at_op("{")
+        ):
+            # EXISTS {...} in expression position (inside BIND): the
+            # group joins as a hidden boolean marker; NOT is spelled !
+            sub = self._parse_negation_group("EXISTS")
+            alias = f"__exists_{len(self._exists_sink.exists_binds)}"
+            self._exists_sink.exists_binds.append((sub, alias))
+            return f"`{alias}`"
         if t.kind == "NAME":
             return self._function(t)
         raise ValueError(
@@ -1492,6 +1515,7 @@ class _Parser:
         )
 
     _agg_sink = None  # ParsedQuery while parsing HAVING expressions
+    _exists_sink = None  # ParsedQuery while parsing BIND expressions
 
     def _having_aggregate(self, func: str) -> str:
         """Aggregate call in expression position (inside HAVING):
@@ -2011,6 +2035,10 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
             (pos, rewrite_negation(g, f"EXISTS of {kw}"))
             for pos, g in sub.exists_clauses
         ]
+        sub.exists_binds = [
+            (rewrite_negation(g, f"EXISTS-expr of {kw}"), a)
+            for g, a in sub.exists_binds
+        ]
         sub.minus_clauses = [
             rewrite_negation(g, f"MINUS of {kw}")
             for g in sub.minus_clauses
@@ -2063,6 +2091,10 @@ def _rewrite_path_ops(q: ParsedQuery) -> ParsedQuery:
     q.exists_clauses = [
         (pos, rewrite_negation(sub, "FILTER EXISTS"))
         for pos, sub in q.exists_clauses
+    ]
+    q.exists_binds = [
+        (rewrite_negation(sub, "EXISTS expression"), a)
+        for sub, a in q.exists_binds
     ]
     q.minus_clauses = [
         rewrite_negation(sub, "MINUS") for sub in q.minus_clauses
@@ -2162,6 +2194,9 @@ def _expand_paths(
         sub.exists_clauses = [
             (pos, rewrite_group(g)) for pos, g in sub.exists_clauses
         ]
+        sub.exists_binds = [
+            (rewrite_group(g), a) for g, a in sub.exists_binds
+        ]
         sub.minus_clauses = [
             rewrite_group(g) for g in sub.minus_clauses
         ]
@@ -2189,6 +2224,9 @@ def _expand_paths(
 
     q.exists_clauses = [
         (pos, rewrite_negation(sub)) for pos, sub in q.exists_clauses
+    ]
+    q.exists_binds = [
+        (rewrite_negation(sub), a) for sub, a in q.exists_binds
     ]
     q.minus_clauses = [
         rewrite_negation(sub) for sub in q.minus_clauses
@@ -2510,10 +2548,15 @@ def _group_bindings(
             if shared
             else sub.crossJoin(vdf)
         )
+    sub = _apply_exists_binds(
+        triples, sub, g, allow_cartesian, base_triples, services
+    )
     for sql, var in g.binds:
         if var in sub.columns:
             raise ValueError(f"BIND would rebind ?{var}")
         sub = sub.withColumn(var, F.expr(sql).cast("string"))
+    if g.exists_binds:
+        sub = sub.drop(*[a for _, a in g.exists_binds])
     return sub
 
 
@@ -2603,10 +2646,56 @@ def _apply_solution_clauses(
             if shared
             else df.crossJoin(vdf)
         )
+    df = _apply_exists_binds(
+        triples, df, q, allow_cartesian, base_triples, services
+    )
     for sql, var in q.binds:
         if var in df.columns:
             raise ValueError(f"BIND would rebind ?{var}")
         df = df.withColumn(var, F.expr(sql).cast("string"))
+    if q.exists_binds:
+        df = df.drop(*[a for _, a in q.exists_binds])
+    return df
+
+
+def _apply_exists_binds(
+    triples: DataFrame,
+    df: DataFrame,
+    q: ParsedQuery,
+    allow_cartesian: bool,
+    base_triples: DataFrame | None = None,
+    services: dict | None = None,
+) -> DataFrame:
+    """EXISTS-expression markers (BIND(EXISTS {...} AS ?flag)): a left
+    marker join on the shared variables computes each hidden boolean
+    before the group's binds evaluate; a no-shared-var group is
+    constant over the outer rows (same LIMIT-1 broadcast trick as
+    FILTER EXISTS).  The caller drops the hidden aliases after its
+    binds loop."""
+    for sub, alias in q.exists_binds:
+        subdf = _group_bindings(
+            triples, sub, allow_cartesian, base_triples, services
+        )
+        shared = [c for c in subdf.columns if c in df.columns]
+        if shared:
+            marker = (
+                subdf.select(*shared)
+                .distinct()
+                .withColumn(alias, F.lit(True))
+            )
+            df = df.join(marker, on=shared, how="left")
+        else:
+            marker = F.broadcast(
+                subdf.limit(1).select(
+                    F.lit(1).alias("__ex__"), F.lit(True).alias(alias)
+                )
+            )
+            df = (
+                df.withColumn("__ex__", F.lit(1))
+                .join(marker, on="__ex__", how="left")
+                .drop("__ex__")
+            )
+        df = df.withColumn(alias, F.coalesce(F.col(alias), F.lit(False)))
     return df
 
 

@@ -2451,3 +2451,84 @@ def test_encode_for_uri_and_sameterm(spark):
         t, "SELECT ?s WHERE { ?s <p> ?o FILTER(SAMETERM(?o, 'plain')) }"
     ).collect()]
     assert same == ["s1"]
+
+
+def test_exists_in_bind_expression(spark):
+    """EXISTS {...} in expression position (inside BIND): a hidden
+    left marker join computes the boolean per solution; works negated
+    (via !), inside IF(), uncorrelated (constant), in sub-groups
+    (OPTIONAL / UNION branches evaluate it bottom-up with group
+    scoping), and through the UPDATE WHERE path."""
+    t = spark.createDataFrame(
+        [("v1", "h", "s1"), ("v1", "d", "Q1"), ("v2", "h", "s2"),
+         ("v3", "h", "s3"), ("v3", "d", "Q2")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, "SELECT ?v ?has WHERE { ?v <h> ?s "
+           "BIND(EXISTS { ?v <d> ?q } AS ?has) } ORDER BY ?v"
+    )
+    assert out.columns == ["v", "has"]  # hidden marker dropped
+    assert [(r.v, r.has) for r in out.collect()] == [
+        ("v1", "true"), ("v2", "false"), ("v3", "true")
+    ]
+    # negated via ! inside IF()
+    out2 = sparql.execute(
+        t, "SELECT ?v ?lab WHERE { ?v <h> ?s "
+           "BIND(IF(!EXISTS { ?v <d> ?q }, 'plain', 'linked') AS ?lab) } "
+           "ORDER BY ?v"
+    ).collect()
+    assert [(r.v, r.lab) for r in out2] == [
+        ("v1", "linked"), ("v2", "plain"), ("v3", "linked")
+    ]
+    # uncorrelated group: constant over the outer rows
+    out3 = sparql.execute(
+        t, "SELECT ?v ?any WHERE { ?v <h> ?s "
+           "BIND(EXISTS { ?x <d> 'NOPE' } AS ?any) } ORDER BY ?v"
+    ).collect()
+    assert all(r.any == "false" for r in out3)
+    # property path inside the group rides the rewrite machinery
+    t2 = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        "subj string, pred string, obj string",
+    )
+    out4 = sparql.execute(
+        t2, "SELECT ?s ?deep WHERE { ?s <p> ?o "
+            "BIND(EXISTS { ?s <p>/<p> ?z } AS ?deep) } ORDER BY ?s"
+    ).collect()
+    assert [(r.s, r.deep) for r in out4] == [("a", "true"), ("b", "false")]
+
+
+def test_exists_in_bind_inside_sub_groups(spark):
+    t = spark.createDataFrame(
+        [("v1", "h", "s1"), ("v1", "d", "Q1"), ("s1", "x", "y1"),
+         ("v2", "h", "s2")],
+        "subj string, pred string, obj string",
+    )
+    # OPTIONAL group: bottom-up evaluation — extension rows carry the
+    # group's bind, unmatched left rows NULL-pad
+    out = sparql.execute(
+        t, "SELECT ?v ?f WHERE { ?v <h> ?s OPTIONAL { ?s <x> ?y "
+           "BIND(EXISTS { ?w <d> ?q } AS ?f) } } ORDER BY ?v"
+    ).collect()
+    assert [(r.v, r.f) for r in out] == [("v1", "true"), ("v2", None)]
+    # UNION branch
+    out2 = sparql.execute(
+        t, "SELECT ?v ?f WHERE { { ?v <h> ?s "
+           "BIND(EXISTS { ?v <d> ?q } AS ?f) } UNION { ?v <d> ?z "
+           "BIND('x' AS ?f) } } ORDER BY ?v ?f"
+    ).collect()
+    assert [(r.v, r.f) for r in out2] == [
+        ("v1", "true"), ("v1", "x"), ("v2", "false")
+    ]
+    # modify-form UPDATE WHERE (shared _group_bindings assembler)
+    from face_hunter_spark.operators.sparql_update import updated_graph
+
+    out3 = updated_graph(
+        t, "INSERT { ?v <flag> ?f } WHERE { ?v <h> ?s "
+           "BIND(EXISTS { ?v <d> ?q } AS ?f) }"
+    )
+    flags = {
+        (r.subj, r.obj) for r in out3.collect() if r.pred == "flag"
+    }
+    assert flags == {("v1", "true"), ("v2", "false")}
