@@ -1870,6 +1870,56 @@ ORDER BY n
 """
 
 
+def _q_sparql_exists_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS in expression position (operators/sparql.py
+    _apply_exists_binds): BIND(EXISTS { ?c ex:placed ?o } AS ?active)
+    flags every customer by order activity through a hidden left
+    marker join — TPC-H guarantees a mixed true/false split (about a
+    third of customers have no orders)."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    ).unionByName(
+        orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).select(
+            F.col("c_name").alias("subj"),
+            F.lit("http://example.org/placed").alias("pred"),
+            F.col("o_orderkey").cast("string").alias("obj"),
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?active
+        WHERE {
+          ?c ex:inNation ?n
+          BIND(EXISTS { ?c ex:placed ?o } AS ?active)
+        }
+        ORDER BY ?c
+        """,
+    )
+
+
+ORACLE_SPARQL_EXISTS_BIND = """
+SELECT c_name AS c,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       ) THEN 'true' ELSE 'false' END AS active
+FROM customer
+ORDER BY c
+"""
+
+
 def _q_sparql_order_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate calls as ORDER BY sort keys (operators/sparql.py):
     ``ORDER BY DESC(COUNT(?c)) ?n`` with LIMIT — the hidden aggregate
@@ -3257,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_having_agg": _q_sparql_having_agg,
         "sparql_construct_where": _q_sparql_construct_where,
         "sparql_order_agg": _q_sparql_order_agg,
+        "sparql_exists_bind": _q_sparql_exists_bind,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -3454,6 +3505,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_having_agg": ORACLE_SPARQL_HAVING,
         "sparql_construct_where": ORACLE_SPARQL_CONSTRUCT_WHERE,
         "sparql_order_agg": ORACLE_SPARQL_ORDER_AGG,
+        "sparql_exists_bind": ORACLE_SPARQL_EXISTS_BIND,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
