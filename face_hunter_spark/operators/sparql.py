@@ -599,7 +599,7 @@ class _Parser:
             if (
                 q.optional or q.filters or q.unions or q.minus_clauses
                 or q.exists_clauses or q.values_clauses or q.binds
-                or q.services or q.subqueries
+                or q.services or q.subqueries or q.graph_vars
                 or any(
                     isinstance(x, tuple) for tpl in q.patterns for x in tpl
                 )
@@ -753,7 +753,18 @@ class _Parser:
                     )
                 else:
                     self._expect_op("(")
-                    q.filters.append(self._filter_expr())
+                    # a parenthesized FILTER expression is NOT an
+                    # EXISTS-expression scope: mask any enclosing BIND
+                    # sink so FILTER(EXISTS{...}) inside a BIND's
+                    # EXISTS group fails the parse cleanly instead of
+                    # registering on the wrong query (write the
+                    # special-cased FILTER EXISTS form instead)
+                    prev_sink = self._exists_sink
+                    self._exists_sink = None
+                    try:
+                        q.filters.append(self._filter_expr())
+                    finally:
+                        self._exists_sink = prev_sink
                     self._expect_op(")")
                 # a '.' after FILTER(...) is legal separator noise
                 if self._at_op("."):
@@ -771,12 +782,16 @@ class _Parser:
                 self._next()
                 self._expect_op("(")
                 # EXISTS {...} in the expression resolves through
-                # _operand -> the marker-join list while this sink is set
+                # _operand -> the marker-join list while this sink is
+                # set; SAVE/RESTORE (not clear) so a BIND inside the
+                # EXISTS group scopes to ITS group and the outer
+                # registration still lands after it closes
+                prev_sink = self._exists_sink
                 self._exists_sink = q
                 try:
                     expr = self._filter_expr()
                 finally:
-                    self._exists_sink = None
+                    self._exists_sink = prev_sink
                 self._expect_kw("as")
                 v = self._next()
                 if v.kind != "VAR":
@@ -1716,12 +1731,17 @@ class _Parser:
 
 
 def _unescape(s: str) -> str:
+    # the full SPARQL ECHAR set (\t \b \n \r \f \" \' \\); the \x00
+    # sentinel keeps escaped backslashes from re-triggering
     return (
         s.replace("\\\\", "\x00")
         .replace('\\"', '"')
+        .replace("\\'", "'")
         .replace("\\n", "\n")
         .replace("\\t", "\t")
         .replace("\\r", "\r")
+        .replace("\\b", "\b")
+        .replace("\\f", "\f")
         .replace("\x00", "\\")
     )
 
@@ -2548,15 +2568,9 @@ def _group_bindings(
             if shared
             else sub.crossJoin(vdf)
         )
-    sub = _apply_exists_binds(
+    sub = _apply_binds(
         triples, sub, g, allow_cartesian, base_triples, services
     )
-    for sql, var in g.binds:
-        if var in sub.columns:
-            raise ValueError(f"BIND would rebind ?{var}")
-        sub = sub.withColumn(var, F.expr(sql).cast("string"))
-    if g.exists_binds:
-        sub = sub.drop(*[a for _, a in g.exists_binds])
     return sub
 
 
@@ -2646,19 +2660,13 @@ def _apply_solution_clauses(
             if shared
             else df.crossJoin(vdf)
         )
-    df = _apply_exists_binds(
+    df = _apply_binds(
         triples, df, q, allow_cartesian, base_triples, services
     )
-    for sql, var in q.binds:
-        if var in df.columns:
-            raise ValueError(f"BIND would rebind ?{var}")
-        df = df.withColumn(var, F.expr(sql).cast("string"))
-    if q.exists_binds:
-        df = df.drop(*[a for _, a in q.exists_binds])
     return df
 
 
-def _apply_exists_binds(
+def _apply_binds(
     triples: DataFrame,
     df: DataFrame,
     q: ParsedQuery,
@@ -2666,36 +2674,54 @@ def _apply_exists_binds(
     base_triples: DataFrame | None = None,
     services: dict | None = None,
 ) -> DataFrame:
-    """EXISTS-expression markers (BIND(EXISTS {...} AS ?flag)): a left
-    marker join on the shared variables computes each hidden boolean
-    before the group's binds evaluate; a no-shared-var group is
-    constant over the outer rows (same LIMIT-1 broadcast trick as
-    FILTER EXISTS).  The caller drops the hidden aliases after its
-    binds loop."""
-    for sub, alias in q.exists_binds:
-        subdf = _group_bindings(
-            triples, sub, allow_cartesian, base_triples, services
-        )
-        shared = [c for c in subdf.columns if c in df.columns]
-        if shared:
-            marker = (
-                subdf.select(*shared)
-                .distinct()
-                .withColumn(alias, F.lit(True))
+    """The group's BINDs in document order, with EXISTS-expression
+    markers (BIND(EXISTS {...} AS ?flag)) computed IMMEDIATELY before
+    the bind that references each one — so a group correlated on an
+    earlier BIND's variable sees that column in the shared set (SPARQL
+    extends the solution sequentially).  Each marker is a left join on
+    the shared variables; a no-shared-var group is constant over the
+    outer rows (same LIMIT-1 broadcast trick as FILTER EXISTS).  The
+    hidden aliases drop at the end."""
+    markers = dict(
+        (alias, sub) for sub, alias in q.exists_binds
+    )
+    computed: list = []
+    for sql, var in q.binds:
+        for alias, sub in markers.items():
+            if alias in computed or f"`{alias}`" not in sql:
+                continue
+            subdf = _group_bindings(
+                triples, sub, allow_cartesian, base_triples, services
             )
-            df = df.join(marker, on=shared, how="left")
-        else:
-            marker = F.broadcast(
-                subdf.limit(1).select(
-                    F.lit(1).alias("__ex__"), F.lit(True).alias(alias)
+            shared = [c for c in subdf.columns if c in df.columns]
+            if shared:
+                mk = (
+                    subdf.select(*shared)
+                    .distinct()
+                    .withColumn(alias, F.lit(True))
                 )
+                df = df.join(mk, on=shared, how="left")
+            else:
+                mk = F.broadcast(
+                    subdf.limit(1).select(
+                        F.lit(1).alias("__ex__"),
+                        F.lit(True).alias(alias),
+                    )
+                )
+                df = (
+                    df.withColumn("__ex__", F.lit(1))
+                    .join(mk, on="__ex__", how="left")
+                    .drop("__ex__")
+                )
+            df = df.withColumn(
+                alias, F.coalesce(F.col(alias), F.lit(False))
             )
-            df = (
-                df.withColumn("__ex__", F.lit(1))
-                .join(marker, on="__ex__", how="left")
-                .drop("__ex__")
-            )
-        df = df.withColumn(alias, F.coalesce(F.col(alias), F.lit(False)))
+            computed.append(alias)
+        if var in df.columns:
+            raise ValueError(f"BIND would rebind ?{var}")
+        df = df.withColumn(var, F.expr(sql).cast("string"))
+    if computed:
+        df = df.drop(*computed)
     return df
 
 
@@ -2830,6 +2856,8 @@ def _iter_group_queries(q: "ParsedQuery"):
                     if isinstance(g2, ParsedQuery):
                         yield from _iter_group_queries(g2)
     for _positive, g in q.exists_clauses:
+        yield from _iter_group_queries(g)
+    for g, _alias in q.exists_binds:
         yield from _iter_group_queries(g)
     for g in q.minus_clauses:
         yield from _iter_group_queries(g)
@@ -3024,6 +3052,8 @@ def _service_endpoints(q: ParsedQuery) -> list:
             if b[0] == "__q__":
                 eps += _service_endpoints(b[1])
     for _pos, g in q.exists_clauses:
+        eps += _service_endpoints(g)
+    for g, _alias in q.exists_binds:
         eps += _service_endpoints(g)
     for g in q.minus_clauses:
         eps += _service_endpoints(g)

@@ -364,10 +364,12 @@ def _expand_where_paths(base: DataFrame, u: ParsedUpdate) -> DataFrame:
             for brs in w.unions
             for b in brs
         )
-        # negation groups and subqueries may carry paths arbitrarily
-        # deep; the read path's rewrite recurses into them, so run it
-        # whenever they are present (a no-op plan pass when pathless)
-        or w.exists_clauses or w.minus_clauses or w.subqueries
+        # negation groups, EXISTS-expression groups and subqueries may
+        # carry paths arbitrarily deep; the read path's rewrite
+        # recurses into them, so run it whenever they are present (a
+        # no-op plan pass when pathless)
+        or w.exists_clauses or w.exists_binds or w.minus_clauses
+        or w.subqueries
     ):
         return base
     from .sparql import _expand_paths, _rewrite_path_ops

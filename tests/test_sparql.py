@@ -2532,3 +2532,86 @@ def test_exists_in_bind_inside_sub_groups(spark):
         (r.subj, r.obj) for r in out3.collect() if r.pred == "flag"
     }
     assert flags == {("v1", "true"), ("v2", "false")}
+
+
+def test_exists_in_bind_review_hardening(spark):
+    """Review fixes: nested BIND inside the EXISTS group (sink
+    save/restore), EXISTS correlated on an earlier BIND's variable
+    (markers interleave with the bind loop), parenthesized
+    FILTER(EXISTS) inside the group raises cleanly, GRAPH ?g /
+    SERVICE inside the group route through the shared traversals,
+    and \\' unescapes in double-quoted strings."""
+    t = spark.createDataFrame(
+        [("v1", "h", "s1"), ("v1", "d", "Q1"), ("v2", "h", "s2"),
+         ("a", "p", "b"), ("b", "p", "c"), ("b", "q", "z1")],
+        "subj string, pred string, obj string",
+    )
+    # nested BIND inside the group parses and scopes to its group
+    out = sparql.execute(
+        t, "SELECT ?v ?f WHERE { ?v <h> ?s "
+           "BIND(EXISTS { ?w <d> ?q BIND('1' AS ?k) } AS ?f) } "
+           "ORDER BY ?v"
+    ).collect()
+    assert [(r.v, r.f) for r in out] == [("v1", "true"), ("v2", "true")]
+    # correlation on an earlier BIND variable is per-row, not constant
+    out2 = sparql.execute(
+        t, "SELECT ?s ?f WHERE { ?s <p> ?o BIND(?o AS ?b) "
+           "BIND(EXISTS { ?b <q> ?z } AS ?f) } ORDER BY ?s"
+    ).collect()
+    assert [(r.s, r.f) for r in out2] == [("a", "true"), ("b", "false")]
+    # parenthesized FILTER(EXISTS) inside the group: clean parse error
+    with pytest.raises(ValueError, match="expected"):
+        sparql.parse(
+            "SELECT ?s WHERE { ?s <p> ?o BIND(EXISTS { ?s <p> ?o2 "
+            "FILTER(EXISTS { ?o2 <q> ?z }) } AS ?f) }"
+        )
+    # GRAPH ?g inside the group: raises without graph_uri, binds with
+    with pytest.raises(ValueError, match="GRAPH"):
+        sparql.execute(
+            t, "SELECT ?s ?f WHERE { ?s <p> ?o "
+               "BIND(EXISTS { GRAPH ?g { ?s <q> ?z } } AS ?f) }"
+        )
+    out3 = sparql.execute(
+        t, "SELECT ?s ?f WHERE { ?s <p> ?o "
+           "BIND(EXISTS { GRAPH ?g { ?s <q> ?z } } AS ?f) } ORDER BY ?s",
+        graph_uri="http://g/",
+    ).collect()
+    assert [(r.s, r.f) for r in out3] == [("a", "false"), ("b", "true")]
+    # unregistered SERVICE inside the group raises up-front
+    with pytest.raises(NotImplementedError, match="SERVICE"):
+        sparql.execute(
+            t, "SELECT ?s ?f WHERE { ?s <p> ?o "
+               "BIND(EXISTS { SERVICE <http://ep/> { ?s <q> ?z } } "
+               "AS ?f) }"
+        )
+    # CONSTRUCT WHERE rejects GRAPH wrappers like every other non-BGP
+    with pytest.raises(ValueError, match="plain triple patterns"):
+        sparql.parse("CONSTRUCT WHERE { GRAPH ?g { ?s <p> ?o } }")
+    # \' is a legal ECHAR in double-quoted strings too
+    t2 = spark.createDataFrame(
+        [("c", "p", "it's")], "subj string, pred string, obj string"
+    )
+    got = [r.s for r in sparql.execute(
+        t2, 'SELECT ?s WHERE { ?s <p> "it\\\'s" }'
+    ).collect()]
+    assert got == ["c"]
+
+
+def test_update_where_exists_bind_with_path(spark):
+    """The modify-form path-expansion gate covers EXISTS-expression
+    groups: a property path inside BIND(EXISTS {...}) in an UPDATE
+    WHERE clause rewrites and expands like the read path."""
+    from face_hunter_spark.operators.sparql_update import updated_graph
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        "subj string, pred string, obj string",
+    )
+    out = updated_graph(
+        t, "INSERT { ?s <flag> ?f } WHERE { ?s <p> ?o "
+           "BIND(EXISTS { ?s <p>/<p> ?z } AS ?f) }"
+    )
+    flags = sorted(
+        (r.subj, r.obj) for r in out.collect() if r.pred == "flag"
+    )
+    assert flags == [("a", "true"), ("b", "false")]
