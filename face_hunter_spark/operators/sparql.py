@@ -709,11 +709,19 @@ class _Parser:
                     and p[0] in ("__alt__", "__altseq__")
                     for _s, p, _o in sub.patterns
                 )
+                if any("__exists_" in f for f in sub.filters):
+                    raise NotImplementedError(
+                        "EXISTS inside an OPTIONAL group's FILTER "
+                        "expression is not supported — the filter is "
+                        "the LeftJoin condition; use the FILTER "
+                        "EXISTS form inside the group instead"
+                    )
                 if (
                     sub.unions
                     or sub.optional
                     or sub.values_clauses
                     or sub.binds
+                    or sub.exists_binds
                     or sub.exists_clauses
                     or sub.minus_clauses
                     or sub.subqueries
@@ -753,14 +761,13 @@ class _Parser:
                     )
                 else:
                     self._expect_op("(")
-                    # a parenthesized FILTER expression is NOT an
-                    # EXISTS-expression scope: mask any enclosing BIND
-                    # sink so FILTER(EXISTS{...}) inside a BIND's
-                    # EXISTS group fails the parse cleanly instead of
-                    # registering on the wrong query (write the
-                    # special-cased FILTER EXISTS form instead)
+                    # EXISTS {...} inside a parenthesized FILTER
+                    # expression (FILTER(?x = 1 || EXISTS {...}))
+                    # registers a marker on THIS group — scoping to q
+                    # (not any enclosing BIND's sink) keeps nested
+                    # groups' registrations on the right query
                     prev_sink = self._exists_sink
-                    self._exists_sink = None
+                    self._exists_sink = q
                     try:
                         q.filters.append(self._filter_expr())
                     finally:
@@ -957,7 +964,7 @@ class _Parser:
             for _s, p, _o in sub.patterns
         )
         if (
-            sub.binds or sub.values_clauses
+            sub.binds or sub.exists_binds or sub.values_clauses
             or sub.exists_clauses or sub.minus_clauses
             or sub.subqueries or sub.services or sub.graph_vars
             or has_alt
@@ -2529,7 +2536,34 @@ def _group_bindings(
     SPARQL algebra applies them inside the group, so their variables
     participate in the outer join's shared-column set and negation
     nests to any depth (each level is its own semi/anti join, same
-    order as the top level)."""
+    order as the top level).  Group FILTERs that reference
+    EXISTS-expression markers defer until after the markers compute
+    (the bind/marker step at the end), then the markers drop."""
+    marker_filters = [f for f in g.filters if "__exists_" in f]
+    saved_filters = g.filters
+    if marker_filters:
+        g.filters = [f for f in g.filters if "__exists_" not in f]
+    try:
+        sub = _group_bindings_inner(
+            triples, g, allow_cartesian, base_triples, services
+        )
+    finally:
+        g.filters = saved_filters
+    for f in marker_filters:
+        sub = sub.where(F.expr(f))
+    leftover = [c for c in sub.columns if c.startswith("__exists_")]
+    if leftover:
+        sub = sub.drop(*leftover)
+    return sub
+
+
+def _group_bindings_inner(
+    triples: DataFrame,
+    g: ParsedQuery,
+    allow_cartesian: bool,
+    base_triples: DataFrame | None = None,
+    services: dict | None = None,
+) -> DataFrame:
     if g.patterns or g.unions or not (g.subqueries or g.services):
         sub = _bindings(
             triples, g, allow_cartesian, base_triples, services
@@ -2685,43 +2719,53 @@ def _apply_binds(
     markers = dict(
         (alias, sub) for sub, alias in q.exists_binds
     )
+
+    def join_marker(df, alias, sub):
+        subdf = _group_bindings(
+            triples, sub, allow_cartesian, base_triples, services
+        )
+        shared = [c for c in subdf.columns if c in df.columns]
+        if shared:
+            mk = (
+                subdf.select(*shared)
+                .distinct()
+                .withColumn(alias, F.lit(True))
+            )
+            df = df.join(mk, on=shared, how="left")
+        else:
+            mk = F.broadcast(
+                subdf.limit(1).select(
+                    F.lit(1).alias("__ex__"),
+                    F.lit(True).alias(alias),
+                )
+            )
+            df = (
+                df.withColumn("__ex__", F.lit(1))
+                .join(mk, on="__ex__", how="left")
+                .drop("__ex__")
+            )
+        return df.withColumn(
+            alias, F.coalesce(F.col(alias), F.lit(False))
+        )
+
     computed: list = []
     for sql, var in q.binds:
         for alias, sub in markers.items():
             if alias in computed or f"`{alias}`" not in sql:
                 continue
-            subdf = _group_bindings(
-                triples, sub, allow_cartesian, base_triples, services
-            )
-            shared = [c for c in subdf.columns if c in df.columns]
-            if shared:
-                mk = (
-                    subdf.select(*shared)
-                    .distinct()
-                    .withColumn(alias, F.lit(True))
-                )
-                df = df.join(mk, on=shared, how="left")
-            else:
-                mk = F.broadcast(
-                    subdf.limit(1).select(
-                        F.lit(1).alias("__ex__"),
-                        F.lit(True).alias(alias),
-                    )
-                )
-                df = (
-                    df.withColumn("__ex__", F.lit(1))
-                    .join(mk, on="__ex__", how="left")
-                    .drop("__ex__")
-                )
-            df = df.withColumn(
-                alias, F.coalesce(F.col(alias), F.lit(False))
-            )
+            df = join_marker(df, alias, sub)
             computed.append(alias)
         if var in df.columns:
             raise ValueError(f"BIND would rebind ?{var}")
         df = df.withColumn(var, F.expr(sql).cast("string"))
     if computed:
         df = df.drop(*computed)
+    # markers registered by FILTER expressions (not by any BIND):
+    # compute them LAST — filter-referencing markers stay as columns
+    # for the caller's deferred filters, which drop them afterwards
+    for alias, sub in markers.items():
+        if alias not in computed:
+            df = join_marker(df, alias, sub)
     return df
 
 
@@ -2968,10 +3012,13 @@ def execute(
     # AFTER the joins and binds (Catalyst still pushes the main-side
     # predicates below the joins)
     deferred_filters: list = []
-    if (q.services or q.subqueries or q.binds) and q.filters:
+    if (
+        q.services or q.subqueries or q.binds or q.exists_binds
+    ) and q.filters:
         deferred_filters, q.filters = q.filters, []
     has_negation = bool(
-        q.exists_clauses or q.minus_clauses or q.values_clauses or q.binds
+        q.exists_clauses or q.minus_clauses or q.values_clauses
+        or q.binds or q.exists_binds
     )
     if q.form == "ask":
         vs = _variants(q)
@@ -3073,7 +3120,9 @@ def _eval_subquery(
     sub = _rewrite_path_ops(sub)
     expanded, sub = _expand_paths(base_triples, sub)
     deferred: list = []
-    if (sub.services or sub.subqueries or sub.binds) and sub.filters:
+    if (
+        sub.services or sub.subqueries or sub.binds or sub.exists_binds
+    ) and sub.filters:
         deferred, sub.filters = sub.filters, []
     return _finish_select(
         expanded, base_triples, sub, allow_cartesian, services, deferred
@@ -3126,7 +3175,8 @@ def _finish_select(
     path-expanded graph for q's own patterns; ``base_triples`` the
     pre-expansion graph nested subqueries expand against."""
     has_negation = bool(
-        q.exists_clauses or q.minus_clauses or q.values_clauses or q.binds
+        q.exists_clauses or q.minus_clauses or q.values_clauses
+        or q.binds or q.exists_binds
     )
     if q.patterns or q.unions or not q.subqueries:
         df = _bindings(
@@ -3146,6 +3196,9 @@ def _finish_select(
         )
     for expr in deferred_filters:
         df = df.where(F.expr(expr))
+    leftover = [c for c in df.columns if c.startswith("__exists_")]
+    if leftover:
+        df = df.drop(*leftover)
     # sequence-path join variables are not solution bindings (SPARQL
     # path intermediates bind nothing) — hide them from SELECT *
     seq_cols = [c for c in df.columns if c.startswith("__seq")]

@@ -2559,12 +2559,16 @@ def test_exists_in_bind_review_hardening(spark):
            "BIND(EXISTS { ?b <q> ?z } AS ?f) } ORDER BY ?s"
     ).collect()
     assert [(r.s, r.f) for r in out2] == [("a", "true"), ("b", "false")]
-    # parenthesized FILTER(EXISTS) inside the group: clean parse error
-    with pytest.raises(ValueError, match="expected"):
-        sparql.parse(
-            "SELECT ?s WHERE { ?s <p> ?o BIND(EXISTS { ?s <p> ?o2 "
-            "FILTER(EXISTS { ?o2 <q> ?z }) } AS ?f) }"
-        )
+    # parenthesized FILTER(EXISTS) inside the group registers on the
+    # INNER group and evaluates bottom-up (b→c: c has no <q> edge, so
+    # the inner filter drops that pair and only a's group is nonempty)
+    out_nested = sparql.execute(
+        t, "SELECT ?s ?f WHERE { ?s <p> ?o BIND(EXISTS { ?s <p> ?o2 "
+           "FILTER(EXISTS { ?o2 <q> ?z }) } AS ?f) } ORDER BY ?s"
+    ).collect()
+    assert [(r.s, r.f) for r in out_nested] == [
+        ("a", "true"), ("b", "false")
+    ]
     # GRAPH ?g inside the group: raises without graph_uri, binds with
     with pytest.raises(ValueError, match="GRAPH"):
         sparql.execute(
@@ -2615,3 +2619,73 @@ def test_update_where_exists_bind_with_path(spark):
         (r.subj, r.obj) for r in out.collect() if r.pred == "flag"
     )
     assert flags == [("a", "true"), ("b", "false")]
+
+
+def test_exists_in_filter_expression(spark):
+    """EXISTS {...} in FILTER boolean expressions: the group registers
+    a hidden marker on the enclosing group, the filter defers until
+    the markers compute, and the marker columns drop afterwards —
+    works combined with || / && / !, in UNION branch filters, ASK,
+    CONSTRUCT, and alongside BIND markers in the same group; the
+    OPTIONAL LeftJoin-condition slot stays a loud seam."""
+    t = spark.createDataFrame(
+        [("v1", "h", "s1"), ("v1", "d", "Q1"), ("v2", "h", "s2"),
+         ("v3", "h", "s3"), ("v3", "d", "Q2"), ("v3", "t", "x")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, "SELECT ?v WHERE { ?v <h> ?s "
+           "FILTER(?v = 'v2' || EXISTS { ?v <d> ?q }) } ORDER BY ?v"
+    )
+    assert out.columns == ["v"]
+    assert [r.v for r in out.collect()] == ["v1", "v2", "v3"]
+    # negated + conjunction
+    out2 = sparql.execute(
+        t, "SELECT ?v WHERE { ?v <h> ?s "
+           "FILTER(!EXISTS { ?v <d> ?q } && ?v != 'zzz') }"
+    ).collect()
+    assert [r.v for r in out2] == ["v2"]
+    # two independent EXISTS markers in one filter
+    out3 = sparql.execute(
+        t, "SELECT ?v WHERE { ?v <h> ?s FILTER(EXISTS { ?v <d> ?q } "
+           "&& EXISTS { ?v <t> ?x }) }"
+    ).collect()
+    assert [r.v for r in out3] == ["v3"]
+    # UNION branch filter (complex-branch promotion on exists_binds)
+    out4 = sparql.execute(
+        t, "SELECT ?v WHERE { { ?v <h> ?s "
+           "FILTER(EXISTS { ?v <d> ?q } || ?v = 'v2') } "
+           "UNION { ?v <t> ?x } } ORDER BY ?v"
+    ).collect()
+    assert [r.v for r in out4] == ["v1", "v2", "v3", "v3"]
+    # ASK routes through the assembler
+    assert sparql.execute(
+        t, "ASK { ?v <h> ?s FILTER(EXISTS { ?v <t> ?x }) }"
+    ) is True
+    assert sparql.execute(
+        t, "ASK { ?v <h> ?s FILTER(EXISTS { ?v <nope> ?x }) }"
+    ) is False
+    # BIND marker and FILTER marker in the same group
+    out7 = sparql.execute(
+        t, "SELECT ?v ?f WHERE { ?v <h> ?s "
+           "BIND(EXISTS { ?v <t> ?x } AS ?f) "
+           "FILTER(EXISTS { ?v <d> ?q }) } ORDER BY ?v"
+    )
+    assert out7.columns == ["v", "f"]
+    assert [(r.v, r.f) for r in out7.collect()] == [
+        ("v1", "false"), ("v3", "true")
+    ]
+    # CONSTRUCT with a filter-EXISTS WHERE clause
+    out8 = sorted(
+        (r.subj, r.obj) for r in sparql.execute(
+            t, "CONSTRUCT { ?v <linked> 'yes' } WHERE { ?v <h> ?s "
+               "FILTER(EXISTS { ?v <d> ?q }) }"
+        ).collect()
+    )
+    assert out8 == [("v1", "yes"), ("v3", "yes")]
+    # OPTIONAL group's FILTER slot is the LeftJoin condition: loud seam
+    with pytest.raises(NotImplementedError, match="OPTIONAL"):
+        sparql.parse(
+            "SELECT ?v WHERE { ?v <h> ?s OPTIONAL { ?s <x> ?y "
+            "FILTER(EXISTS { ?v <d> ?q }) } }"
+        )
