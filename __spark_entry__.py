@@ -1852,7 +1852,7 @@ def _q_sparql_having_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         PREFIX ex: <http://example.org/>
         SELECT ?n (MIN(?c) AS ?first_cust)
-        WHERE { ?c ex:inNation ?n FILTER(?n != 'JAPAN') }
+        WHERE { ?c ex:inNation ?n FILTER(?n != 'NATION_2') }
         GROUP BY ?n
         HAVING (COUNT(?c) > 55)
         ORDER BY ?n
@@ -1863,7 +1863,7 @@ def _q_sparql_having_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SPARQL_HAVING = """
 SELECT n_name AS n, MIN(c_name) AS first_cust
 FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE n_name <> 'JAPAN'
+WHERE n_name <> 'NATION_2'
 GROUP BY n_name
 HAVING COUNT(c_name) > 55
 ORDER BY n
@@ -1872,10 +1872,11 @@ ORDER BY n
 
 def _q_sparql_exists_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS in expression position (operators/sparql.py
-    _apply_exists_binds): BIND(EXISTS { ?c ex:placed ?o } AS ?active)
-    flags every customer by order activity through a hidden left
-    marker join — TPC-H guarantees a mixed true/false split (about a
-    third of customers have no orders)."""
+    _apply_exists_binds): BIND(EXISTS { ?c ex:placedBig ?o } AS ?active)
+    flags every customer by BIG-order activity (o_totalprice >
+    450000) through a hidden left marker join — a ~64/36 true/false
+    split on this corpus (the synthetic orders cover every customer,
+    so the unrestricted EXISTS would be vacuous)."""
     from face_hunter_spark.operators.sparql import execute
 
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1888,11 +1889,11 @@ def _q_sparql_exists_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("http://example.org/inNation").alias("pred"),
         F.col("n_name").alias("obj"),
     ).unionByName(
-        orders.join(
+        orders.where(F.col("o_totalprice") > 450000).join(
             customer, F.col("o_custkey") == F.col("c_custkey")
         ).select(
             F.col("c_name").alias("subj"),
-            F.lit("http://example.org/placed").alias("pred"),
+            F.lit("http://example.org/placedBig").alias("pred"),
             F.col("o_orderkey").cast("string").alias("obj"),
         )
     )
@@ -1903,7 +1904,7 @@ def _q_sparql_exists_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT ?c ?active
         WHERE {
           ?c ex:inNation ?n
-          BIND(EXISTS { ?c ex:placed ?o } AS ?active)
+          BIND(EXISTS { ?c ex:placedBig ?o } AS ?active)
         }
         ORDER BY ?c
         """,
@@ -1913,9 +1914,60 @@ def _q_sparql_exists_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SPARQL_EXISTS_BIND = """
 SELECT c_name AS c,
        CASE WHEN EXISTS (
-         SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         SELECT 1 FROM orders
+         WHERE o_custkey = c_custkey AND o_totalprice > 450000
        ) THEN 'true' ELSE 'false' END AS active
 FROM customer
+ORDER BY c
+"""
+
+
+def _q_sparql_filter_exists_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS inside a FILTER boolean expression (operators/sparql.py
+    deferred-marker machinery): keep customers that either placed
+    a big order (o_totalprice > 450000) OR sit in a named nation —
+    ``FILTER(EXISTS { ?c ex:placedBig ?o } || ?n = 'NATION_2')`` — both
+    sides of the disjunction are live on this corpus."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    ).unionByName(
+        orders.where(F.col("o_totalprice") > 450000).join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).select(
+            F.col("c_name").alias("subj"),
+            F.lit("http://example.org/placedBig").alias("pred"),
+            F.col("o_orderkey").cast("string").alias("obj"),
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?n
+        WHERE {
+          ?c ex:inNation ?n
+          FILTER(EXISTS { ?c ex:placedBig ?o } || ?n = 'NATION_2')
+        }
+        ORDER BY ?c
+        """,
+    )
+
+
+ORACLE_SPARQL_FILTER_EXISTS = """
+SELECT c_name AS c, n_name AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+   OR n_name = 'NATION_2'
 ORDER BY c
 """
 
@@ -2185,7 +2237,7 @@ def _q_sparql_negation_union(
         SELECT ?c ?seg WHERE {
           ?c ex:segment ?seg .
           FILTER NOT EXISTS {
-            ?c ex:placed ?o .
+            ?c ex:placedBig ?o .
             { ?o ex:status "F" } UNION { ?o ex:status "P" }
           }
         }
@@ -3308,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct_where": _q_sparql_construct_where,
         "sparql_order_agg": _q_sparql_order_agg,
         "sparql_exists_bind": _q_sparql_exists_bind,
+        "sparql_filter_exists_expr": _q_sparql_filter_exists_expr,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -3506,6 +3559,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_construct_where": ORACLE_SPARQL_CONSTRUCT_WHERE,
         "sparql_order_agg": ORACLE_SPARQL_ORDER_AGG,
         "sparql_exists_bind": ORACLE_SPARQL_EXISTS_BIND,
+        "sparql_filter_exists_expr": ORACLE_SPARQL_FILTER_EXISTS,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,
