@@ -2237,7 +2237,7 @@ def _q_sparql_negation_union(
         SELECT ?c ?seg WHERE {
           ?c ex:segment ?seg .
           FILTER NOT EXISTS {
-            ?c ex:placedBig ?o .
+            ?c ex:placed ?o .
             { ?o ex:status "F" } UNION { ?o ex:status "P" }
           }
         }
