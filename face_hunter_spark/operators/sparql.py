@@ -485,7 +485,15 @@ class _Parser:
                         names.append(self._parse_select_agg(q))
                     else:
                         self._expect_op("(")
-                        expr = self._filter_expr()
+                        # EXISTS {...} in a SELECT expression registers
+                        # a marker like BIND's (computed in the
+                        # solution clauses, dropped after projection)
+                        prev_sink = self._exists_sink
+                        self._exists_sink = q
+                        try:
+                            expr = self._filter_expr()
+                        finally:
+                            self._exists_sink = prev_sink
                         self._expect_kw("as")
                         v = self._next()
                         if v.kind != "VAR":
@@ -3196,7 +3204,13 @@ def _finish_select(
         )
     for expr in deferred_filters:
         df = df.where(F.expr(expr))
-    leftover = [c for c in df.columns if c.startswith("__exists_")]
+    # FILTER-registered EXISTS markers drop now unless a SELECT
+    # expression still references them (those drop after projection)
+    sel_sql = " ".join(sql for sql, _a in q.select_exprs)
+    leftover = [
+        c for c in df.columns
+        if c.startswith("__exists_") and f"`{c}`" not in sel_sql
+    ]
     if leftover:
         df = df.drop(*leftover)
     # sequence-path join variables are not solution bindings (SPARQL
@@ -3285,6 +3299,9 @@ def _finish_select(
         if alias in df.columns:
             raise ValueError(f"SELECT expression would rebind ?{alias}")
         df = df.withColumn(alias, F.expr(sql).cast("string"))
+    sel_markers = [c for c in df.columns if c.startswith("__exists_")]
+    if sel_markers:
+        df = df.drop(*sel_markers)
     if q.select is not None:
         missing = [v for v in q.select if v not in df.columns]
         if missing:

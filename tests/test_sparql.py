@@ -2689,3 +2689,31 @@ def test_exists_in_filter_expression(spark):
             "SELECT ?v WHERE { ?v <h> ?s OPTIONAL { ?s <x> ?y "
             "FILTER(EXISTS { ?v <d> ?q }) } }"
         )
+
+
+def test_exists_in_select_expression(spark):
+    """EXISTS {...} inside a SELECT expression — the marker survives
+    until the projection-scope Extend, then drops."""
+    t = spark.createDataFrame(
+        [("v1", "h", "s1"), ("v1", "d", "Q1"), ("v2", "h", "s2"),
+         ("v3", "h", "s3"), ("v3", "d", "Q2")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, "SELECT ?v (EXISTS { ?v <d> ?q } AS ?f) "
+           "WHERE { ?v <h> ?s } ORDER BY ?v"
+    )
+    assert out.columns == ["v", "f"]
+    assert [(r.v, r.f) for r in out.collect()] == [
+        ("v1", "true"), ("v2", "false"), ("v3", "true")
+    ]
+    # composed in IF(), and alongside a FILTER-registered marker
+    out2 = sparql.execute(
+        t, "SELECT ?v (IF(EXISTS { ?v <d> ?q }, 'y', 'n') AS ?l) "
+           "WHERE { ?v <h> ?s FILTER(EXISTS { ?v <h> ?s2 }) } "
+           "ORDER BY ?v"
+    )
+    assert out2.columns == ["v", "l"]
+    assert [(r.v, r.l) for r in out2.collect()] == [
+        ("v1", "y"), ("v2", "n"), ("v3", "y")
+    ]
