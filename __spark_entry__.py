@@ -1356,6 +1356,71 @@ ORDER BY c, n, r
 """
 
 
+def _q_sparql_service_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full solution algebra INSIDE a SERVICE{} group (widened late
+    r5 — operators/sparql.py _apply_services routes through
+    _group_bindings): the remote group carries VALUES (region allow-
+    list), BIND (a computed tag), FILTER NOT EXISTS (drop nations
+    whose code triple is '3' — evaluated against the SNAPSHOT graph),
+    and a plain FILTER over the BIND-bound var (defers past the bind).
+    The oracle replays the joins + IN-list + anti-join + concat."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    local = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    snapshot = nation.join(
+        region, F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(
+        F.col("n_name").alias("subj"),
+        F.lit("http://example.org/inRegion").alias("pred"),
+        F.col("r_name").alias("obj"),
+    ).unionByName(
+        nation.select(
+            F.col("n_name").alias("subj"),
+            F.lit("http://example.org/code").alias("pred"),
+            F.col("n_nationkey").cast("string").alias("obj"),
+        )
+    )
+    out = execute(
+        local,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?tag WHERE {
+          ?c ex:inNation ?n .
+          SERVICE <http://regions.example/sparql> {
+            ?n ex:inRegion ?r
+            VALUES ?r { "AFRICA" "ASIA" "EUROPE" }
+            BIND(CONCAT(?r, ":", ?n) AS ?tag)
+            FILTER NOT EXISTS { ?n ex:code "3" }
+            FILTER(?tag != "ASIA:NATION_12")
+          }
+        }
+        """,
+        services={"http://regions.example/sparql": snapshot},
+    )
+    return out.orderBy("c", "tag")
+
+
+ORACLE_SPARQL_SERVICE_ALGEBRA = """
+SELECT c_name AS c, r_name || ':' || n_name AS tag
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('AFRICA', 'ASIA', 'EUROPE')
+  AND n_nationkey <> 3
+  AND r_name || ':' || n_name <> 'ASIA:NATION_12'
+ORDER BY c, tag
+"""
+
+
 def _q_sparql_service_in_groups(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1969,6 +2034,72 @@ WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 450000)
    OR n_name = 'NATION_2'
 ORDER BY c
+"""
+
+
+def _q_sparql_optional_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS inside an OPTIONAL group's FILTER — the LeftJoin(P1,P2,F)
+    condition F carries a hidden EXISTS marker computed on the group's
+    own bindings frame (operators/sparql.py _group_bindings keeps
+    unconsumed markers; bgp.graph_pattern folds F into the join ON and
+    drops the marker after).  Each customer keeps its big orders
+    (o_totalprice > 450000) that are ALSO urgent (an ex:urgent triple
+    exists for the order); a customer whose every big order fails
+    EXISTS survives NULL-padded instead of dropping — the observable
+    difference vs filtering after the join (1493/1500 customers have a
+    big order but only 316 orders are urgent, so the padding branch is
+    live)."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = orders.where(F.col("o_totalprice") > 450000).join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    )
+    base = customer.select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/isCustomer").alias("pred"),
+        F.lit("true").alias("obj"),
+    ).unionByName(
+        big.select(
+            F.col("c_name").alias("subj"),
+            F.lit("http://example.org/placedBig").alias("pred"),
+            F.col("o_orderkey").cast("string").alias("obj"),
+        )
+    ).unionByName(
+        orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_orderkey").cast("string").alias("subj"),
+            F.lit("http://example.org/urgent").alias("pred"),
+            F.col("o_orderpriority").alias("obj"),
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?o
+        WHERE {
+          ?c ex:isCustomer ?t .
+          OPTIONAL { ?c ex:placedBig ?o
+                     FILTER(EXISTS { ?o ex:urgent ?p }) }
+        }
+        ORDER BY ?c ?o
+        """,
+    )
+
+
+ORACLE_SPARQL_OPTIONAL_EXISTS = """
+SELECT cu.c_name AS c, b.o AS o
+FROM customer cu
+LEFT JOIN (
+  SELECT c2.c_name AS cn, CAST(o1.o_orderkey AS VARCHAR) AS o
+  FROM orders o1 JOIN customer c2 ON o1.o_custkey = c2.c_custkey
+  WHERE o1.o_totalprice > 450000
+    AND EXISTS (SELECT 1 FROM orders o2
+                WHERE o2.o_orderkey = o1.o_orderkey
+                  AND o2.o_orderpriority = '1-URGENT')
+) b ON b.cn = cu.c_name
+ORDER BY c, o
 """
 
 
@@ -3323,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transe_link_prediction": DQ.q_transe_link_prediction,
         # -- (b) new this round ---------------------------------------
         "sparql_service_join": _q_sparql_service_join,
+        "sparql_service_algebra": _q_sparql_service_algebra,
         "sparql_optional_inner_filter": _q_sparql_optional_inner_filter,
         "sparql_path_zero_or_one": _q_sparql_path_zero_or_one,
         "sparql_subquery": _q_sparql_subquery,
@@ -3361,6 +3493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_order_agg": _q_sparql_order_agg,
         "sparql_exists_bind": _q_sparql_exists_bind,
         "sparql_filter_exists_expr": _q_sparql_filter_exists_expr,
+        "sparql_optional_exists": _q_sparql_optional_exists,
         # -- (c) representative driver-green core ----------------------
         "kg_triples_by_pred": _q_kg_triples,
         "kg_scene_search": _q_kg_scene_search,
@@ -3524,6 +3657,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text_select": _DO.sql_bgp_optional_filter(),
         "sparql_update_apply": ORACLE_SPARQL_UPDATE,
         "sparql_service_join": ORACLE_SPARQL_SERVICE,
+        "sparql_service_algebra": ORACLE_SPARQL_SERVICE_ALGEBRA,
         "sparql_optional_inner_filter": ORACLE_SPARQL_OPTIONAL_INNER,
         "sparql_path_zero_or_one": ORACLE_SPARQL_PATH_ZERO_OR_ONE,
         "sparql_subquery": ORACLE_SPARQL_SUBQUERY,
@@ -3560,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_order_agg": ORACLE_SPARQL_ORDER_AGG,
         "sparql_exists_bind": ORACLE_SPARQL_EXISTS_BIND,
         "sparql_filter_exists_expr": ORACLE_SPARQL_FILTER_EXISTS,
+        "sparql_optional_exists": ORACLE_SPARQL_OPTIONAL_EXISTS,
         "sparql_text_agg": ORACLE_SPARQL_AGG,
         "sparql_path_seq_inverse": ORACLE_SPARQL_PATH_SEQ,
         "sparql_path_alt": ORACLE_SPARQL_PATH_ALT,

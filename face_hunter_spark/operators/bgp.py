@@ -146,9 +146,17 @@ def graph_pattern(
         if isinstance(group, DataFrame):
             # pre-evaluated group bindings (e.g. a UNION inside
             # OPTIONAL, assembled by the SPARQL layer): left-join the
-            # DataFrame as a unit — LeftJoin(P1, B ∪ C)
+            # DataFrame as a unit — LeftJoin(P1, B ∪ C).  Hidden
+            # __exists_* marker columns (EXISTS inside the group's
+            # LeftJoin-condition filter) are not variables: they feed
+            # the folded join condition and drop after the join.
             gplan, gvars = group, set(group.columns)
+            hidden = sorted(
+                c for c in gvars if c.startswith("__exists_")
+            )
+            gvars = gvars - set(hidden)
         else:
+            hidden = []
             if isinstance(group, tuple):
                 group = [group]
             if not group:
@@ -179,6 +187,8 @@ def graph_pattern(
         )
         if not gfilters:
             plan = plan.join(gplan, on=shared, how="left")
+            if hidden:
+                plan = plan.drop(*hidden)
         else:
             # LeftJoin(P1, P2, F): rename the group's shared columns so
             # every name resolves unambiguously, then fold the equality
@@ -195,7 +205,7 @@ def graph_pattern(
             for e in gfilters:
                 cond = cond & F.expr(e)
             plan = plan.join(gp, on=cond, how="left").drop(
-                *ren.values()
+                *ren.values(), *hidden
             )
         bound = bound | gvars
 

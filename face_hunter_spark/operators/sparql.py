@@ -450,6 +450,7 @@ class _Parser:
             raise ValueError(
                 f"trailing content after query at offset {t.pos}: {t.text!r}"
             )
+        _check_optional_exists_scope(q)
         return q
 
     def _parse_select(self) -> ParsedQuery:
@@ -717,13 +718,14 @@ class _Parser:
                     and p[0] in ("__alt__", "__altseq__")
                     for _s, p, _o in sub.patterns
                 )
-                if any("__exists_" in f for f in sub.filters):
-                    raise NotImplementedError(
-                        "EXISTS inside an OPTIONAL group's FILTER "
-                        "expression is not supported — the filter is "
-                        "the LeftJoin condition; use the FILTER "
-                        "EXISTS form inside the group instead"
-                    )
+                # EXISTS inside the group's FILTER expression: the
+                # filter is the LeftJoin condition, so the hidden
+                # marker columns compute on the GROUP's bindings frame
+                # (_group_bindings keeps unconsumed markers), the
+                # folded join condition references them, and
+                # graph_pattern drops them after the join.  Scope
+                # guard: _check_optional_exists_scope (post-parse)
+                # refuses markers correlated on left-only variables.
                 if (
                     sub.unions
                     or sub.optional
@@ -826,22 +828,25 @@ class _Parser:
                 endpoint = t.text[1:-1]
                 sub = ParsedQuery(form="service")
                 self._parse_group(sub)
-                if (
-                    sub.exists_clauses
-                    or sub.minus_clauses
-                    or sub.values_clauses
-                    or sub.binds
-                    or sub.services
-                    or sub.subqueries
-                    or sub.graph_vars
-                ):
+                if sub.graph_vars:
                     raise NotImplementedError(
-                        "only triple patterns, FILTER, OPTIONAL and "
-                        "UNION are supported inside a SERVICE{} group "
-                        "(snapshot evaluation subset)"
+                        "GRAPH ?var inside a SERVICE{} group would "
+                        "name the REMOTE dataset's graphs — the "
+                        "single-graph collapse only applies to the "
+                        "local store; use a constant GRAPH <iri> "
+                        "wrapper or drop it"
                     )
-                if not (sub.patterns or sub.unions):
-                    raise ValueError("empty SERVICE group")
+                if not (
+                    sub.patterns
+                    or sub.unions
+                    or sub.subqueries
+                    or sub.services
+                ):
+                    raise ValueError(
+                        "empty SERVICE group (needs at least one "
+                        "triple pattern, UNION, subquery or nested "
+                        "SERVICE)"
+                    )
                 q.services.append((endpoint, sub))
                 if self._at_op("."):
                     self._next()
@@ -2546,20 +2551,48 @@ def _group_bindings(
     nests to any depth (each level is its own semi/anti join, same
     order as the top level).  Group FILTERs that reference
     EXISTS-expression markers defer until after the markers compute
-    (the bind/marker step at the end), then the markers drop."""
+    (the bind/marker step at the end), then the markers drop.  When
+    the group carries BIND / VALUES / subqueries / SERVICE joins, its
+    PLAIN filters defer past the inner assembly too (same rule as the
+    top level): a filter may reference a late-bound variable, and as a
+    conjunctive selection it commutes with the inner joins — Catalyst
+    re-pushes the predicate as deep as legality allows."""
     marker_filters = [f for f in g.filters if "__exists_" in f]
+    defer_plain = bool(
+        g.binds or g.subqueries or g.services or g.values_clauses
+    )
+    plain_deferred = (
+        [f for f in g.filters if "__exists_" not in f]
+        if defer_plain else []
+    )
     saved_filters = g.filters
-    if marker_filters:
-        g.filters = [f for f in g.filters if "__exists_" not in f]
+    if marker_filters or plain_deferred:
+        g.filters = [
+            f for f in g.filters
+            if f not in marker_filters and f not in plain_deferred
+        ]
     try:
         sub = _group_bindings_inner(
             triples, g, allow_cartesian, base_triples, services
         )
     finally:
         g.filters = saved_filters
-    for f in marker_filters:
+    for f in plain_deferred + marker_filters:
         sub = sub.where(F.expr(f))
-    leftover = [c for c in sub.columns if c.startswith("__exists_")]
+    # markers consumed by this group's own filters drop here; markers
+    # consumed NOWHERE inside the group stay as columns for the caller
+    # — that is the OPTIONAL-with-EXISTS-filter case, where the filter
+    # text moved to the aligned optional_filters slot (the LeftJoin
+    # condition) and graph_pattern drops the columns after the join
+    keep = {
+        a for _g2, a in g.exists_binds
+        if not any(f"`{a}`" in f for f in marker_filters)
+        and not any(f"`{a}`" in sql for sql, _v in g.binds)
+    }
+    leftover = [
+        c for c in sub.columns
+        if c.startswith("__exists_") and c not in keep
+    ]
     if leftover:
         sub = sub.drop(*leftover)
     return sub
@@ -2788,13 +2821,16 @@ def _apply_services(
     bindings on the shared variables (SPARQL 1.1 Federated Query
     evaluates the service pattern remotely and joins; here 'remote' is
     the offline snapshot).  The group may carry FILTERs, OPTIONAL
-    groups, UNION blocks, property paths and alternatives — all
-    evaluated against the SNAPSHOT's graph through the shared
-    rewrite/closure machinery and _bindings assembler (federation
-    evaluates the whole pattern remotely).  Uncorrelated groups need
-    allow_cartesian, same as every other cross-product seam.  ``df``
-    may be None (a SERVICE-only sub-group, e.g. ``OPTIONAL { SERVICE
-    <e> {...} }``): the first service's bindings seed the frame."""
+    groups, UNION blocks, property paths and alternatives, [NOT]
+    EXISTS / MINUS, VALUES, BIND, ``{ SELECT ... }`` subqueries and
+    nested SERVICE blocks — all evaluated against the SNAPSHOT's graph
+    through the shared rewrite/closure machinery and _group_bindings
+    assembler (federation evaluates the whole pattern remotely, so
+    every sub-clause sees the remote graph; a nested SERVICE joins its
+    OWN snapshot).  Uncorrelated groups need allow_cartesian, same as
+    every other cross-product seam.  ``df`` may be None (a
+    SERVICE-only sub-group, e.g. ``OPTIONAL { SERVICE <e> {...} }``):
+    the first service's bindings seed the frame."""
     for endpoint, group in q.services:
         if services is None or endpoint not in services:
             raise NotImplementedError(
@@ -2811,8 +2847,9 @@ def _apply_services(
         sq.patterns = list(group.patterns)
         sq.filters = list(group.filters)
         # ParsedQuery entries (UNION-carrying OPTIONAL groups, complex
-        # UNION branches) deep-copy so the in-place path rewrite never
-        # mutates the caller's parse tree across reuses
+        # UNION branches, negation groups, subqueries, nested SERVICE
+        # groups) deep-copy so the in-place path rewrite never mutates
+        # the caller's parse tree across reuses
         sq.optional = [
             deepcopy(g) if isinstance(g, ParsedQuery) else list(g)
             for g in group.optional
@@ -2825,9 +2862,26 @@ def _apply_services(
             ]
             for branches in group.unions
         ]
+        sq.values_clauses = [
+            (list(v), [tuple(r) for r in rows])
+            for v, rows in group.values_clauses
+        ]
+        sq.binds = list(group.binds)
+        sq.exists_binds = [
+            (deepcopy(g), a) for g, a in group.exists_binds
+        ]
+        sq.exists_clauses = [
+            (pos, deepcopy(g)) for pos, g in group.exists_clauses
+        ]
+        sq.minus_clauses = [deepcopy(g) for g in group.minus_clauses]
+        sq.subqueries = [deepcopy(g) for g in group.subqueries]
+        sq.services = [(e, deepcopy(g)) for e, g in group.services]
         sq = _rewrite_path_ops(sq)
         snap, sq = _expand_paths(snap, sq)
-        sub = _bindings(snap, sq, allow_cartesian)
+        sub = _group_bindings(
+            snap, sq, allow_cartesian,
+            base_triples=snap, services=services,
+        )
         seq_cols = [c for c in sub.columns if c.startswith("__seq")]
         if seq_cols:
             sub = sub.drop(*seq_cols)
@@ -2884,6 +2938,59 @@ def _group_bound_vars(q: "ParsedQuery") -> set:
         out.update(vars_)
     out.update(v for _sql, v in q.binds)
     return out
+
+
+def _check_optional_exists_scope(q: "ParsedQuery") -> None:
+    """Refuse an EXISTS marker inside an OPTIONAL group's FILTER
+    expression that correlates on a variable bound OUTSIDE the
+    OPTIONAL group: the marker computes on the group's own bindings
+    frame (before the left join), so a left-only variable cannot
+    reach it — SPARQL would evaluate EXISTS over merge(left, right).
+    Variables bound inside the group (including the shared join
+    variables, which the group's patterns also bind) correlate
+    correctly; variables bound nowhere are existential and fine.
+    Conservative over UNION blocks: the enclosing group's full bound
+    set is used, so a variable bound only in a sibling branch also
+    refuses (loudly, with the hoist workaround)."""
+    for outer in _iter_group_queries(q):
+        outer_vars = None  # computed lazily, once per enclosing group
+        groups = [
+            g for g in outer.optional if isinstance(g, ParsedQuery)
+        ]
+        for blk in outer.unions:
+            for b in blk:
+                if b[0] != "__q__":
+                    groups.extend(
+                        g2 for g2 in b[1]
+                        if isinstance(g2, ParsedQuery)
+                    )
+        for g in groups:
+            if not g.exists_binds:
+                continue
+            unconsumed = [
+                (sub, a) for sub, a in g.exists_binds
+                if not any(f"`{a}`" in f for f in g.filters)
+                and not any(f"`{a}`" in sql for sql, _v in g.binds)
+            ]
+            if not unconsumed:
+                continue
+            if outer_vars is None:
+                outer_vars = _group_bound_vars(outer)
+            gvars = _group_bound_vars(g)
+            for sub, _a in unconsumed:
+                bad = sorted(
+                    _group_bound_vars(sub) & (outer_vars - gvars)
+                )
+                if bad:
+                    raise NotImplementedError(
+                        "EXISTS inside an OPTIONAL group's FILTER "
+                        f"correlates on ?{bad[0]}, which is bound "
+                        "outside the OPTIONAL group — the marker "
+                        "computes on the group's bindings before the "
+                        "left join; bind the variable inside the "
+                        "group or hoist the EXISTS to the outer "
+                        "FILTER"
+                    )
 
 
 def _iter_group_queries(q: "ParsedQuery"):

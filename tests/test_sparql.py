@@ -119,17 +119,23 @@ def test_parse_loud_seams():
     assert group.patterns == [
         ("?v", "http://purl.org/dc/elements/1.1/title", "?t")
     ]
-    # OPTIONAL / FILTER / UNION inside SERVICE parse since r5 (the
-    # group evaluates through the _bindings assembler); negation /
-    # BIND / VALUES / nesting inside stay loud
+    # OPTIONAL / FILTER / UNION / negation / BIND / VALUES /
+    # subqueries / nested SERVICE inside SERVICE all parse since r5
+    # (the group evaluates through the _group_bindings assembler
+    # against the snapshot graph); only GRAPH ?var inside stays loud
+    # (it would name the REMOTE dataset's graphs)
     sparql.parse(
         "SELECT ?v WHERE { SERVICE <http://x> "
         "{ ?v a ?k OPTIONAL { ?v dc:title ?t } } }"
     )
-    with pytest.raises(NotImplementedError, match="inside a SERVICE"):
+    sparql.parse(
+        "SELECT ?v WHERE { SERVICE <http://x> "
+        "{ ?v dc:title ?t BIND (str(?v) AS ?x) } }"
+    )
+    with pytest.raises(NotImplementedError, match="SERVICE"):
         sparql.parse(
             "SELECT ?v WHERE { SERVICE <http://x> "
-            "{ ?v dc:title ?t BIND (str(?v) AS ?x) } }"
+            "{ GRAPH ?g { ?v dc:title ?t } } }"
         )
     # property paths inside SERVICE parse since r5 (they evaluate
     # against the snapshot's graph); see test_service_snapshot_paths
@@ -1159,6 +1165,86 @@ def test_service_snapshot_ask_and_unregistered(spark, triples):
                  { ?x <http://e/gender> ?g } }""",
             services=svc,
         ).collect()
+
+
+def test_service_group_full_algebra(spark):
+    """VALUES / BIND / [NOT] EXISTS / MINUS / subqueries / nested
+    SERVICE inside a SERVICE{} group (widened late r5): the group
+    evaluates through _group_bindings against the SNAPSHOT graph —
+    federation evaluates the whole pattern remotely — and plain group
+    FILTERs defer past BIND/subquery joins so they may reference
+    late-bound variables."""
+    local = spark.createDataFrame(
+        [("v1", "d", "A"), ("v2", "d", "B"), ("v3", "d", "C")],
+        "subj string, pred string, obj string",
+    )
+    snap = spark.createDataFrame(
+        [("A", "lbl", "Alice"), ("A", "type", "person"),
+         ("B", "lbl", "Bob"), ("C", "lbl", "Cara"), ("C", "old", "y")],
+        "subj string, pred string, obj string",
+    )
+    snap2 = spark.createDataFrame(
+        [("Alice", "country", "AT"), ("Bob", "country", "BE")],
+        "subj string, pred string, obj string",
+    )
+    svc = {"http://ex.org/sparql": snap, "http://ex2.org/sparql": snap2}
+
+    def run(text):
+        return sorted(
+            tuple(r)
+            for r in sparql.execute(local, text, services=svc).collect()
+        )
+
+    # VALUES restricts the remote matches
+    assert run(
+        """SELECT ?v ?e WHERE { ?v <d> ?e
+           SERVICE <http://ex.org/sparql>
+           { ?e <lbl> ?l VALUES ?e { "A" "C" } } }"""
+    ) == [("v1", "A"), ("v3", "C")]
+    # BIND computes on remote bindings; the group FILTER over the
+    # BIND-bound var defers past the bind
+    assert run(
+        """SELECT ?v ?tag WHERE { ?v <d> ?e
+           SERVICE <http://ex.org/sparql>
+           { ?e <lbl> ?l BIND(CONCAT(?l, "!") AS ?tag)
+             FILTER(?tag != "Bob!") } }"""
+    ) == [("v1", "Alice!"), ("v3", "Cara!")]
+    # NOT EXISTS evaluates against the snapshot graph (C has <old>)
+    assert run(
+        """SELECT ?v ?e WHERE { ?v <d> ?e
+           SERVICE <http://ex.org/sparql>
+           { ?e <lbl> ?l FILTER NOT EXISTS { ?e <old> ?o } } }"""
+    ) == [("v1", "A"), ("v2", "B")]
+    # MINUS against the snapshot graph (A is a person)
+    assert run(
+        """SELECT ?v ?e WHERE { ?v <d> ?e
+           SERVICE <http://ex.org/sparql>
+           { ?e <lbl> ?l MINUS { ?e <type> "person" } } }"""
+    ) == [("v2", "B"), ("v3", "C")]
+    # subquery aggregates over the snapshot graph; outer FILTER over
+    # the aggregate defers past the subquery join
+    assert run(
+        """SELECT ?v ?n WHERE { ?v <d> ?e
+           SERVICE <http://ex.org/sparql>
+           { ?e <lbl> ?l
+             { SELECT ?e (COUNT(?p) AS ?n) WHERE { ?e ?p ?x }
+               GROUP BY ?e }
+             FILTER(?n > 1) } }"""
+    ) == [("v1", 2), ("v3", 2)]
+    # nested SERVICE joins its OWN snapshot within the outer group
+    assert run(
+        """SELECT ?v ?cc WHERE { ?v <d> ?e
+           SERVICE <http://ex.org/sparql>
+           { ?e <lbl> ?l
+             SERVICE <http://ex2.org/sparql> { ?l <country> ?cc } } }"""
+    ) == [("v1", "AT"), ("v2", "BE")]
+    # FILTER(EXISTS {...}) expression markers compute on the snapshot
+    assert run(
+        """SELECT ?v ?l WHERE { ?v <d> ?e
+           SERVICE <http://ex.org/sparql>
+           { ?e <lbl> ?l
+             FILTER(EXISTS { ?e <type> "person" } || ?l = "Cara") } }"""
+    ) == [("v1", "Alice"), ("v3", "Cara")]
 
 
 def test_service_inside_groups(spark):
@@ -2626,8 +2712,10 @@ def test_exists_in_filter_expression(spark):
     a hidden marker on the enclosing group, the filter defers until
     the markers compute, and the marker columns drop afterwards —
     works combined with || / && / !, in UNION branch filters, ASK,
-    CONSTRUCT, and alongside BIND markers in the same group; the
-    OPTIONAL LeftJoin-condition slot stays a loud seam."""
+    CONSTRUCT, and alongside BIND markers in the same group; in the
+    OPTIONAL LeftJoin-condition slot a left-only correlated EXISTS
+    stays a loud seam (the group-bound form works — see
+    test_exists_in_optional_filter)."""
     t = spark.createDataFrame(
         [("v1", "h", "s1"), ("v1", "d", "Q1"), ("v2", "h", "s2"),
          ("v3", "h", "s3"), ("v3", "d", "Q2"), ("v3", "t", "x")],
@@ -2683,12 +2771,69 @@ def test_exists_in_filter_expression(spark):
         ).collect()
     )
     assert out8 == [("v1", "yes"), ("v3", "yes")]
-    # OPTIONAL group's FILTER slot is the LeftJoin condition: loud seam
+    # OPTIONAL group's FILTER slot is the LeftJoin condition: an
+    # EXISTS correlated on a LEFT-ONLY variable (?v binds outside the
+    # group) stays a loud seam — the marker computes on the group's
+    # bindings frame and cannot see left-side columns
     with pytest.raises(NotImplementedError, match="OPTIONAL"):
         sparql.parse(
             "SELECT ?v WHERE { ?v <h> ?s OPTIONAL { ?s <x> ?y "
             "FILTER(EXISTS { ?v <d> ?q }) } }"
         )
+
+
+def test_exists_in_optional_filter(spark):
+    """EXISTS inside an OPTIONAL group's FILTER — LeftJoin(P1, P2, F)
+    with a hidden EXISTS marker in F: the marker computes on the
+    GROUP's bindings frame (_group_bindings keeps unconsumed markers),
+    the folded join condition references it, graph_pattern drops the
+    column after the join.  A left row whose every candidate fails the
+    EXISTS survives NULL-padded (the LeftJoin-condition semantics),
+    NOT dropped."""
+    t = spark.createDataFrame(
+        [
+            ("v1", "h", "s1"), ("v2", "h", "s2"), ("v3", "h", "s3"),
+            ("s1", "d", "A"), ("s2", "d", "B"),
+            ("A", "lbl", "Alice"),  # only A has a label
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, "SELECT ?v ?e WHERE { ?v <h> ?s OPTIONAL { ?s <d> ?e "
+           "FILTER(EXISTS { ?e <lbl> ?l }) } } ORDER BY ?v"
+    )
+    assert out.columns == ["v", "e"]
+    # v2's candidate (B) fails EXISTS -> NULL-padded, not dropped
+    assert [(r.v, r.e) for r in out.collect()] == [
+        ("v1", "A"), ("v2", None), ("v3", None)
+    ]
+    # boolean combination rescues v2's candidate through the || arm
+    out2 = sparql.execute(
+        t, "SELECT ?v ?e WHERE { ?v <h> ?s OPTIONAL { ?s <d> ?e "
+           "FILTER(EXISTS { ?e <lbl> ?l } || ?e = 'B') } } ORDER BY ?v"
+    ).collect()
+    assert [(r.v, r.e) for r in out2] == [
+        ("v1", "A"), ("v2", "B"), ("v3", None)
+    ]
+    # negated form flips which candidate survives
+    out3 = sparql.execute(
+        t, "SELECT ?v ?e WHERE { ?v <h> ?s OPTIONAL { ?s <d> ?e "
+           "FILTER(!EXISTS { ?e <lbl> ?l }) } } ORDER BY ?v"
+    ).collect()
+    assert [(r.v, r.e) for r in out3] == [
+        ("v1", None), ("v2", "B"), ("v3", None)
+    ]
+    # no marker column leaks into the result schema
+    assert not [c for c in out.columns if c.startswith("__exists_")]
+    # an existential-only variable in the EXISTS group is fine even
+    # though it appears nowhere else (no-shared-var constant marker)
+    out4 = sparql.execute(
+        t, "SELECT ?v ?e WHERE { ?v <h> ?s OPTIONAL { ?s <d> ?e "
+           "FILTER(EXISTS { ?z <lbl> ?l }) } } ORDER BY ?v"
+    ).collect()
+    assert [(r.v, r.e) for r in out4] == [
+        ("v1", "A"), ("v2", "B"), ("v3", None)
+    ]
 
 
 def test_exists_in_select_expression(spark):
