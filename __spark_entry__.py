@@ -2143,6 +2143,67 @@ LIMIT 5
 """
 
 
+def _q_sparql_distinct_agg_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELECT DISTINCT with a hidden aggregate ORDER BY key
+    (operators/sparql.py _finish_select): grouping is per (nation,
+    region) but only ?r projects, so Distinct collapses each region's
+    nations and keeps its FIRST occurrence's sort key — the max
+    per-nation customer count under DESC — and LIMIT 3 makes the
+    ordering material to the row SET (5 regions in the corpus).  The
+    oracle replays group → per-region max → order/limit."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    base = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    ).unionByName(
+        nation.join(
+            region, F.col("n_regionkey") == F.col("r_regionkey")
+        ).select(
+            F.col("n_name").alias("subj"),
+            F.lit("http://example.org/inRegion").alias("pred"),
+            F.col("r_name").alias("obj"),
+        )
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT DISTINCT ?r WHERE {
+          ?c ex:inNation ?n .
+          ?n ex:inRegion ?r .
+        }
+        GROUP BY ?n ?r
+        ORDER BY DESC(COUNT(?c)) ?r
+        LIMIT 3
+        """,
+    )
+
+
+ORACLE_SPARQL_DISTINCT_AGG_ORDER = """
+WITH g AS (
+  SELECT n_name, r_name, COUNT(c_name) AS cnt
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY n_name, r_name
+)
+SELECT r FROM (
+  SELECT r_name AS r, MAX(cnt) AS k FROM g GROUP BY r_name
+)
+ORDER BY k DESC, r
+LIMIT 3
+"""
+
+
 def _q_sparql_construct_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT WHERE { BGP } short form (SPARQL 1.1 §10.2.3,
     operators/sparql.py _parse_construct): the two-pattern WHERE
@@ -3491,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_having_agg": _q_sparql_having_agg,
         "sparql_construct_where": _q_sparql_construct_where,
         "sparql_order_agg": _q_sparql_order_agg,
+        "sparql_distinct_agg_order": _q_sparql_distinct_agg_order,
         "sparql_exists_bind": _q_sparql_exists_bind,
         "sparql_filter_exists_expr": _q_sparql_filter_exists_expr,
         "sparql_optional_exists": _q_sparql_optional_exists,
@@ -3692,6 +3754,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_having_agg": ORACLE_SPARQL_HAVING,
         "sparql_construct_where": ORACLE_SPARQL_CONSTRUCT_WHERE,
         "sparql_order_agg": ORACLE_SPARQL_ORDER_AGG,
+        "sparql_distinct_agg_order": ORACLE_SPARQL_DISTINCT_AGG_ORDER,
         "sparql_exists_bind": ORACLE_SPARQL_EXISTS_BIND,
         "sparql_filter_exists_expr": ORACLE_SPARQL_FILTER_EXISTS,
         "sparql_optional_exists": ORACLE_SPARQL_OPTIONAL_EXISTS,

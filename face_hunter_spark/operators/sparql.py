@@ -3391,12 +3391,6 @@ def _finish_select(
         ]
         if drop_now:
             df = df.drop(*drop_now)
-        if hidden_kept and q.distinct:
-            raise NotImplementedError(
-                "DISTINCT with an aggregate ORDER BY key is not in the "
-                "supported subset — alias the aggregate in the SELECT "
-                "list and sort by the alias"
-            )
     else:
         hidden_kept = []
     for sql, alias in q.select_exprs:
@@ -3415,7 +3409,39 @@ def _finish_select(
             raise ValueError(f"select names unbound variables: {missing}")
         df = df.select(*q.select, *hidden_kept)
     if q.distinct:
-        df = df.distinct()
+        if hidden_kept:
+            # Distinct applies AFTER projection (the algebra is
+            # OrderBy -> Project -> Distinct), so a hidden aggregate
+            # sort key is not part of row identity: each distinct
+            # projected row keeps its FIRST occurrence's key in the
+            # ordered sequence.  Within one distinct group only the
+            # hidden key differs, so that is the per-group extreme of
+            # the key in its sort direction — exact for ONE bare
+            # hidden key (the ORDER BY DESC(COUNT(?s)) shape); a
+            # hidden key buried in a larger sort expression, or two
+            # hidden keys (lexicographic first-occurrence does not
+            # decompose into per-column extremes), stay loud.
+            refs = [
+                (e, asc) for e, asc in q.order_by
+                if any(h in e for h in hidden_kept)
+            ]
+            h0 = hidden_kept[0]
+            if len(hidden_kept) > 1 or not all(
+                e.strip() in (h0, f"`{h0}`") for e, _asc in refs
+            ):
+                raise NotImplementedError(
+                    "DISTINCT with a composite aggregate ORDER BY "
+                    "key is not in the supported subset — alias the "
+                    "aggregate in the SELECT list and sort by the "
+                    "alias"
+                )
+            asc0 = refs[0][1] if refs else True
+            vis = [c for c in df.columns if c != h0]
+            df = df.groupBy(*vis).agg(
+                (F.min(h0) if asc0 else F.max(h0)).alias(h0)
+            )
+        else:
+            df = df.distinct()
     if q.order_by:
 
         def _key(e):

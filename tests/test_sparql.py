@@ -2500,11 +2500,28 @@ def test_order_by_aggregate_expression(spark):
            "HAVING (COUNT(?s) > 1) ORDER BY DESC(COUNT(?s))"
     ).collect()
     assert [(r.v, r.n) for r in out2] == [("v3", 3), ("v1", 2)]
-    # DISTINCT + hidden aggregate sort key is a loud seam
+    # DISTINCT + ONE bare hidden aggregate sort key: Distinct applies
+    # after projection, so each distinct row keeps its first
+    # occurrence's key (per-group extreme in the sort direction) —
+    # here the projection DROPS the ?n group key, so the two (v1,*)
+    # groups collapse and v1 sorts by its larger count
+    t2 = spark.createDataFrame(
+        [("v1", "h", "s1"), ("v1", "h", "s2"), ("v1", "i", "s3"),
+         ("v2", "h", "s4"), ("v2", "h", "s5"), ("v2", "h", "s6")],
+        "subj string, pred string, obj string",
+    )
+    out3 = sparql.execute(
+        t2, "SELECT DISTINCT ?v WHERE { ?v ?n ?s } GROUP BY ?v ?n "
+            "ORDER BY DESC(COUNT(?s)) ?v"
+    )
+    assert out3.columns == ["v"]
+    # groups: (v1,h)=2,(v1,i)=1,(v2,h)=3 -> keys v1:max=2, v2:3
+    assert [r.v for r in out3.collect()] == ["v2", "v1"]
+    # a hidden key buried in a larger sort expression stays loud
     with pytest.raises(NotImplementedError, match="DISTINCT"):
         sparql.execute(
             t, "SELECT DISTINCT ?v WHERE { ?v <h> ?s } GROUP BY ?v "
-               "ORDER BY DESC(COUNT(?s))"
+               "ORDER BY DESC(COUNT(?s) + 1)"
         )
 
 
