@@ -2851,6 +2851,22 @@ def test_exists_in_optional_filter(spark):
     assert [(r.v, r.e) for r in out4] == [
         ("v1", "A"), ("v2", "B"), ("v3", None)
     ]
+    # flows through UNION branches (complex-branch promotion keeps the
+    # group's exists_binds with the moved-out LeftJoin filter)
+    out5 = sparql.execute(
+        t, "SELECT ?v ?e WHERE { { ?v <h> ?s OPTIONAL { ?s <d> ?e "
+           "FILTER(EXISTS { ?e <lbl> ?l }) } } UNION { ?v <x> ?s } } "
+           "ORDER BY ?v"
+    ).collect()
+    assert [(r.v, r.e) for r in out5] == [
+        ("v1", "A"), ("v2", None), ("v3", None)
+    ]
+    # and through CONSTRUCT (NULL-bound template vars skip the row)
+    out6 = sparql.execute(
+        t, "CONSTRUCT { ?v <picked> ?e } WHERE { ?v <h> ?s "
+           "OPTIONAL { ?s <d> ?e FILTER(EXISTS { ?e <lbl> ?l }) } }"
+    ).collect()
+    assert sorted((r.subj, r.obj) for r in out6) == [("v1", "A")]
 
 
 def test_exists_in_select_expression(spark):
