@@ -261,7 +261,18 @@ def parse_n3_rows(
                 pred, obj = NS["rdf_type"], rev_type[part[2:].strip()]
             else:
                 pname, obj = part.split(None, 1)
-                pred = rev_pred[pname]
+                if pname.startswith("<") and pname.endswith(">"):
+                    # absolute-IRI predicate — generic n3 documents
+                    # (the LOAD path) use these; the writer's own
+                    # dialect uses the prefixed names below
+                    pred = pname[1:-1]
+                elif pname in rev_pred:
+                    pred = rev_pred[pname]
+                elif ":" in pname and pname.split(":", 1)[0] in prefixes:
+                    pfx, local = pname.split(":", 1)
+                    pred = prefixes[pfx] + local
+                else:
+                    pred = rev_pred[pname]  # loud KeyError on unknowns
                 obj = obj.strip()
                 if obj.startswith("<"):
                     obj = obj.strip("<>")

@@ -79,13 +79,18 @@ _Lit = Lit
 class ParsedUpdate:
     """One parsed SPARQL Update operation."""
 
-    form: str  # 'insert_data' | 'delete_data' | 'delete_where' | 'modify'
+    form: str  # 'insert_data' | 'delete_data' | 'delete_where' |
+    # 'modify' | 'clear' | 'clear_named' | 'load' | 'create' |
+    # 'copy' | 'move' | 'add'
     # ground triples of the DATA forms (terms may be _Lit)
     data: list = field(default_factory=list)
     delete_template: list | None = None
     insert_template: list | None = None
     where: ParsedQuery | None = None
     graph: str | None = None  # last GRAPH <g> wrapper seen (informational)
+    graph2: str | None = None  # COPY/MOVE/ADD destination ref (None=DEFAULT)
+    silent: bool = False  # SILENT modifier (failures become no-ops)
+    load_iri: str | None = None  # LOAD source IRI
 
 
 class _UpdateParser(_Parser):
@@ -198,11 +203,72 @@ class _UpdateParser(_Parser):
                 )
             self._done()
             return u
+        if self._at_kw("load"):
+            # LOAD [SILENT] <iri> [INTO GRAPH <iri>] — evaluated at
+            # execution time (the file is read then, not at parse);
+            # only file IRIs are supported (offline store)
+            self._next()
+            u = ParsedUpdate(form="load")
+            if self._at_kw("silent"):
+                self._next()
+                u.silent = True
+            src = self._term(allow_var=False)
+            if isinstance(src, Lit):
+                raise ValueError("LOAD needs an IRI source")
+            u.load_iri = src
+            if self._at_kw("into"):
+                self._next()
+                self._expect_kw("graph")
+                g = self._term(allow_var=False)
+                if isinstance(g, Lit):
+                    raise ValueError("INTO GRAPH needs an IRI")
+                # additive collapse, same rule as INSERT GRAPH wrappers
+                u.graph = g
+            self._done()
+            return u
+        if self._at_kw("create"):
+            self._next()
+            u = ParsedUpdate(form="create")
+            if self._at_kw("silent"):
+                self._next()
+                u.silent = True
+            self._expect_kw("graph")
+            g = self._term(allow_var=False)
+            if isinstance(g, Lit):
+                raise ValueError("CREATE GRAPH needs an IRI")
+            u.graph = g
+            self._done()
+            return u
+        if self._at_kw("copy", "move", "add"):
+            kw = self._next().text.lower()
+            u = ParsedUpdate(form=kw)
+            if self._at_kw("silent"):
+                self._next()
+                u.silent = True
+            u.graph = self._graph_ref(kw.upper())
+            self._expect_kw("to")
+            u.graph2 = self._graph_ref(kw.upper())
+            self._done()
+            return u
         t = self._peek()
         raise ValueError(
-            "update must start with INSERT, DELETE or CLEAR (after "
-            f"any PREFIX block); got {t.text if t else 'nothing'!r}"
+            "update must start with INSERT, DELETE, CLEAR/DROP, LOAD, "
+            "CREATE, COPY, MOVE or ADD (after any PREFIX block); got "
+            f"{t.text if t else 'nothing'!r}"
         )
+
+    def _graph_ref(self, where: str) -> str | None:
+        """``GRAPH? <iri> | DEFAULT`` (SPARQL 1.1 GraphOrDefault).
+        Returns the IRI, or None for DEFAULT."""
+        if self._at_kw("default"):
+            self._next()
+            return None
+        if self._at_kw("graph"):
+            self._next()
+        g = self._term(allow_var=False)
+        if isinstance(g, Lit):
+            raise ValueError(f"{where} needs GRAPH <iri> or DEFAULT")
+        return g
 
     def _done(self) -> None:
         # end of ONE operation: EOF or a ';' separator (consumed by
@@ -478,6 +544,67 @@ def _check_clear_graph(u: "ParsedUpdate", graph_uri: str | None) -> None:
         )
 
 
+def _graph_mgmt_noop(u: "ParsedUpdate", graph_uri: str | None) -> None:
+    """Validate a CREATE / COPY / MOVE / ADD operation.  The store is
+    ONE graph, so every valid form is a no-op: graphs implicitly
+    exist (CREATE), and both GraphOrDefault refs necessarily resolve
+    to the same single graph (COPY/MOVE/ADD g TO g are no-ops per
+    SPARQL 1.1 §3.2.3-3.2.5).  An IRI ref that does NOT name this
+    store's graph raises — unless SILENT, which turns the failure
+    into the spec's silent no-op."""
+    refs = [u.graph] if u.form == "create" else [u.graph, u.graph2]
+    for g in refs:
+        if g is None:  # DEFAULT — always this store
+            continue
+        ok = graph_uri is not None and g == graph_uri
+        if not ok and not u.silent:
+            raise ValueError(
+                f"{u.form.upper()} names graph <{g}>, which is not "
+                "this store's "
+                + (f"graph <{graph_uri}>" if graph_uri
+                   else "graph (none configured — pass graph_uri=)")
+                + " — a single-graph store has no other graphs "
+                "(add SILENT for the spec's silent no-op)"
+            )
+
+
+def _load_spo(spark: SparkSession, u: "ParsedUpdate"):
+    """LOAD's source as a (subj, pred, obj) DataFrame, or None when
+    SILENT swallows a read failure.  Only ``file:`` IRIs (or bare
+    paths) are supported — the store is offline; network fetch is out
+    of scope.  Scale note: the file parses on the DRIVER (the spec's
+    LOAD is a single-document fetch); multi-GB sharded exports go
+    through ``sources.import_n3(sharded=True)``, which parses part
+    files on executors."""
+    iri = u.load_iri
+    if iri.startswith("file://"):
+        path = iri[len("file://"):]
+    elif "://" in iri:
+        if u.silent:
+            return None
+        raise NotImplementedError(
+            f"LOAD <{iri}>: only file: IRIs are supported (offline "
+            "store; network fetch is out of scope) — fetch the "
+            "document yourself and LOAD <file://...>, or use "
+            "sources.import_n3 for catalog-backed imports"
+        )
+    else:
+        path = iri
+    from .rdf import parse_n3
+
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        if u.silent:
+            return None
+        raise
+    rows = sorted(parse_n3(text))
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+
+
 def updated_graph(
     triples: DataFrame,
     update: str | ParsedUpdate,
@@ -518,6 +645,17 @@ def _apply_op(
         return base.limit(0)
     if u.form == "clear_named":
         return base
+    if u.form in ("create", "copy", "move", "add"):
+        _graph_mgmt_noop(u, graph_uri)
+        return base
+    if u.form == "load":
+        rows = _load_spo(base.sparkSession, u)
+        if rows is None:
+            return base
+        novel = rows.join(
+            base, ["subj", "pred", "obj"], "left_anti"
+        )
+        return base.unionByName(novel)
     if u.where is not None:
         from .sparql import _inject_graph_binds
 
@@ -663,6 +801,31 @@ def _execute_one(
                 report["snapshot"] = catalog.overwrite(
                     table, full.limit(0), run_id
                 )
+        return report
+
+    if u.form in ("create", "copy", "move", "add"):
+        _graph_mgmt_noop(u, graph_uri)
+        return report
+
+    if u.form == "load":
+        # resolve/validate the IRI with the shared helper (raises or
+        # silently no-ops on bad scheme / missing file), then commit
+        # through sources.import_n3 — the catalog-native n3 import:
+        # full pipeline schema recovery (literal shapes, doc_id
+        # co-location), idempotent anti-join append, one snapshot
+        probe = _load_spo(spark, u)
+        if probe is None:
+            return report
+        from ..sources import import_n3
+
+        path = (
+            u.load_iri[len("file://"):]
+            if u.load_iri.startswith("file://")
+            else u.load_iri
+        )
+        r = import_n3(spark, catalog, path, table=table, run_id=run_id)
+        report["inserted"] = r["inserted"]
+        report["snapshot"] = r["snapshot"]
         return report
 
     if not catalog.exists(table):

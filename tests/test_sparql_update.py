@@ -801,3 +801,120 @@ def test_insert_data_alternate_string_forms(spark):
         ("http://x/b", "http://x/p", "it's long"),
         ("http://x/c", "http://x/p", 'say "hi" there'),
     }
+
+
+# ------------------------------------------- LOAD + graph management
+
+
+def test_load_file_updated_graph(spark, tmp_path):
+    """LOAD <file://...> parses the n3 document and unions it
+    set-semantically (already-present triples do not duplicate);
+    non-file schemes and missing files raise — or no-op under SILENT."""
+    n3 = tmp_path / "in.n3"
+    n3.write_text(
+        "<http://e/s1> <http://e/p> <http://e/o1> .\n"
+        "<http://e/s2> <http://e/p> \"lit\" .\n"
+    )
+    g = _graph(spark, [("http://e/s1", "http://e/p", "http://e/o1")])
+    out = updated_graph(g, f"LOAD <file://{n3}>")
+    assert _spo(out) == {
+        ("http://e/s1", "http://e/p", "http://e/o1"),
+        ("http://e/s2", "http://e/p", "lit"),
+    }
+    # idempotent: loading into the loaded state adds nothing
+    assert _spo(updated_graph(out, f"LOAD <file://{n3}>")) == _spo(out)
+    # INTO GRAPH collapses additively like INSERT wrappers
+    u = parse_update(f"LOAD <file://{n3}> INTO GRAPH <http://g/kg>")
+    assert u.form == "load" and u.graph == "http://g/kg"
+    # network schemes are out of scope — loud, or SILENT no-op
+    with pytest.raises(NotImplementedError, match="file"):
+        updated_graph(g, "LOAD <http://remote/doc.n3>")
+    assert _spo(
+        updated_graph(g, "LOAD SILENT <http://remote/doc.n3>")
+    ) == _spo(g)
+    # missing file: loud, or SILENT no-op
+    with pytest.raises(OSError):
+        updated_graph(g, f"LOAD <file://{tmp_path}/nope.n3>")
+    assert _spo(
+        updated_graph(g, f"LOAD SILENT <file://{tmp_path}/nope.n3>")
+    ) == _spo(g)
+
+
+def test_graph_management_noops(spark):
+    """CREATE / COPY / MOVE / ADD on a single-graph store: every valid
+    form is a no-op (graphs implicitly exist; both refs resolve to the
+    same graph, and COPY/MOVE/ADD g TO g are no-ops per §3.2.3-3.2.5);
+    an IRI naming any OTHER graph raises unless SILENT."""
+    g = _graph(spark, [("s", "p", "o")])
+    uri = "http://g.example/kg"
+    for text in (
+        f"CREATE GRAPH <{uri}>",
+        f"COPY GRAPH <{uri}> TO DEFAULT",
+        f"MOVE DEFAULT TO GRAPH <{uri}>",
+        f"ADD DEFAULT TO DEFAULT",
+        f"COPY <{uri}> TO <{uri}>",  # bare-IRI GraphOrDefault form
+    ):
+        assert _spo(
+            updated_graph(g, text, graph_uri=uri)
+        ) == {("s", "p", "o")}, text
+    # a foreign graph raises...
+    with pytest.raises(ValueError, match="single-graph"):
+        updated_graph(g, "CREATE GRAPH <http://other/g>", graph_uri=uri)
+    with pytest.raises(ValueError, match="single-graph"):
+        updated_graph(
+            g, "COPY GRAPH <http://other/g> TO DEFAULT", graph_uri=uri
+        )
+    # ...unless SILENT (the spec's silent no-op)
+    assert _spo(
+        updated_graph(
+            g, "CREATE SILENT GRAPH <http://other/g>", graph_uri=uri
+        )
+    ) == {("s", "p", "o")}
+    # DEFAULT-only refs need no configured graph URI
+    assert _spo(
+        updated_graph(g, "ADD DEFAULT TO DEFAULT")
+    ) == {("s", "p", "o")}
+
+
+def test_load_commits_via_catalog(spark, tmp_path):
+    """The committing LOAD rides sources.import_n3: full-schema rows,
+    idempotent anti-join append, one snapshot; re-loading the same
+    document commits nothing."""
+    from face_hunter_spark.catalog import ParquetCatalog
+
+    n3 = tmp_path / "doc.n3"
+    n3.write_text(
+        "<http://e/s1> <http://e/p> <http://e/o1> .\n"
+        "<http://e/s1> <http://e/t> \"five\" .\n"
+    )
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    execute_update(
+        spark, cat, "triples",
+        "INSERT DATA { <http://e/s0> <http://e/p> <http://e/o0> . }",
+    )
+    r = execute_update(
+        spark, cat, "triples", f"LOAD <file://{n3}>"
+    )
+    assert r["form"] == "load" and r["inserted"] == 2
+    assert r["snapshot"] is not None
+    r2 = execute_update(
+        spark, cat, "triples", f"LOAD <file://{n3}>"
+    )
+    assert r2["inserted"] == 0 and r2["snapshot"] is None
+    got = _spo(cat.read(spark, "triples"))
+    assert ("http://e/s1", "http://e/t", "five") in got
+    assert len(got) == 3
+    # literal shape recovered from the n3 syntax
+    lit = (
+        cat.read(spark, "triples")
+        .where(F.col("obj") == "five")
+        .select("obj_is_literal")
+        .collect()
+    )
+    assert [r_.obj_is_literal for r_ in lit] == [True]
+    # management ops report as no-ops through the committing path too
+    r3 = execute_update(
+        spark, cat, "triples", "ADD DEFAULT TO DEFAULT"
+    )
+    assert r3 == {"form": "add", "inserted": 0, "deleted": 0,
+                  "snapshot": None}
