@@ -2204,6 +2204,48 @@ LIMIT 3
 """
 
 
+def _q_sparql_trailing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing VALUES clause (SPARQL 1.1 §10.2.2, operators/sparql.py
+    _finish_select): per-nation customer counts joined — AFTER the
+    aggregation, per §18.2.4.3 — with an inline allow-list of three
+    nation names.  The oracle replays group-then-IN-list, which is
+    only equivalent because the join happens post-aggregation (an
+    in-group VALUES would change the counts' inputs, not filter the
+    groups)."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?n (COUNT(?c) AS ?cnt) WHERE {
+          ?c ex:inNation ?n .
+        }
+        GROUP BY ?n
+        ORDER BY ?n
+        VALUES ?n { "NATION_2" "NATION_7" "NATION_11" }
+        """,
+    )
+
+
+ORACLE_SPARQL_TRAILING_VALUES = """
+SELECT n_name AS n, COUNT(c_name) AS cnt
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING n_name IN ('NATION_2', 'NATION_7', 'NATION_11')
+ORDER BY n
+"""
+
+
 def _q_sparql_construct_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT WHERE { BGP } short form (SPARQL 1.1 §10.2.3,
     operators/sparql.py _parse_construct): the two-pattern WHERE
@@ -3553,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_construct_where": _q_sparql_construct_where,
         "sparql_order_agg": _q_sparql_order_agg,
         "sparql_distinct_agg_order": _q_sparql_distinct_agg_order,
+        "sparql_trailing_values": _q_sparql_trailing_values,
         "sparql_exists_bind": _q_sparql_exists_bind,
         "sparql_filter_exists_expr": _q_sparql_filter_exists_expr,
         "sparql_optional_exists": _q_sparql_optional_exists,
@@ -3755,6 +3798,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_construct_where": ORACLE_SPARQL_CONSTRUCT_WHERE,
         "sparql_order_agg": ORACLE_SPARQL_ORDER_AGG,
         "sparql_distinct_agg_order": ORACLE_SPARQL_DISTINCT_AGG_ORDER,
+        "sparql_trailing_values": ORACLE_SPARQL_TRAILING_VALUES,
         "sparql_exists_bind": ORACLE_SPARQL_EXISTS_BIND,
         "sparql_filter_exists_expr": ORACLE_SPARQL_FILTER_EXISTS,
         "sparql_optional_exists": ORACLE_SPARQL_OPTIONAL_EXISTS,

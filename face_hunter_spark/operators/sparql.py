@@ -309,6 +309,9 @@ class ParsedQuery:
     # VALUES (?a ?b) { (x y) ... }: (vars, rows) inline binding tables,
     # joined onto the group's bindings (cross product if uncorrelated)
     values_clauses: list = field(default_factory=list)
+    # trailing VALUES clause (§10.2.2): joins the WHOLE query's
+    # solutions after grouping/HAVING and before projection (§18.2.4.3)
+    post_values: list = field(default_factory=list)
     # BIND (expr AS ?v): (sql_expr, var) applied in document order
     # after all joins
     binds: list = field(default_factory=list)
@@ -445,6 +448,12 @@ class _Parser:
                 "query must start with SELECT/ASK/DESCRIBE/CONSTRUCT "
                 f"(after any PREFIX block); got {t.text if t else 'nothing'!r}"
             )
+        if self._at_kw("values"):
+            # trailing VALUES clause (§10.2.2): joins the whole
+            # query's solutions after grouping/HAVING, before
+            # projection (§18.2.4.3)
+            self._next()
+            q.post_values.append(self._parse_values())
         t = self._peek()
         if t is not None:
             raise ValueError(
@@ -3138,7 +3147,7 @@ def execute(
     if q.form == "ask":
         vs = _variants(q)
         needs_assembler = (
-            has_negation or q.services or q.subqueries
+            has_negation or q.services or q.subqueries or q.post_values
             or any(
                 cx or any(isinstance(g, ParsedQuery) for g in o)
                 for _, o, _, _, cx in vs
@@ -3169,6 +3178,12 @@ def execute(
         )
     if q.form == "describe":
         if not describe_var:
+            if q.post_values:
+                raise NotImplementedError(
+                    "a trailing VALUES clause on a constant-node "
+                    "DESCRIBE has no solutions to join — describe a "
+                    "?variable bound in a WHERE group instead"
+                )
             return bgp.describe(triples, q.describe_node)
         # variable form: bind the node set through the full solution
         # algebra, then two semi-joins pull each node's out/in star —
@@ -3393,6 +3408,27 @@ def _finish_select(
             df = df.drop(*drop_now)
     else:
         hidden_kept = []
+    for vars_, rows_v in q.post_values:
+        # trailing VALUES (§18.2.4.3): join the whole query's
+        # solutions — after grouping/HAVING, before projection — with
+        # the inline table; tiny literal table, broadcast
+        vdf = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [list(r) for r in rows_v],
+                ", ".join(f"`{v}` string" for v in vars_),
+            )
+        )
+        shared = [v for v in vars_ if v in df.columns]
+        if shared:
+            df = df.join(vdf, on=shared, how="inner")
+        elif allow_cartesian:
+            df = df.crossJoin(vdf)
+        else:
+            raise ValueError(
+                "trailing VALUES shares no variable with the query's "
+                "solutions (a cross product) — correlate it or pass "
+                "allow_cartesian=True"
+            )
     for sql, alias in q.select_exprs:
         # non-aggregate SELECT expressions extend at projection scope
         # (after aggregation, so group keys and aggregate aliases are

@@ -2895,3 +2895,54 @@ def test_exists_in_select_expression(spark):
     assert [(r.v, r.l) for r in out2.collect()] == [
         ("v1", "y"), ("v2", "n"), ("v3", "y")
     ]
+
+
+def test_trailing_values_clause(spark):
+    """Trailing VALUES (§10.2.2 / §18.2.4.3): the inline table joins
+    the WHOLE query's solutions — after grouping/HAVING, before
+    projection — on the shared variables; grammar position is after
+    the solution modifiers; ASK honors it; uncorrelated tables and
+    constant-node DESCRIBE stay loud."""
+    t = spark.createDataFrame(
+        [("a", "p", "1"), ("a", "p", "2"), ("b", "p", "2"),
+         ("c", "p", "3")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, 'SELECT ?s ?o WHERE { ?s <p> ?o } ORDER BY ?s ?o '
+           'VALUES ?s { "a" "c" }'
+    )
+    assert sorted((r.s, r.o) for r in out.collect()) == [
+        ("a", "1"), ("a", "2"), ("c", "3")
+    ]
+    # joins AFTER aggregation (the values var is a group key here)
+    out2 = sparql.execute(
+        t, "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o } "
+           'GROUP BY ?s VALUES ?s { "a" "b" }'
+    )
+    assert sorted((r.s, r.n) for r in out2.collect()) == [
+        ("a", 2), ("b", 1)
+    ]
+    # multi-variable tuple form
+    out3 = sparql.execute(
+        t, "SELECT ?s ?o WHERE { ?s <p> ?o } "
+           'VALUES (?s ?o) { ("a" "1") ("c" "3") }'
+    )
+    assert sorted((r.s, r.o) for r in out3.collect()) == [
+        ("a", "1"), ("c", "3")
+    ]
+    # ASK routes through the assembler
+    assert sparql.execute(
+        t, 'ASK { ?s <p> ?o } VALUES ?s { "c" }'
+    ) is True
+    assert sparql.execute(
+        t, 'ASK { ?s <p> ?o } VALUES ?s { "zz" }'
+    ) is False
+    # uncorrelated = cross product: loud without allow_cartesian
+    with pytest.raises(ValueError, match="trailing VALUES"):
+        sparql.execute(
+            t, 'SELECT ?s WHERE { ?s <p> ?o } VALUES ?x { "1" }'
+        )
+    # constant-node DESCRIBE has no solutions to join
+    with pytest.raises(NotImplementedError, match="DESCRIBE"):
+        sparql.execute(t, 'DESCRIBE <a> VALUES ?s { "a" }')
