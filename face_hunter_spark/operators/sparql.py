@@ -468,6 +468,13 @@ class _Parser:
         if self._at_kw("distinct"):
             self._next()
             q.distinct = True
+        elif self._at_kw("reduced"):
+            # REDUCED permits eliminating any subset of duplicates
+            # (§9.3.2); eliminating ALL of them is a conforming — and
+            # the only deterministic — implementation, so it shares
+            # the DISTINCT path
+            self._next()
+            q.distinct = True
         if self._at_op("*"):
             self._next()
             q.select = None

@@ -2946,3 +2946,17 @@ def test_trailing_values_clause(spark):
     # constant-node DESCRIBE has no solutions to join
     with pytest.raises(NotImplementedError, match="DESCRIBE"):
         sparql.execute(t, 'DESCRIBE <a> VALUES ?s { "a" }')
+
+
+def test_select_reduced(spark):
+    """SELECT REDUCED permits eliminating any subset of duplicate
+    solutions (§9.3.2) — eliminating all of them is conforming and
+    deterministic, so it shares the DISTINCT path."""
+    t = spark.createDataFrame(
+        [("a", "p", "x"), ("a", "q", "x"), ("b", "p", "y")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, "SELECT REDUCED ?s WHERE { ?s ?p ?o } ORDER BY ?s"
+    )
+    assert [r.s for r in out.collect()] == ["a", "b"]
