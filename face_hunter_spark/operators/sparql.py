@@ -1728,6 +1728,14 @@ class _Parser:
             b = self._operand()
             self._expect_op(")")
             return f"({a} = {b})"
+        if name == "isnumeric":
+            # the one type-test builtin the all-lexical model answers
+            # soundly: a binding is numeric iff its lexical form
+            # parses as a number (try_cast NULL-probes; unbound stays
+            # NULL → effective false, the spec's type-error rule)
+            a = self._value_expr()
+            self._expect_op(")")
+            return f"(try_cast({a} AS DOUBLE) IS NOT NULL)"
         if name in ("md5", "sha1", "sha256", "sha512"):
             a = self._value_expr()
             self._expect_op(")")
@@ -1762,7 +1770,7 @@ class _Parser:
             "LCASE, STRLEN, SUBSTR, REPLACE, CONCAT, COALESCE, "
             "STRBEFORE, STRAFTER, IF, ABS, CEIL, FLOOR, ROUND, MD5, SHA1, "
             "SHA256, SHA512, YEAR, MONTH, DAY, HOURS, MINUTES, SECONDS, "
-            "ENCODE_FOR_URI, SAMETERM)"
+            "ENCODE_FOR_URI, SAMETERM, ISNUMERIC)"
         )
 
 

@@ -2960,3 +2960,26 @@ def test_select_reduced(spark):
         t, "SELECT REDUCED ?s WHERE { ?s ?p ?o } ORDER BY ?s"
     )
     assert [r.s for r in out.collect()] == ["a", "b"]
+
+
+def test_isnumeric_builtin(spark):
+    """isNumeric — the one type-test builtin the all-lexical model
+    answers soundly: true iff the lexical form parses as a number."""
+    t = spark.createDataFrame(
+        [("a", "p", "42"), ("b", "p", "4.5e1"), ("c", "p", "x42"),
+         ("d", "p", "0:00:05")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, "SELECT ?s WHERE { ?s <p> ?o FILTER(isNumeric(?o)) } "
+           "ORDER BY ?s"
+    )
+    assert [r.s for r in out.collect()] == ["a", "b"]
+    # in BIND position too
+    out2 = sparql.execute(
+        t, "SELECT ?s ?f WHERE { ?s <p> ?o "
+           "BIND(isNumeric(?o) AS ?f) } ORDER BY ?s"
+    ).collect()
+    assert [(r.s, r.f) for r in out2] == [
+        ("a", "true"), ("b", "true"), ("c", "false"), ("d", "false")
+    ]
