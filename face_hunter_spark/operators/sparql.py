@@ -529,6 +529,13 @@ class _Parser:
             self._next()
         self._parse_group(q)
         self._parse_modifiers(q)
+        if self._at_kw("values"):
+            # trailing VALUES clause (§10.2.2): SelectQuery AND
+            # SubSelect both end "SolutionModifier ValuesClause", so
+            # it parses here — a subquery's table joins that
+            # subquery's solutions before its projection
+            self._next()
+            q.post_values.append(self._parse_values())
         if q.aggregates:
             if q.select is None:
                 raise ValueError(

@@ -2983,3 +2983,23 @@ def test_isnumeric_builtin(spark):
     assert [(r.s, r.f) for r in out2] == [
         ("a", "true"), ("b", "true"), ("c", "false"), ("d", "false")
     ]
+
+
+def test_trailing_values_in_subquery(spark):
+    """SubSelect ends 'SolutionModifier ValuesClause' like a top-level
+    SELECT (§19.8 grammar rule [8]): a subquery's trailing VALUES
+    joins that subquery's solutions before its projection."""
+    t = spark.createDataFrame(
+        [("a", "p", "1"), ("a", "p", "2"), ("b", "p", "2"),
+         ("c", "p", "3"), ("a", "lbl", "A"), ("b", "lbl", "B"),
+         ("c", "lbl", "C")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, "SELECT ?s ?l ?n WHERE { ?s <lbl> ?l "
+           "{ SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <p> ?o } "
+           'GROUP BY ?s VALUES ?s { "a" "b" } } } ORDER BY ?s'
+    ).collect()
+    assert [(r.s, r.l, r.n) for r in out] == [
+        ("a", "A", 2), ("b", "B", 1)
+    ]
