@@ -244,21 +244,58 @@ def parse_n3_rows(
             return prefixes.get(pfx, pfx + ":") + local
         return tok
 
+    def expand_pname(tok: str) -> str | None:
+        """Known-prefix ``pfx:local`` -> IRI, else None."""
+        if ":" in tok:
+            pfx, local = tok.split(":", 1)
+            if pfx in prefixes:
+                return prefixes[pfx] + local
+        return None
+
+    # block_open: the previous line ended with ';' (the writer's
+    # continuation marker), so the next line reuses its subject.
+    # A line arriving with the block CLOSED must start a new block —
+    # its first token is the subject (absolute IRI or known-prefix
+    # name); anything else raises instead of silently attributing the
+    # triple to the previous subject (generic-document safety for the
+    # LOAD path).
+    block_open = False
     for raw in text.splitlines():
         s = raw.strip()
-        if not s:
+        if not s or s.startswith("#"):
             continue
         if s.startswith("@prefix"):
             _, pfx, uri, _ = s.split(None, 3)
             prefixes[pfx.rstrip(":")] = uri.strip("<>")
             continue
-        if s.startswith("<") and "> " in s:
-            subj, s = s[1:].split("> ", 1)
+        ends_closed = s.rstrip().endswith(".")
+        if not block_open:
+            # block closed -> this line STARTS one: first token is
+            # the subject.  (When the block is open the line is a
+            # continuation — even one whose predicate is an absolute
+            # <iri> — and the subject carries over.)
+            if s.startswith("<") and "> " in s:
+                subj, s = s[1:].split("> ", 1)
+            else:
+                tok, rest = s.split(None, 1)
+                expanded = expand_pname(tok)
+                if expanded is None:
+                    raise ValueError(
+                        f"cannot parse n3 subject {tok!r} (expected "
+                        "an absolute <iri> or a declared-prefix name)"
+                    )
+                subj, s = expanded, rest
+        block_open = not ends_closed
         for part in [s.rstrip(" .;")]:
             is_lit = False
             dt: str | None = None
             if part.startswith("a "):
-                pred, obj = NS["rdf_type"], rev_type[part[2:].strip()]
+                tobj = part[2:].strip()
+                if tobj.startswith("<") and tobj.endswith(">"):
+                    obj = tobj[1:-1]
+                else:
+                    obj = expand_pname(tobj) or rev_type[tobj]
+                pred = NS["rdf_type"]
             else:
                 pname, obj = part.split(None, 1)
                 if pname.startswith("<") and pname.endswith(">"):
@@ -268,11 +305,12 @@ def parse_n3_rows(
                     pred = pname[1:-1]
                 elif pname in rev_pred:
                     pred = rev_pred[pname]
-                elif ":" in pname and pname.split(":", 1)[0] in prefixes:
-                    pfx, local = pname.split(":", 1)
-                    pred = prefixes[pfx] + local
                 else:
-                    pred = rev_pred[pname]  # loud KeyError on unknowns
+                    expanded = expand_pname(pname)
+                    if expanded is not None:
+                        pred = expanded
+                    else:
+                        pred = rev_pred[pname]  # loud KeyError
                 obj = obj.strip()
                 if obj.startswith("<"):
                     obj = obj.strip("<>")
@@ -295,11 +333,17 @@ def parse_n3_rows(
                     if tail.startswith("^^"):
                         dt = expand_dt(tail[2:])
                 else:
-                    bits = obj.split("^^", 1)
-                    obj = _unescape(bits[0])
-                    is_lit = True
-                    if len(bits) == 2:
-                        dt = expand_dt(bits[1])
+                    expanded = expand_pname(obj)
+                    if expanded is not None and "^^" not in obj:
+                        # known-prefix object IRI (generic documents;
+                        # the writer always emits <...> or quoted)
+                        obj = expanded
+                    else:
+                        bits = obj.split("^^", 1)
+                        obj = _unescape(bits[0])
+                        is_lit = True
+                        if len(bits) == 2:
+                            dt = expand_dt(bits[1])
             out.setdefault((subj, pred, obj), (is_lit, dt))
     return [(s, p, o, il, d) for (s, p, o), (il, d) in out.items()]
 

@@ -1044,9 +1044,12 @@ class _Parser:
 
     def _parse_values(self):
         """VALUES ?x { ... } or VALUES (?x ?y) { (a b) ... } ->
-        (var names, row tuples).  UNDEF parses to a NULL binding (note:
-        a NULL never joins, so UNDEF does NOT wildcard-match as full
-        SPARQL would — keep UNDEF out of correlated columns)."""
+        (var names, row tuples).  UNDEF parses to None; an UNDEF cell
+        in a column shared with the solutions wildcard-matches per
+        §10.2.2 (_join_values switches to a condition join), while a
+        bound cell against a NULL (unbound) solution column does NOT
+        match — the engine's uniform NULL-join convention across
+        group joins."""
         if self._peek() is not None and self._peek().kind == "VAR":
             vars_ = [self._next().text[1:]]
             single = True
@@ -2566,6 +2569,55 @@ def _bindings(
     return out
 
 
+def _join_values(
+    df: DataFrame, vars_: list, rows: list, *, cross_ok: bool,
+) -> DataFrame:
+    """Join one VALUES inline table onto the bindings ``df``.
+
+    UNDEF cells (parsed to None) wildcard-match per §10.2.2: a row's
+    UNDEF in a shared column is compatible with ANY solution value,
+    and the merged solution keeps the solution's value.  The fast
+    path — no UNDEF in any shared column — is the plain broadcast
+    hash equi-join; with UNDEF present the join becomes a broadcast
+    condition join (tiny literal table, so the nested-loop is free).
+    A bound VALUES cell against a NULL (unbound) solution column does
+    NOT match — the engine's uniform NULL-join convention across
+    group joins, documented in _parse_values.
+
+    ``cross_ok`` mirrors the call sites' historical behavior for a
+    table sharing no variable: in-group VALUES cross-joins freely
+    (the group correlates later), the trailing clause requires
+    allow_cartesian upstream."""
+    spark = df.sparkSession
+    vdf = F.broadcast(
+        spark.createDataFrame(
+            [list(r) for r in rows],
+            ", ".join(f"`{v}` string" for v in vars_),
+        )
+    )
+    shared = [v for v in vars_ if v in df.columns]
+    if not shared:
+        if not cross_ok:
+            raise ValueError(
+                "trailing VALUES shares no variable with the query's "
+                "solutions (a cross product) — correlate it or pass "
+                "allow_cartesian=True"
+            )
+        return df.crossJoin(vdf)
+    idx = {v: i for i, v in enumerate(vars_)}
+    has_undef = any(r[idx[v]] is None for r in rows for v in shared)
+    if not has_undef:
+        return df.join(vdf, on=shared, how="inner")
+    ren = {v: f"__val__{v}" for v in shared}
+    for v, r in ren.items():
+        vdf = vdf.withColumnRenamed(v, r)
+    cond = None
+    for v in shared:
+        c = F.col(ren[v]).isNull() | (F.col(ren[v]) == F.col(v))
+        cond = c if cond is None else cond & c
+    return df.join(vdf, on=cond, how="inner").drop(*ren.values())
+
+
 def _group_bindings(
     triples: DataFrame,
     g: ParsedQuery,
@@ -2660,20 +2712,8 @@ def _group_bindings_inner(
         sub = _apply_negations(
             triples, sub, g, allow_cartesian, base_triples, services
         )
-    spark = triples.sparkSession
     for vars_, rows in g.values_clauses:
-        vdf = F.broadcast(
-            spark.createDataFrame(
-                [list(r) for r in rows],
-                ", ".join(f"`{v}` string" for v in vars_),
-            )
-        )
-        shared = [v for v in vars_ if v in sub.columns]
-        sub = (
-            sub.join(vdf, on=shared, how="inner")
-            if shared
-            else sub.crossJoin(vdf)
-        )
+        sub = _join_values(sub, vars_, rows, cross_ok=True)
     sub = _apply_binds(
         triples, sub, g, allow_cartesian, base_triples, services
     )
@@ -2752,20 +2792,8 @@ def _apply_solution_clauses(
     df = _apply_negations(
         triples, df, q, allow_cartesian, base_triples, services
     )
-    spark = triples.sparkSession
     for vars_, rows in q.values_clauses:
-        vdf = F.broadcast(
-            spark.createDataFrame(
-                [list(r) for r in rows],
-                ", ".join(f"`{v}` string" for v in vars_),
-            )
-        )
-        shared = [v for v in vars_ if v in df.columns]
-        df = (
-            df.join(vdf, on=shared, how="inner")
-            if shared
-            else df.crossJoin(vdf)
-        )
+        df = _join_values(df, vars_, rows, cross_ok=True)
     df = _apply_binds(
         triples, df, q, allow_cartesian, base_triples, services
     )
@@ -2968,6 +2996,17 @@ def _group_bound_vars(q: "ParsedQuery") -> set:
     for vars_, _rows in q.values_clauses:
         out.update(vars_)
     out.update(v for _sql, v in q.binds)
+    # variables a subquery PROJECTS into the group (only those are
+    # visible outside the subquery — SPARQL 1.1 §12) and variables a
+    # SERVICE group's own clauses bind (the snapshot join surfaces
+    # them into the enclosing group)
+    for sub in q.subqueries:
+        if sub.select is not None:
+            out.update(sub.select)
+        out.update(a for _sql, a in sub.select_exprs)
+        out.update(a[3] for a in sub.aggregates)
+    for _endpoint, g in q.services:
+        out.update(_group_bound_vars(g))
     return out
 
 
@@ -2982,8 +3021,19 @@ def _check_optional_exists_scope(q: "ParsedQuery") -> None:
     correctly; variables bound nowhere are existential and fine.
     Conservative over UNION blocks: the enclosing group's full bound
     set is used, so a variable bound only in a sibling branch also
-    refuses (loudly, with the hoist workaround)."""
-    for outer in _iter_group_queries(q):
+    refuses (loudly, with the hoist workaround).  SERVICE groups are
+    walked explicitly (_iter_group_queries skips them for the
+    GRAPH-var injection's sake, but an OPTIONAL inside a SERVICE
+    group evaluates through the same marker machinery against the
+    snapshot and needs the same guard)."""
+
+    def _walk(q0):
+        for g in _iter_group_queries(q0):
+            yield g
+            for _endpoint, svc in g.services:
+                yield from _walk(svc)
+
+    for outer in _walk(q):
         outer_vars = None  # computed lazily, once per enclosing group
         groups = [
             g for g in outer.optional if isinstance(g, ParsedQuery)
@@ -3433,24 +3483,8 @@ def _finish_select(
     for vars_, rows_v in q.post_values:
         # trailing VALUES (§18.2.4.3): join the whole query's
         # solutions — after grouping/HAVING, before projection — with
-        # the inline table; tiny literal table, broadcast
-        vdf = F.broadcast(
-            df.sparkSession.createDataFrame(
-                [list(r) for r in rows_v],
-                ", ".join(f"`{v}` string" for v in vars_),
-            )
-        )
-        shared = [v for v in vars_ if v in df.columns]
-        if shared:
-            df = df.join(vdf, on=shared, how="inner")
-        elif allow_cartesian:
-            df = df.crossJoin(vdf)
-        else:
-            raise ValueError(
-                "trailing VALUES shares no variable with the query's "
-                "solutions (a cross product) — correlate it or pass "
-                "allow_cartesian=True"
-            )
+        # the inline table (UNDEF cells wildcard-match)
+        df = _join_values(df, vars_, rows_v, cross_ok=allow_cartesian)
     for sql, alias in q.select_exprs:
         # non-aggregate SELECT expressions extend at projection scope
         # (after aggregation, so group keys and aggregate aliases are

@@ -296,12 +296,19 @@ class _UpdateParser(_Parser):
         evaluated by the same ``_group_bindings`` assembler the read
         queries use (SPARQL 1.1 §3.1.3: the WHERE clause is evaluated
         exactly like a query's)."""
+        from .sparql import _check_optional_exists_scope
+
         sub = ParsedQuery(form="update-where")
         self._parse_group(sub)
         if not (
             sub.patterns or sub.unions or sub.subqueries or sub.services
         ):
             raise ValueError("update WHERE group has no triple patterns")
+        # same post-parse guard the read path runs: a left-only
+        # correlated EXISTS inside an OPTIONAL's FILTER must refuse
+        # loudly here too — silently-wrong bindings would DELETE or
+        # INSERT the wrong triples
+        _check_optional_exists_scope(sub)
         return sub
 
     def _parse_data_block(self, u: ParsedUpdate) -> None:
@@ -568,18 +575,15 @@ def _graph_mgmt_noop(u: "ParsedUpdate", graph_uri: str | None) -> None:
             )
 
 
-def _load_spo(spark: SparkSession, u: "ParsedUpdate"):
-    """LOAD's source as a (subj, pred, obj) DataFrame, or None when
-    SILENT swallows a read failure.  Only ``file:`` IRIs (or bare
-    paths) are supported — the store is offline; network fetch is out
-    of scope.  Scale note: the file parses on the DRIVER (the spec's
-    LOAD is a single-document fetch); multi-GB sharded exports go
-    through ``sources.import_n3(sharded=True)``, which parses part
-    files on executors."""
+def _resolve_load_path(u: "ParsedUpdate") -> str | None:
+    """LOAD IRI -> local filesystem path; only ``file:`` IRIs (or
+    bare paths) are supported — the store is offline; network fetch
+    is out of scope.  Returns None when SILENT swallows a bad
+    scheme."""
     iri = u.load_iri
     if iri.startswith("file://"):
-        path = iri[len("file://"):]
-    elif "://" in iri:
+        return iri[len("file://"):]
+    if "://" in iri:
         if u.silent:
             return None
         raise NotImplementedError(
@@ -588,8 +592,18 @@ def _load_spo(spark: SparkSession, u: "ParsedUpdate"):
             "document yourself and LOAD <file://...>, or use "
             "sources.import_n3 for catalog-backed imports"
         )
-    else:
-        path = iri
+    return iri
+
+
+def _load_spo(spark: SparkSession, u: "ParsedUpdate"):
+    """LOAD's source as a (subj, pred, obj) DataFrame, or None when
+    SILENT swallows a failure.  Scale note: the file parses on the
+    DRIVER (the spec's LOAD is a single-document fetch); multi-GB
+    sharded exports go through ``sources.import_n3(sharded=True)``,
+    which parses part files on executors."""
+    path = _resolve_load_path(u)
+    if path is None:
+        return None
     from .rdf import parse_n3
 
     try:
@@ -808,21 +822,23 @@ def _execute_one(
         return report
 
     if u.form == "load":
-        # resolve/validate the IRI with the shared helper (raises or
-        # silently no-ops on bad scheme / missing file), then commit
-        # through sources.import_n3 — the catalog-native n3 import:
-        # full pipeline schema recovery (literal shapes, doc_id
-        # co-location), idempotent anti-join append, one snapshot
-        probe = _load_spo(spark, u)
-        if probe is None:
+        # resolve/validate the IRI (raises or silently no-ops on a
+        # bad scheme / missing file — no full parse probe), then
+        # commit through sources.import_n3 — the catalog-native n3
+        # import: full pipeline schema recovery (literal shapes,
+        # doc_id co-location), idempotent anti-join append, one
+        # snapshot; the document parses exactly once
+        import os
+
+        path = _resolve_load_path(u)
+        if path is None:
             return report
+        if not os.path.isfile(path):
+            if u.silent:
+                return report
+            raise FileNotFoundError(path)
         from ..sources import import_n3
 
-        path = (
-            u.load_iri[len("file://"):]
-            if u.load_iri.startswith("file://")
-            else u.load_iri
-        )
         r = import_n3(spark, catalog, path, table=table, run_id=run_id)
         report["inserted"] = r["inserted"]
         report["snapshot"] = r["snapshot"]

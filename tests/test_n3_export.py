@@ -163,3 +163,46 @@ def test_sharded_export_roundtrip(spark, triples, tmp_path):
     got = rdf.read_n3_sharded(out)
     want = rdf.parse_n3(rdf.triples_to_n3(triples))
     assert got == want
+
+
+def test_parse_n3_generic_documents():
+    """LOAD-path robustness (review finding): prefixed-name subjects
+    and objects expand through the @prefix table, comments skip, a
+    continuation-first or undeclared-prefix line raises instead of
+    silently attributing triples to the previous subject."""
+    import pytest
+
+    from face_hunter_spark.operators.rdf import parse_n3
+
+    doc = (
+        "@prefix ex: <http://e/> .\n"
+        "# comment\n"
+        "ex:alice ex:knows ex:bob .\n"
+        'ex:bob ex:name "Bobby" .\n'
+        "<http://e/carol> <http://e/knows> ex:alice .\n"
+        "ex:dave a ex:Person .\n"
+    )
+    assert parse_n3(doc) == {
+        ("http://e/alice", "http://e/knows", "http://e/bob"),
+        ("http://e/bob", "http://e/name", "Bobby"),
+        ("http://e/carol", "http://e/knows", "http://e/alice"),
+        ("http://e/dave",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "http://e/Person"),
+    }
+    # generic ';' continuations with absolute-IRI predicates: the
+    # open block wins over the new-subject interpretation
+    doc2 = (
+        "<http://e/s1> <http://e/p> <http://e/o1> ;\n"
+        '    <http://e/q> "lit" .\n'
+        "<http://e/s2> <http://e/p> <http://e/o2> .\n"
+    )
+    assert parse_n3(doc2) == {
+        ("http://e/s1", "http://e/p", "http://e/o1"),
+        ("http://e/s1", "http://e/q", "lit"),
+        ("http://e/s2", "http://e/p", "http://e/o2"),
+    }
+    with pytest.raises(ValueError, match="subject"):
+        parse_n3('dangling "x" .')
+    with pytest.raises(ValueError, match="subject"):
+        parse_n3("zz:a <http://e/p> <http://e/o> .")

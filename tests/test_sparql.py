@@ -3003,3 +3003,60 @@ def test_trailing_values_in_subquery(spark):
     assert [(r.s, r.l, r.n) for r in out] == [
         ("a", "A", 2), ("b", "B", 1)
     ]
+
+
+def test_optional_exists_scope_guard_everywhere(spark):
+    """Review hardening: the left-only-correlation guard also fires
+    inside SERVICE groups, sees subquery-PROJECTED outer variables,
+    and runs on UPDATE WHERE clauses (a silently-wrong binding there
+    would mutate the store)."""
+    from face_hunter_spark.operators import sparql_update
+
+    with pytest.raises(NotImplementedError, match="OPTIONAL"):
+        sparql.parse(
+            "SELECT ?a WHERE { SERVICE <http://e> { ?a <p> ?b "
+            "OPTIONAL { ?b <q> ?c FILTER(EXISTS { ?a <r> ?c }) } } }"
+        )
+    with pytest.raises(NotImplementedError, match="OPTIONAL"):
+        sparql.parse(
+            "SELECT ?y WHERE { { SELECT ?x WHERE { ?x <k> ?w } } "
+            "?y <p> ?x OPTIONAL { ?y <q> ?o "
+            "FILTER(EXISTS { ?x <r> ?o }) } }"
+        )
+    with pytest.raises(NotImplementedError, match="OPTIONAL"):
+        sparql_update.parse_update(
+            "DELETE { ?s <p> ?o } WHERE { ?x <a> ?s "
+            "OPTIONAL { ?s <b> ?o FILTER(EXISTS { ?x <c> ?o }) } }"
+        )
+    # group-bound correlation still parses in all three positions
+    sparql.parse(
+        "SELECT ?a WHERE { SERVICE <http://e> { ?a <p> ?b "
+        "OPTIONAL { ?b <q> ?c FILTER(EXISTS { ?c <r> ?z }) } } }"
+    )
+    sparql_update.parse_update(
+        "DELETE { ?s <p> ?o } WHERE { ?x <a> ?s "
+        "OPTIONAL { ?s <b> ?o FILTER(EXISTS { ?o <c> ?z }) } }"
+    )
+
+
+def test_values_undef_wildcard(spark):
+    """UNDEF in a shared VALUES column wildcard-matches per §10.2.2
+    (condition join); rows without UNDEF keep the broadcast hash
+    equi-join fast path — both in-group and trailing clauses."""
+    t = spark.createDataFrame(
+        [("a", "p", "1"), ("a", "p", "2"), ("b", "p", "2"),
+         ("c", "p", "3")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql.execute(
+        t, "SELECT ?s ?o WHERE { ?s <p> ?o } "
+           'VALUES (?s ?o) { ("a" UNDEF) ("b" "2") }'
+    ).collect()
+    assert sorted((r.s, r.o) for r in out) == [
+        ("a", "1"), ("a", "2"), ("b", "2")
+    ]
+    out2 = sparql.execute(
+        t, "SELECT ?s ?o WHERE { ?s <p> ?o "
+           'VALUES (?s ?o) { (UNDEF "2") } }'
+    ).collect()
+    assert sorted((r.s, r.o) for r in out2) == [("a", "2"), ("b", "2")]
