@@ -2246,6 +2246,47 @@ ORDER BY n
 """
 
 
+def _q_sparql_values_undef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNDEF wildcard cells in a VALUES table (operators/sparql.py
+    _join_values — the §10.2.2 condition-join path): row 1 keeps every
+    NATION_2 customer (?c is UNDEF = matches any), row 2 keeps one
+    named customer in any nation (?n is UNDEF).  Customer#000000001
+    sits in NATION_19, so the two rows never both match one solution
+    and the bag stays duplicate-free — making the OR-of-two-filters
+    oracle exact."""
+    from face_hunter_spark.operators.sparql import execute
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = customer.join(
+        nation, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        F.col("c_name").alias("subj"),
+        F.lit("http://example.org/inNation").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+    return execute(
+        base,
+        """
+        PREFIX ex: <http://example.org/>
+        SELECT ?c ?n WHERE { ?c ex:inNation ?n }
+        ORDER BY ?c
+        VALUES (?n ?c) {
+          ("NATION_2" UNDEF)
+          (UNDEF "Customer#000000001")
+        }
+        """,
+    )
+
+
+ORACLE_SPARQL_VALUES_UNDEF = """
+SELECT c_name AS c, n_name AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name = 'NATION_2' OR c_name = 'Customer#000000001'
+ORDER BY c
+"""
+
+
 def _q_sparql_construct_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONSTRUCT WHERE { BGP } short form (SPARQL 1.1 §10.2.3,
     operators/sparql.py _parse_construct): the two-pattern WHERE
@@ -3596,6 +3637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_order_agg": _q_sparql_order_agg,
         "sparql_distinct_agg_order": _q_sparql_distinct_agg_order,
         "sparql_trailing_values": _q_sparql_trailing_values,
+        "sparql_values_undef": _q_sparql_values_undef,
         "sparql_exists_bind": _q_sparql_exists_bind,
         "sparql_filter_exists_expr": _q_sparql_filter_exists_expr,
         "sparql_optional_exists": _q_sparql_optional_exists,
@@ -3799,6 +3841,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_order_agg": ORACLE_SPARQL_ORDER_AGG,
         "sparql_distinct_agg_order": ORACLE_SPARQL_DISTINCT_AGG_ORDER,
         "sparql_trailing_values": ORACLE_SPARQL_TRAILING_VALUES,
+        "sparql_values_undef": ORACLE_SPARQL_VALUES_UNDEF,
         "sparql_exists_bind": ORACLE_SPARQL_EXISTS_BIND,
         "sparql_filter_exists_expr": ORACLE_SPARQL_FILTER_EXISTS,
         "sparql_optional_exists": ORACLE_SPARQL_OPTIONAL_EXISTS,

@@ -705,12 +705,16 @@ class _Parser:
                 elif (
                     t is not None
                     and t.kind == "NAME"
+                    and t.text.lower() != "values"
                     and self.i + 1 < len(self.toks)
                     and self.toks[self.i + 1].kind == "OP"
                     and self.toks[self.i + 1].text == "("
                 ):
                     # bare expression sort condition: ORDER BY
-                    # STRLEN(?n) — ascending per the spec's default
+                    # STRLEN(?n) — ascending per the spec's default.
+                    # 'values' is excluded: a tuple-form trailing
+                    # VALUES clause ("VALUES (?a ?b) { ... }") follows
+                    # the modifiers and is never a sort function
                     q.order_by.append((self._filter_expr(), True))
                     saw = True
                 else:
