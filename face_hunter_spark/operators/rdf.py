@@ -268,6 +268,10 @@ def parse_n3_rows(
             _, pfx, uri, _ = s.split(None, 3)
             prefixes[pfx.rstrip(":")] = uri.strip("<>")
             continue
+        if s == ".":
+            # lone block terminator on its own line (legal Turtle)
+            block_open = False
+            continue
         ends_closed = s.rstrip().endswith(".")
         if not block_open:
             # block closed -> this line STARTS one: first token is
@@ -277,14 +281,25 @@ def parse_n3_rows(
             if s.startswith("<") and "> " in s:
                 subj, s = s[1:].split("> ", 1)
             else:
-                tok, rest = s.split(None, 1)
-                expanded = expand_pname(tok)
-                if expanded is None:
-                    raise ValueError(
-                        f"cannot parse n3 subject {tok!r} (expected "
-                        "an absolute <iri> or a declared-prefix name)"
-                    )
-                subj, s = expanded, rest
+                bits = s.split(None, 1)
+                tok = bits[0]
+                if tok.startswith("<") and tok.endswith(">"):
+                    subj = tok[1:-1]
+                else:
+                    expanded = expand_pname(tok)
+                    if expanded is None:
+                        raise ValueError(
+                            f"cannot parse n3 subject {tok!r} "
+                            "(expected an absolute <iri> or a "
+                            "declared-prefix name)"
+                        )
+                    subj = expanded
+                if len(bits) == 1:
+                    # subject on its own line: the predicate-object
+                    # lines follow as continuations
+                    block_open = True
+                    continue
+                s = bits[1]
         block_open = not ends_closed
         for part in [s.rstrip(" .;")]:
             is_lit = False
@@ -297,7 +312,13 @@ def parse_n3_rows(
                     obj = expand_pname(tobj) or rev_type[tobj]
                 pred = NS["rdf_type"]
             else:
-                pname, obj = part.split(None, 1)
+                bits2 = part.split(None, 1)
+                if len(bits2) != 2:
+                    raise ValueError(
+                        f"cannot parse n3 statement {part!r} "
+                        "(expected 'predicate object')"
+                    )
+                pname, obj = bits2
                 if pname.startswith("<") and pname.endswith(">"):
                     # absolute-IRI predicate — generic n3 documents
                     # (the LOAD path) use these; the writer's own

@@ -3007,6 +3007,10 @@ def _group_bound_vars(q: "ParsedQuery") -> set:
     for sub in q.subqueries:
         if sub.select is not None:
             out.update(sub.select)
+        else:
+            # SELECT *: every variable the subquery's own clauses
+            # bind projects outward
+            out.update(_group_bound_vars(sub))
         out.update(a for _sql, a in sub.select_exprs)
         out.update(a[3] for a in sub.aggregates)
     for _endpoint, g in q.services:

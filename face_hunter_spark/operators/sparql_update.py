@@ -828,15 +828,20 @@ def _execute_one(
         # import: full pipeline schema recovery (literal shapes,
         # doc_id co-location), idempotent anti-join append, one
         # snapshot; the document parses exactly once
-        import os
-
         path = _resolve_load_path(u)
         if path is None:
             return report
-        if not os.path.isfile(path):
+        try:
+            # cheap readability probe (no parse) — ANY OSError
+            # (missing, unreadable, is-a-directory) is an operation
+            # failure SILENT must swallow, matching _apply_op's
+            # _load_spo behavior
+            with open(path):
+                pass
+        except OSError:
             if u.silent:
                 return report
-            raise FileNotFoundError(path)
+            raise
         from ..sources import import_n3
 
         r = import_n3(spark, catalog, path, table=table, run_id=run_id)

@@ -206,3 +206,32 @@ def test_parse_n3_generic_documents():
         parse_n3('dangling "x" .')
     with pytest.raises(ValueError, match="subject"):
         parse_n3("zz:a <http://e/p> <http://e/o> .")
+
+
+def test_parse_n3_single_token_lines():
+    """Review hardening round 2: a subject on its own line and a lone
+    '.' terminator line (both legal Turtle) parse; malformed
+    single-token statements raise the designed message."""
+    import pytest
+
+    from face_hunter_spark.operators.rdf import parse_n3
+
+    doc = (
+        "@prefix ex: <http://e/> .\n"
+        "ex:s\n"
+        "    ex:p ex:o ;\n"
+        '    ex:q "v"\n'
+        ".\n"
+        "<http://e/t>\n"
+        "    <http://e/p> <http://e/u> .\n"
+    )
+    assert parse_n3(doc) == {
+        ("http://e/s", "http://e/p", "http://e/o"),
+        ("http://e/s", "http://e/q", "v"),
+        ("http://e/t", "http://e/p", "http://e/u"),
+    }
+    with pytest.raises(ValueError, match="statement"):
+        parse_n3(
+            "@prefix ex: <http://e/> .\n"
+            "ex:s ex:p ex:o ;\n    garbage .\n"
+        )

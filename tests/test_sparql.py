@@ -3017,11 +3017,20 @@ def test_optional_exists_scope_guard_everywhere(spark):
             "SELECT ?a WHERE { SERVICE <http://e> { ?a <p> ?b "
             "OPTIONAL { ?b <q> ?c FILTER(EXISTS { ?a <r> ?c }) } } }"
         )
+    # ?w is bound ONLY by the subquery's projection — the guard must
+    # see it through the subquery-projection walk, not pattern vars
     with pytest.raises(NotImplementedError, match="OPTIONAL"):
         sparql.parse(
-            "SELECT ?y WHERE { { SELECT ?x WHERE { ?x <k> ?w } } "
+            "SELECT ?y WHERE { { SELECT ?x ?w WHERE { ?x <k> ?w } } "
             "?y <p> ?x OPTIONAL { ?y <q> ?o "
-            "FILTER(EXISTS { ?x <r> ?o }) } }"
+            "FILTER(EXISTS { ?w <r> ?o }) } }"
+        )
+    # SELECT * subqueries project every group-bound variable outward
+    with pytest.raises(NotImplementedError, match="OPTIONAL"):
+        sparql.parse(
+            "SELECT ?y WHERE { { SELECT * WHERE { ?x <k> ?w } } "
+            "?y <p> ?x OPTIONAL { ?y <q> ?o "
+            "FILTER(EXISTS { ?w <r> ?o }) } }"
         )
     with pytest.raises(NotImplementedError, match="OPTIONAL"):
         sparql_update.parse_update(

@@ -918,3 +918,30 @@ def test_load_commits_via_catalog(spark, tmp_path):
     )
     assert r3 == {"form": "add", "inserted": 0, "deleted": 0,
                   "snapshot": None}
+
+
+def test_load_silent_swallows_unreadable(spark, tmp_path):
+    """Review hardening round 2: LOAD SILENT must swallow ANY read
+    failure on the committing path too (unreadable file, not just
+    missing), matching the pure path's behavior."""
+    import os
+
+    from face_hunter_spark.catalog import ParquetCatalog
+
+    n3 = tmp_path / "locked.n3"
+    n3.write_text("<http://e/s> <http://e/p> <http://e/o> .\n")
+    os.chmod(n3, 0)
+    if os.access(n3, os.R_OK):  # running as root: chmod 0 still reads
+        pytest.skip("cannot make the file unreadable in this sandbox")
+    cat = ParquetCatalog(str(tmp_path / "kg"))
+    execute_update(
+        spark, cat, "triples",
+        "INSERT DATA { <http://e/a> <http://e/p> <http://e/b> . }",
+    )
+    r = execute_update(
+        spark, cat, "triples", f"LOAD SILENT <file://{n3}>"
+    )
+    assert r == {"form": "load", "inserted": 0, "deleted": 0,
+                 "snapshot": None}
+    with pytest.raises(OSError):
+        execute_update(spark, cat, "triples", f"LOAD <file://{n3}>")
